@@ -1,0 +1,91 @@
+"""Text analysis: code-aware tokenization + stop filtering, fully vectorized.
+
+Re-implements the semantics of the reference's default ``text_general``
+analyzer chain (StandardTokenizer -> StopFilter -> LowerCaseFilter;
+solr/server/solr/configsets/_default/conf/managed-schema.xml:297-313),
+simplified to a code-friendly contract that is expressible BOTH as pandas
+vector ops (the engine's ingest kernel) and as ANSI SQL (the DuckDB
+correctness oracle):
+
+  ANALYSIS CONTRACT (pinned; tests + oracle depend on it)
+  1. lowercase the whole string
+  2. tokens = maximal runs of [a-z0-9_]  (identifiers stay whole —
+     camelCase is lowercased, snake_case survives; punctuation splits)
+  3. drop the 33 classic English stopwords (Lucene
+     EnglishAnalyzer.ENGLISH_STOP_WORDS_SET)
+  4. doclen = number of surviving tokens (exact, NOT Lucene's 1-byte
+     quantized norm — documented deviation, see SURVEY.md §4)
+
+SQL-equivalent form (DuckDB/Spark SQL):
+  unnest(string_split_regex(lower(text), '[^a-z0-9_]+')) ... WHERE tok <> ''
+    AND tok NOT IN (<STOPWORDS>)
+"""
+
+from __future__ import annotations
+
+import re
+from itertools import chain
+
+import numpy as np
+import pandas as pd
+
+TOKEN_RE = re.compile(r"[a-z0-9_]+")
+
+# Lucene's classic 33-word English stop set (EnglishAnalyzer): public
+# knowledge; mirrored in the reference's default schema stopwords config.
+STOPWORDS: frozenset[str] = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or "
+    "such that the their then there these they this to was will with".split()
+)
+
+# Stable, SQL-quotable rendering for oracle generation.
+STOPWORDS_SQL = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+
+SPLIT_REGEX_SQL = "[^a-z0-9_]+"  # for string_split_regex / split()
+
+
+def tokenize_lists(texts: pd.Series) -> pd.Series:
+    """Series[str] -> Series[list[str]] of post-stop-filter tokens."""
+    toks = texts.fillna("").str.lower().str.findall(TOKEN_RE)
+    # Vectorized stop filtering: flatten -> mask -> regroup is slower for
+    # short docs; a per-list comprehension over interned strings is the
+    # pragmatic fast path here (set lookup is C-level).
+    sw = STOPWORDS
+    return toks.map(lambda ts: [t for t in ts if t not in sw])
+
+
+def term_frequencies(doc_ids: np.ndarray, texts: pd.Series) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Analyze a batch of documents.
+
+    Returns ``(triples, doc_lens)``:
+      triples  — DataFrame(docid int64, term str, tf int64)
+      doc_lens — DataFrame(docid int64, doclen int64)  (0 for empty docs)
+    """
+    tok_lists = texts.fillna("").str.lower().str.findall(TOKEN_RE)
+    counts = tok_lists.map(len).to_numpy(dtype=np.int64)
+    flat = pd.Series(list(chain.from_iterable(tok_lists)), dtype="object")
+    rep_ids = np.repeat(np.asarray(doc_ids, dtype=np.int64), counts)
+    df = pd.DataFrame({"docid": rep_ids, "term": flat})
+    if len(df):
+        df = df[~df["term"].isin(STOPWORDS)]
+    doclen = (
+        df.groupby("docid").size().reindex(np.asarray(doc_ids, dtype=np.int64), fill_value=0)
+        if len(df)
+        else pd.Series(0, index=np.asarray(doc_ids, dtype=np.int64))
+    )
+    doc_lens = pd.DataFrame(
+        {"docid": doclen.index.to_numpy(np.int64), "doclen": doclen.to_numpy(np.int64)}
+    )
+    if len(df):
+        triples = df.groupby(["docid", "term"], sort=False).size().rename("tf").reset_index()
+        triples["tf"] = triples["tf"].astype(np.int64)
+    else:
+        triples = pd.DataFrame({"docid": np.array([], np.int64), "term": [], "tf": np.array([], np.int64)})
+    return triples, doc_lens
+
+
+def analyze_query(q: str) -> list[str]:
+    """Apply the same analysis chain to a query string (bag of terms,
+    duplicates preserved — duplicate query terms score with multiplicity,
+    matching Lucene's boolean-query clause semantics)."""
+    return [t for t in TOKEN_RE.findall(q.lower()) if t not in STOPWORDS]
