@@ -1,0 +1,392 @@
+"""Distributed inverted-index build — the engine's ingest pipeline.
+
+Mirrors the reference's update lifecycle (loader -> processor chain ->
+analysis -> segment flush -> segment merge -> commit;
+solr/core/src/java/org/apache/solr/update/DirectUpdateHandler2.java:309-409
+and update/DocumentBuilder.java:99-224) as a sequence of Spark stages over
+ordinary parquet tables:
+
+  [1] analyze   ONE pass over content (the expensive scan): range-shuffle
+                by (repo,path,commit) -> sortWithinPartitions -> mapInPandas
+                tokenizer emitting a union-typed staging table
+                (doc rows + posting triples + per-partition lineage metrics)
+  [2] doc_stats docid = global sort ordinal (offset[pid] + local_idx —
+                deterministic across any parallelism), sha256, doclen,
+                bucket = docid DIV bucket_docs; global N / avgdl
+  [3] postings  ONE shuffle keyed (term, bucket): range-repartition then a
+                vectorized numpy encode kernel -> delta+varint blocks with
+                block-max metadata. Hot-term skew is structurally salted:
+                a term's postings split across docid buckets, so no single
+                reducer ever sees more than bucket_docs postings per term
+                (the reference's CompositeIdRouter-style routing,
+                solrj/src/java/org/apache/solr/common/cloud/CompositeIdRouter.java:136-148).
+  [4] term_stats global (df, cf) per term — exact global IDF, stronger
+                than the reference's default per-shard IDF
+                (solr/core/src/java/org/apache/solr/search/stats/ExactStatsCache.java:61)
+  [5] meta.json config + global stats + per-stage & per-partition lineage
+
+Every stage is idempotent (mode=overwrite) and gated on its _SUCCESS
+marker, so a killed build resumes without recomputing completed stages —
+the analog of the reference's transaction-log replay
+(solr/core/src/java/org/apache/solr/update/UpdateLog.java:131-133,1194).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import asdict, dataclass, field
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .analysis import term_frequencies
+from .codec import encode_postings
+
+STAGE_SCHEMA = (
+    "kind tinyint, pid int, local_idx bigint, term string, tf bigint, "
+    "doclen bigint, repo string, path string, commit string, lang string, "
+    "sha256 string"
+)
+
+POSTINGS_SCHEMA = (
+    "term string, bucket bigint, df bigint, cf bigint, "
+    "doc_bytes binary, tf_bytes binary, "
+    "block_offs_doc array<int>, block_offs_tf array<int>, "
+    "block_last array<bigint>, block_max_tf array<int>, block_min_dl array<int>"
+)
+
+DEFAULT_BUCKET_DOCS = 4096
+
+
+@dataclass
+class IndexMeta:
+    out_dir: str
+    n_docs: int = 0
+    sum_doclen: int = 0
+    avgdl: float = 0.0
+    bucket_docs: int = DEFAULT_BUCKET_DOCS
+    n_terms: int = 0
+    postings_rows: int = 0
+    postings_bytes: int = 0
+    skew_max_df: int = 0
+    skew_ratio: float = 0.0
+    stages: dict = field(default_factory=dict)
+    lineage: list = field(default_factory=list)
+
+    @property
+    def docs_path(self) -> str:
+        return os.path.join(self.out_dir, "docs")
+
+    @property
+    def postings_path(self) -> str:
+        return os.path.join(self.out_dir, "postings")
+
+    @property
+    def terms_path(self) -> str:
+        return os.path.join(self.out_dir, "terms")
+
+    def save(self) -> None:
+        with open(os.path.join(self.out_dir, "meta.json"), "w") as f:
+            json.dump(asdict(self), f, indent=1)
+
+    @classmethod
+    def load(cls, out_dir: str) -> "IndexMeta":
+        with open(os.path.join(out_dir, "meta.json")) as f:
+            d = json.load(f)
+        d["out_dir"] = out_dir
+        return cls(**d)
+
+
+def _analyze_partitions(id_count_offset: None = None):
+    """mapInPandas closure: tokenize + hash one sorted partition, emitting
+    union-typed rows. local_idx is the row ordinal within the partition."""
+    import hashlib
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = 0
+        pid = -1
+        n_docs = 0
+        n_postings = 0
+        t0 = time.time()
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["pid"].iloc[0])
+            ids = np.arange(local, local + len(pdf), dtype=np.int64)
+            local += len(pdf)
+            n_docs += len(pdf)
+            triples, doclens = term_frequencies(ids, pdf["content"])
+            sha = pdf["content"].map(lambda s: hashlib.sha256((s or "").encode()).hexdigest())
+            docs_out = pd.DataFrame(
+                {
+                    "kind": np.int8(0),
+                    "pid": np.int32(pid),
+                    "local_idx": ids,
+                    "term": None,
+                    "tf": np.int64(0),
+                    "doclen": doclens["doclen"].to_numpy(),
+                    "repo": pdf["repo"].to_numpy(),
+                    "path": pdf["path"].to_numpy(),
+                    "commit": pdf["commit"].to_numpy(),
+                    "lang": pdf["lang"].to_numpy(),
+                    "sha256": sha.to_numpy(),
+                }
+            )
+            yield docs_out
+            if len(triples):
+                dl_map = doclens.set_index("docid")["doclen"]
+                post_out = pd.DataFrame(
+                    {
+                        "kind": np.int8(1),
+                        "pid": np.int32(pid),
+                        "local_idx": triples["docid"].to_numpy(),
+                        "term": triples["term"].to_numpy(),
+                        "tf": triples["tf"].to_numpy(),
+                        "doclen": dl_map.loc[triples["docid"]].to_numpy(),
+                        "repo": None,
+                        "path": None,
+                        "commit": None,
+                        "lang": None,
+                        "sha256": None,
+                    }
+                )
+                n_postings += len(post_out)
+                yield post_out
+        if pid >= 0:  # per-partition lineage metrics row
+            yield pd.DataFrame(
+                {
+                    "kind": [np.int8(2)],
+                    "pid": [np.int32(pid)],
+                    "local_idx": [np.int64(n_docs)],
+                    "term": ["_metrics"],
+                    "tf": [np.int64(n_postings)],
+                    "doclen": [np.int64((time.time() - t0) * 1000)],
+                    "repo": [None], "path": [None], "commit": [None],
+                    "lang": [None], "sha256": [None],
+                }
+            )
+
+    return fn
+
+
+def _encode_partition(bucket_docs: int):
+    """mapInPandas closure: vectorized posting-run encoder. Input partition
+    holds complete (term, bucket) groups (range-partitioned upstream)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = [b for b in batches if len(b)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values(["term", "bucket", "docid"], kind="mergesort", ignore_index=True)
+        terms = pdf["term"].to_numpy()
+        buckets = pdf["bucket"].to_numpy()
+        docids = pdf["docid"].to_numpy()
+        tfs = pdf["tf"].to_numpy()
+        dls = pdf["doclen"].to_numpy()
+        # group boundaries where (term, bucket) changes
+        change = np.empty(len(pdf), dtype=bool)
+        change[0] = True
+        change[1:] = (terms[1:] != terms[:-1]) | (buckets[1:] != buckets[:-1])
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(pdf))
+        rows = []
+        for s, e in zip(starts, ends):
+            b = int(buckets[s])
+            enc = encode_postings(docids[s:e], tfs[s:e], dls[s:e], base=b * bucket_docs)
+            rows.append(
+                (
+                    terms[s], b, enc.df, enc.cf,
+                    enc.doc_bytes, enc.tf_bytes,
+                    enc.block_offs_doc.tolist(), enc.block_offs_tf.tolist(),
+                    enc.block_last.tolist(), enc.block_max_tf.tolist(),
+                    enc.block_min_dl.tolist(),
+                )
+            )
+            if len(rows) >= 2000:
+                yield _rows_to_pdf(rows)
+                rows = []
+        if rows:
+            yield _rows_to_pdf(rows)
+
+    return fn
+
+
+def _rows_to_pdf(rows: list) -> pd.DataFrame:
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "term", "bucket", "df", "cf", "doc_bytes", "tf_bytes",
+            "block_offs_doc", "block_offs_tf", "block_last",
+            "block_max_tf", "block_min_dl",
+        ],
+    )
+
+
+def _done(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    *,
+    bucket_docs: int = DEFAULT_BUCKET_DOCS,
+    id_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    content_col: str = "content",
+    num_partitions: int | None = None,
+    overwrite: bool = False,
+    resume: bool = True,
+) -> IndexMeta:
+    """Build the full index under ``out_dir``. Returns IndexMeta.
+
+    ``docs`` must carry ``id_cols`` (unique composite key), ``content_col``,
+    and optionally ``lang``. docid = ordinal of the global (repo,path,commit)
+    sort — content-independent and parallelism-invariant (SURVEY.md §7).
+    """
+    if overwrite and os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    meta_path = os.path.join(out_dir, "meta.json")
+    if resume and os.path.exists(meta_path):
+        return IndexMeta.load(out_dir)
+
+    P = num_partitions or spark.sparkContext.defaultParallelism
+    stage_dir = os.path.join(out_dir, "_stage", "tokens")
+    meta = IndexMeta(out_dir=out_dir, bucket_docs=bucket_docs)
+    cols = {c.lower() for c in docs.columns}
+    lang_col = F.col("lang") if "lang" in cols else F.lit(None).cast("string")
+
+    # ---- stage 1: analyze (single content scan) --------------------------
+    t0 = time.time()
+    if not (resume and _done(stage_dir)):
+        src = docs.select(
+            *[F.col(c) for c in id_cols], lang_col.alias("lang"),
+            F.col(content_col).alias("content"),
+        )
+        sorted_docs = (
+            src.repartitionByRange(P, *[F.col(c) for c in id_cols])
+            .sortWithinPartitions(*id_cols)
+            .withColumn("pid", F.spark_partition_id())
+        )
+        sorted_docs.mapInPandas(_analyze_partitions(), STAGE_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(stage_dir)
+    meta.stages["analyze"] = round(time.time() - t0, 3)
+
+    stage = spark.read.parquet(stage_dir)
+
+    # partition offsets -> global docid (tiny collect: one row per partition)
+    offs_rows = (
+        stage.where(F.col("kind") == 0).groupBy("pid").count().orderBy("pid").collect()
+    )
+    offsets, acc = {}, 0
+    for r in offs_rows:
+        offsets[r["pid"]] = acc
+        acc += r["count"]
+    meta.n_docs = acc
+    offs_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()], "pid int, offset bigint"
+        )
+    )
+
+    # ---- stage 2: doc_stats ----------------------------------------------
+    t0 = time.time()
+    docs_out = os.path.join(out_dir, "docs")
+    if not (resume and _done(docs_out)):
+        (
+            stage.where(F.col("kind") == 0)
+            .join(offs_df, "pid")
+            .withColumn("docid", F.col("offset") + F.col("local_idx"))
+            .withColumn("bucket", F.expr(f"docid DIV {bucket_docs}"))
+            .select("docid", "bucket", "repo", "path", "commit", "lang", "sha256", "doclen")
+            .repartitionByRange(max(P // 2, 1), "docid")
+            .sortWithinPartitions("docid")
+            .write.mode("overwrite")
+            .parquet(docs_out)
+        )
+    meta.stages["doc_stats"] = round(time.time() - t0, 3)
+
+    doc_stats = spark.read.parquet(docs_out)
+    g = doc_stats.agg(
+        F.count("*").alias("n"), F.sum("doclen").alias("s")
+    ).collect()[0]
+    meta.n_docs = int(g["n"])
+    meta.sum_doclen = int(g["s"] or 0)
+    meta.avgdl = meta.sum_doclen / meta.n_docs if meta.n_docs else 0.0
+
+    # ---- stage 3: postings (term,bucket)-keyed sorted merge ---------------
+    t0 = time.time()
+    post_out = os.path.join(out_dir, "postings")
+    if not (resume and _done(post_out)):
+        triples = (
+            stage.where(F.col("kind") == 1)
+            .join(offs_df, "pid")
+            .select(
+                F.col("term"),
+                (F.col("offset") + F.col("local_idx")).alias("docid"),
+                F.col("tf"),
+                F.col("doclen"),
+            )
+            .withColumn("bucket", F.expr(f"docid DIV {bucket_docs}"))
+        )
+        (
+            triples.repartitionByRange(P, "term", "bucket")
+            .mapInPandas(_encode_partition(bucket_docs), POSTINGS_SCHEMA)
+            .write.mode("overwrite")
+            .parquet(post_out)
+        )
+    meta.stages["postings"] = round(time.time() - t0, 3)
+
+    postings = spark.read.parquet(post_out)
+
+    # ---- stage 4: term_stats ----------------------------------------------
+    t0 = time.time()
+    terms_out = os.path.join(out_dir, "terms")
+    if not (resume and _done(terms_out)):
+        (
+            postings.groupBy("term")
+            .agg(
+                F.sum("df").alias("df"),
+                F.sum("cf").alias("cf"),
+                F.count("*").alias("n_buckets"),
+            )
+            .repartitionByRange(max(P // 4, 1), "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(terms_out)
+        )
+    meta.stages["term_stats"] = round(time.time() - t0, 3)
+
+    # ---- stage 5: meta + lineage -------------------------------------------
+    ts = spark.read.parquet(terms_out).agg(
+        F.count("*").alias("n_terms"), F.max("df").alias("max_df"), F.avg("df").alias("mean_df")
+    ).collect()[0]
+    meta.n_terms = int(ts["n_terms"] or 0)
+    meta.skew_max_df = int(ts["max_df"] or 0)
+    meta.skew_ratio = float(ts["max_df"] / ts["mean_df"]) if ts["mean_df"] else 0.0
+    pb = postings.agg(
+        F.count("*").alias("rows"),
+        F.sum(F.length("doc_bytes") + F.length("tf_bytes")).alias("bytes"),
+    ).collect()[0]
+    meta.postings_rows = int(pb["rows"] or 0)
+    meta.postings_bytes = int(pb["bytes"] or 0)
+    meta.lineage = [
+        {
+            "pid": r["pid"],
+            "n_docs": r["local_idx"],
+            "n_postings": r["tf"],
+            "millis": r["doclen"],
+        }
+        for r in stage.where(F.col("kind") == 2).orderBy("pid").collect()
+    ]
+    meta.save()
+    return meta

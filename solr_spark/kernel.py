@@ -1,0 +1,276 @@
+"""Distributed top-k BM25 query execution over the bucketed index.
+
+The Spark shape of the reference's two-phase distributed search
+(solr/core/src/java/org/apache/solr/handler/component/QueryComponent.java:747-1087):
+
+  stage 1  parquet scan of postings WHERE term IN (query terms) — term-sorted
+           layout makes this a pruned scan (predicate pushdown + row-group
+           stats), the analog of the term-dictionary seek
+  stage 2  per-bucket scoring kernel (cogroup postings x doc_stats by docid
+           bucket): numpy dense scatter-add of BM25 contributions, posting
+           intersection with block skipping for conjunctions, block-max
+           pruning for single-term queries (the reference's WAND path,
+           SolrIndexSearcher.java:1786 minNumFound -> Lucene BMW)
+  stage 3  per-bucket top-k heaps -> global orderBy(score desc, docid).limit(k)
+           (Spark TakeOrdered == mergeIds' ShardFieldSortedHitQueue,
+           QueryComponent.java:879-914)
+  stage 4  (optional) join winners back to doc_stats for stored fields —
+           the reference's second PURPOSE_GET_FIELDS phase, so content-sized
+           columns never ride the scoring path
+
+Exactness contract: results (docids AND float64 scores) are identical with
+pruning on or off, at any parallelism — tested in tests/test_kernel.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .codec import decode_blocks, decode_postings
+from .indexer import IndexMeta
+from .qparser import Query, parse
+from .scoring import idf as idf_fn
+from .scoring import tfnorm
+
+RESULT_SCHEMA = "docid bigint, score double"
+
+
+def _bucket_kernel(
+    idfs: dict[str, float],
+    weights: dict[str, int],
+    required: list[str],
+    prohibited: list[str],
+    filters: dict[str, list[str]],
+    avgdl: float,
+    bucket_docs: int,
+    k: int,
+    prune: bool,
+):
+    """Build the per-bucket cogrouped scoring function (pure numpy inside)."""
+    scoring_terms = sorted(weights)          # fixed order -> deterministic fp sums
+    req_set = set(required)
+    n_req = len(req_set)
+    proh_set = set(prohibited)
+
+    def kern(post_pdf: pd.DataFrame, docs_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"docid": np.array([], np.int64), "score": np.array([], np.float64)})
+        if len(post_pdf) == 0 or len(docs_pdf) == 0:
+            return empty
+        bucket = int(post_pdf["bucket"].iloc[0])
+        base = bucket * bucket_docs
+        B = bucket_docs
+
+        dl = np.zeros(B, dtype=np.float64)
+        alive = np.zeros(B, dtype=bool)
+        loc_docs = docs_pdf["docid"].to_numpy(np.int64) - base
+        dl[loc_docs] = docs_pdf["doclen"].to_numpy(np.float64)
+        ok = np.ones(len(docs_pdf), dtype=bool)
+        for f_name, vals in filters.items():
+            ok &= docs_pdf[f_name].isin(vals).to_numpy()
+        alive[loc_docs[ok]] = True
+
+        rows = {r["term"]: r for _, r in post_pdf.iterrows()}
+
+        # prohibited terms only kill candidates
+        for t in proh_set:
+            r = rows.get(t)
+            if r is not None:
+                d, _ = decode_postings(r["doc_bytes"], r["tf_bytes"], int(r["df"]), base)
+                alive[d - base] = False
+
+        scores = np.zeros(B, dtype=np.float64)
+        matched = np.zeros(B, dtype=bool)
+        req_count = np.zeros(B, dtype=np.int16)
+
+        if prune and n_req == 0 and len(scoring_terms) == 1:
+            t = scoring_terms[0]
+            r = rows.get(t)
+            if r is None:
+                return empty
+            _score_single_pruned(r, t, idfs, weights, avgdl, base, dl, alive, scores, matched, k)
+        elif prune and n_req >= 2 and n_req == len(scoring_terms):
+            done = _score_conjunction_pruned(
+                rows, scoring_terms, idfs, weights, avgdl, base, dl, scores, matched, req_count
+            )
+            if not done:
+                return empty
+        else:
+            for t in scoring_terms:
+                r = rows.get(t)
+                if r is None:
+                    continue
+                d, tf = decode_postings(r["doc_bytes"], r["tf_bytes"], int(r["df"]), base)
+                loc = d - base
+                w = weights[t] * idfs[t]
+                scores[loc] += w * tfnorm(tf, dl[loc], avgdl)
+                matched[loc] = True
+                if t in req_set:
+                    req_count[loc] += 1
+
+        if n_req:
+            mask = alive & (req_count == n_req)
+        else:
+            mask = alive & matched
+        cand = np.flatnonzero(mask)
+        if cand.size == 0:
+            return empty
+        sc = scores[cand]
+        # exact local top-k with (score desc, docid asc); cand.size <= bucket_docs
+        sel = np.lexsort((cand, -sc))[:k]
+        return pd.DataFrame(
+            {"docid": (cand[sel] + base).astype(np.int64), "score": sc[sel]}
+        )
+
+    return kern
+
+
+def _score_single_pruned(r, t, idfs, weights, avgdl, base, dl, alive, scores, matched, k):
+    """Single-term block-max pruning: decode blocks in descending bound
+    order, stop once the kth-best exact score beats the next block bound.
+    Exact because a skipped block's every posting is <= its bound."""
+    w = weights[t] * idfs[t]
+    max_tf = np.asarray(r["block_max_tf"], dtype=np.float64)
+    min_dl = np.asarray(r["block_min_dl"], dtype=np.float64)
+    bounds = w * tfnorm(max_tf, min_dl, avgdl)
+    order = np.argsort(-bounds, kind="stable")
+    offs_d = np.asarray(r["block_offs_doc"], dtype=np.int64)
+    offs_t = np.asarray(r["block_offs_tf"], dtype=np.int64)
+    last = np.asarray(r["block_last"], dtype=np.int64)
+    df = int(r["df"])
+    keep = np.zeros(len(order), dtype=bool)
+    heap_scores: list[float] = []
+    decoded = 0
+    for bi in order:
+        if len(heap_scores) >= k and bounds[bi] <= heap_scores[k - 1]:
+            break
+        keep[:] = False
+        keep[bi] = True
+        d, tf = decode_blocks(
+            r["doc_bytes"], r["tf_bytes"], offs_d, offs_t, df, base, keep, last
+        )
+        loc = d - base
+        contrib = w * tfnorm(tf, dl[loc], avgdl)
+        scores[loc] += contrib
+        matched[loc] = True
+        decoded += 1
+        live = contrib[alive[loc]]
+        heap_scores = sorted(heap_scores + live.tolist(), reverse=True)[: k]
+
+
+def _score_conjunction_pruned(
+    rows, terms, idfs, weights, avgdl, base, dl, scores, matched, req_count
+) -> bool:
+    """Pure-AND path: galloping posting-list intersection with block
+    skipping. Decode the rarest term fully; for each further term decode
+    only blocks whose docid range intersects surviving candidates."""
+    infos = []
+    for t in terms:
+        r = rows.get(t)
+        if r is None:
+            return False  # a required term absent from bucket -> no matches
+        infos.append((int(r["df"]), t, r))
+    infos.sort()
+    df0, t0, r0 = infos[0]
+    cand, tf0 = decode_postings(r0["doc_bytes"], r0["tf_bytes"], df0, base)
+    term_hits = {t0: (cand, tf0)}
+    for dfi, ti, ri in infos[1:]:
+        if cand.size == 0:
+            return False
+        last = np.asarray(ri["block_last"], dtype=np.int64)
+        nb = len(last)
+        first = np.empty(nb, dtype=np.int64)
+        first[0] = base
+        first[1:] = last[:-1] + 1  # block i starts after block i-1's last docid
+        lo = np.searchsorted(cand, first, side="left")
+        hi = np.searchsorted(cand, last, side="right")
+        keep = hi > lo
+        d, tf = decode_blocks(
+            ri["doc_bytes"], ri["tf_bytes"],
+            np.asarray(ri["block_offs_doc"], np.int64),
+            np.asarray(ri["block_offs_tf"], np.int64),
+            dfi, base, keep, last,
+        )
+        pos = np.searchsorted(d, cand)
+        pos_ok = pos < d.size
+        hit = np.zeros(cand.shape, dtype=bool)
+        hit[pos_ok] = d[pos[pos_ok]] == cand[pos_ok]
+        cand = cand[hit]
+        # narrow all previous terms' hit arrays lazily at the end instead
+        term_hits[ti] = (d, tf)
+    if cand.size == 0:
+        return False
+    # alphabetical term order — identical fp accumulation order to the
+    # unpruned path (exactness contract: prune on == prune off, bit-for-bit)
+    for t in sorted(term_hits):
+        d, tf = term_hits[t]
+        pos = np.searchsorted(d, cand)
+        sel_tf = tf[pos]
+        loc = cand - base
+        w = weights[t] * idfs[t]
+        scores[loc] += w * tfnorm(sel_tf, dl[loc], avgdl)
+        matched[loc] = True
+        req_count[loc] += 1
+    return True
+
+
+def search(
+    spark: SparkSession,
+    meta: IndexMeta,
+    q: str | Query,
+    k: int = 10,
+    prune: bool = True,
+    with_fields: bool = False,
+) -> DataFrame:
+    """Top-k BM25 search. Returns DataFrame(docid, score) ordered by
+    (score desc, docid asc), limited to k; with_fields joins doc columns."""
+    query = parse(q) if isinstance(q, str) else q
+    weights = dict(query.scoring)
+    empty = spark.createDataFrame([], RESULT_SCHEMA)
+
+    all_terms = sorted(set(weights) | query.prohibited)
+    if not weights:
+        return empty
+    stats = (
+        spark.read.parquet(meta.terms_path)
+        .where(F.col("term").isin(all_terms))
+        .collect()
+    )
+    df_map = {r["term"]: int(r["df"]) for r in stats}
+    for t in query.required:
+        if df_map.get(t, 0) == 0:
+            return empty
+    present = [t for t in weights if df_map.get(t, 0) > 0]
+    if not present:
+        return empty
+    weights = {t: weights[t] for t in present}
+    idfs = {t: float(idf_fn(df_map[t], meta.n_docs)) for t in present}
+    needed = sorted(set(present) | {t for t in query.prohibited if df_map.get(t, 0) > 0})
+
+    postings = spark.read.parquet(meta.postings_path).where(F.col("term").isin(needed))
+    doc_cols = ["docid", "bucket", "doclen"] + sorted(query.filters)
+    doc_stats = spark.read.parquet(meta.docs_path).select(*doc_cols)
+    # prune the docs scan to buckets that contain at least one query term
+    buckets = postings.select("bucket").distinct()
+    doc_stats = doc_stats.join(F.broadcast(buckets), "bucket", "left_semi")
+
+    kern = _bucket_kernel(
+        idfs, weights, sorted(query.required), sorted(query.prohibited),
+        {f: list(v) for f, v in query.filters.items()},
+        meta.avgdl, meta.bucket_docs, k, prune,
+    )
+    scored = (
+        postings.groupby("bucket")
+        .cogroup(doc_stats.groupby("bucket"))
+        .applyInPandas(kern, RESULT_SCHEMA)
+    )
+    out = scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+    if with_fields:
+        docs_full = spark.read.parquet(meta.docs_path).drop("bucket", "doclen")
+        out = (
+            out.join(docs_full, "docid", "left")
+            .orderBy(F.desc("score"), F.asc("docid"))
+        )
+    return out

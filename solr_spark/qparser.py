@@ -1,0 +1,66 @@
+"""Query parsing — a "lucene-lite" frontend.
+
+Covers the reference's standard-parser semantics that the FIXTURES query
+mix exercises (solr/core/src/java/org/apache/solr/search/LuceneQParser.java,
+SolrQueryParser.java; ref-guide standard-query-parser.adoc):
+
+  term            optional scoring clause (OR semantics: sum of matching)
+  +term           required scoring clause (mm=100% conjunction when all +)
+  -term           prohibited clause (never scores)
+  field:value     filter on a StrField-like doc column (lang:, repo:, ...)
+                  — treated as fq (filter, NOT scored), per FIXTURES.md §2
+
+Terms go through the same analysis chain as documents (analyze_query),
+so `License` == `license` and stopword clauses vanish. Duplicate query
+terms keep multiplicity (two identical clauses score twice, matching
+Lucene's BooleanQuery).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from dataclasses import dataclass, field
+
+from .analysis import analyze_query
+
+FILTER_FIELDS = ("lang", "repo", "path", "commit", "source")
+
+
+@dataclass
+class Query:
+    optional: Counter = field(default_factory=Counter)   # term -> multiplicity
+    required: Counter = field(default_factory=Counter)
+    prohibited: set = field(default_factory=set)
+    filters: dict = field(default_factory=dict)          # field -> [values] (OR)
+
+    @property
+    def scoring(self) -> Counter:
+        c = Counter(self.optional)
+        c.update(self.required)
+        return c
+
+    @property
+    def is_pure_conjunction(self) -> bool:
+        return bool(self.required) and not self.optional
+
+
+def parse(q: str, filter_fields: tuple[str, ...] = FILTER_FIELDS) -> Query:
+    out = Query()
+    for raw in q.split():
+        tok, prefix = raw, ""
+        if tok[:1] in "+-":
+            prefix, tok = tok[0], tok[1:]
+        if ":" in tok:
+            f, _, v = tok.partition(":")
+            if f.lower() in filter_fields and v:
+                out.filters.setdefault(f.lower(), []).append(v)
+                continue
+        terms = analyze_query(tok)
+        for t in terms:
+            if prefix == "+":
+                out.required[t] += 1
+            elif prefix == "-":
+                out.prohibited.add(t)
+            else:
+                out.optional[t] += 1
+    return out

@@ -8,8 +8,27 @@ DataFrame semantics so the same plans run unchanged on a real cluster.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship the solr_spark package to executor Python workers — the
+    in-process analog of ``spark-submit --py-files solr_spark.zip``.
+    Without this, mapInPandas closures that reference the package fail to
+    unpickle on workers launched from a different cwd."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(tempfile.gettempdir(), "solr_spark_pyfiles.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.join("solr_spark", os.path.relpath(full, pkg_dir))
+                    z.write(full, rel)
+    spark.sparkContext.addPyFile(zpath)
 
 
 def get_spark(
@@ -48,4 +67,5 @@ def get_spark(
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
     return spark

@@ -1,0 +1,137 @@
+"""End-to-end: corpus -> index -> top-k BM25, differentially tested against
+the brute-force pandas oracle (the reference's golden-output +
+control-vs-distributed test patterns, SURVEY.md §5)."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from solr_spark.analysis import tokenize_lists
+from solr_spark.corpus import RARE1, corpus_pandas
+from solr_spark.kernel import search
+from solr_spark.qparser import parse
+from solr_spark.scoring import bm25_pandas_oracle
+
+N_DOCS = 600
+
+QUERIES = [
+    "license",                 # hot term
+    "int",                     # hot term
+    RARE1,                     # planted rare term
+    "zz_definitely_absent",    # absent -> empty
+    "the",                     # stopword-only -> empty
+    "getFooBar license",       # OR mix
+    "license int public",      # 3-term OR
+    f"+license +{RARE1}",      # conjunction hot+rare (skip-intersection stress)
+    "+int +license",           # conjunction hot+hot
+    "License",                 # case folding
+    "-license int",            # prohibited
+    "getValueImpl readTokens parseQuery buildIndex",  # 4-term OR
+]
+
+
+@pytest.fixture(scope="module")
+def oracle_corpus(small_index):
+    """Pandas-side mirror: token lists indexed by engine docid
+    (= ordinal of sort by repo,path,commit)."""
+    pdf = corpus_pandas(0, N_DOCS)
+    pdf = pdf.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    toks = tokenize_lists(pdf["content"]).tolist()
+    return pdf, toks
+
+
+@pytest.mark.parametrize("q", QUERIES)
+@pytest.mark.parametrize("k", [10])
+def test_topk_matches_oracle(spark, small_index, oracle_corpus, q, k):
+    pdf, toks = oracle_corpus
+    parsed = parse(q)
+    got = search(spark, small_index, q, k=k).collect()
+
+    if parsed.prohibited or parsed.required:
+        expect = _oracle_bool(toks, parsed, k)
+    else:
+        expect = bm25_pandas_oracle(toks, list(parsed.scoring.elements()), k)
+    got_ids = [r["docid"] for r in got]
+    exp_ids = [d for d, _ in expect]
+    assert got_ids == exp_ids, f"q={q!r}: {got_ids} != {exp_ids}"
+    for r, (_, s) in zip(got, expect):
+        assert r["score"] == pytest.approx(s, abs=1e-9), f"q={q!r} docid={r['docid']}"
+
+
+def _oracle_bool(toks, parsed, k):
+    """Brute-force boolean + BM25 oracle supporting +/- clauses."""
+    n = len(toks)
+    scoring = list(parsed.scoring.elements())
+    base = bm25_pandas_oracle(toks, scoring, n)  # all matches, scored
+    out = []
+    for docid, score in base:
+        ts = set(toks[docid])
+        if any(t in ts for t in parsed.prohibited):
+            continue
+        if parsed.required and not all(t in ts for t in parsed.required):
+            continue
+        out.append((docid, score))
+    return out[:k]
+
+
+def test_filter_query(spark, small_index, oracle_corpus):
+    pdf, toks = oracle_corpus
+    got = search(spark, small_index, "lang:java license", k=10).collect()
+    scored = bm25_pandas_oracle(toks, ["license"], len(toks))
+    expect = [(d, s) for d, s in scored if pdf.iloc[d]["lang"] == "java"][:10]
+    assert [r["docid"] for r in got] == [d for d, _ in expect]
+    for r, (_, s) in zip(got, expect):
+        assert r["score"] == pytest.approx(s, abs=1e-9)
+
+
+def test_prune_equals_noprune(spark, small_index):
+    """WAND-on == WAND-off (FIXTURES.md §4)."""
+    for q in ["license", "int", f"+license +{RARE1}", "+int +license +public"]:
+        a = search(spark, small_index, q, k=10, prune=True).collect()
+        b = search(spark, small_index, q, k=10, prune=False).collect()
+        assert [(r["docid"], r["score"]) for r in a] == [(r["docid"], r["score"]) for r in b]
+
+
+def test_sha256_parity(spark, small_index, oracle_corpus):
+    """Every indexed row's sha256 matches an independently computed hash
+    of the source content (BASELINE input_hint invariant)."""
+    pdf, _ = oracle_corpus
+    got = (
+        spark.read.parquet(small_index.docs_path)
+        .select("docid", "sha256")
+        .orderBy("docid")
+        .toPandas()
+    )
+    assert len(got) == len(pdf)
+    expect = pdf["content"].map(lambda s: hashlib.sha256(s.encode()).hexdigest())
+    assert (got["sha256"].to_numpy() == expect.to_numpy()).all()
+
+
+def test_docid_assignment_is_sort_ordinal(spark, small_index, oracle_corpus):
+    pdf, _ = oracle_corpus
+    got = (
+        spark.read.parquet(small_index.docs_path)
+        .select("docid", "repo", "path", "commit")
+        .orderBy("docid")
+        .toPandas()
+    )
+    assert got["docid"].tolist() == list(range(len(pdf)))
+    assert got["repo"].tolist() == pdf["repo"].tolist()
+    assert got["path"].tolist() == pdf["path"].tolist()
+
+
+def test_with_fields(spark, small_index):
+    rows = search(spark, small_index, "license", k=3, with_fields=True).collect()
+    assert len(rows) == 3
+    assert {"repo", "path", "commit", "lang", "sha256"} <= set(rows[0].asDict())
+
+
+def test_meta_stats(small_index):
+    assert small_index.n_docs == N_DOCS
+    assert small_index.avgdl > 0
+    assert small_index.n_terms > 100
+    assert small_index.postings_bytes > 0
+    assert len(small_index.lineage) >= 1
+    assert small_index.skew_ratio > 1  # Zipf vocab must show skew

@@ -1,0 +1,81 @@
+"""Differential tests: the reference's control-vs-distributed pattern
+(BaseDistributedSearchTestCase.compareResponses) plus checkpoint/resume
+(UpdateLog replay semantics). See FIXTURES.md §4."""
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from solr_spark.indexer import build_index
+from solr_spark.kernel import search
+
+
+def _postings_fingerprint(spark, meta):
+    return (
+        spark.read.parquet(meta.postings_path)
+        .select(
+            "term", "bucket", "df", "cf",
+            F.sha2(F.col("doc_bytes"), 256).alias("dh"),
+            F.sha2(F.col("tf_bytes"), 256).alias("th"),
+        )
+        .orderBy("term", "bucket")
+        .toPandas()
+    )
+
+
+def test_parallelism_invariance(spark, small_corpus, small_index, tmp_path):
+    """Index built at 2 partitions == index built at 4 partitions:
+    identical docids, identical encoded postings bytes, identical top-k."""
+    out2 = str(tmp_path / "idx2")
+    meta2 = build_index(
+        spark, spark.read.parquet(small_corpus), out2, bucket_docs=256, num_partitions=2
+    )
+    assert meta2.n_docs == small_index.n_docs
+    assert meta2.avgdl == small_index.avgdl
+
+    a = _postings_fingerprint(spark, small_index)
+    b = _postings_fingerprint(spark, meta2)
+    assert len(a) == len(b)
+    assert (a.to_numpy() == b.to_numpy()).all()
+
+    for q in ["license", "+int +license", "getFooBar license"]:
+        ra = [(r["docid"], r["score"]) for r in search(spark, small_index, q, k=10).collect()]
+        rb = [(r["docid"], r["score"]) for r in search(spark, meta2, q, k=10).collect()]
+        assert ra == rb
+
+
+def test_resume_skips_completed_stages(spark, small_corpus, small_index, tmp_path):
+    """Kill-and-rerun: completed stages are not recomputed (mtime proof),
+    missing stages are rebuilt, final index identical."""
+    out = str(tmp_path / "idx_resume")
+    shutil.copytree(small_index.out_dir, out)
+    # simulate a crash after the postings stage: meta + term_stats missing
+    os.remove(os.path.join(out, "meta.json"))
+    shutil.rmtree(os.path.join(out, "terms"))
+    post_marker = os.path.join(out, "postings", "_SUCCESS")
+    stage_marker = os.path.join(out, "_stage", "tokens", "_SUCCESS")
+    m_post, m_stage = os.path.getmtime(post_marker), os.path.getmtime(stage_marker)
+
+    meta = build_index(
+        spark, spark.read.parquet(small_corpus), out, bucket_docs=256, num_partitions=4
+    )
+    assert os.path.getmtime(post_marker) == m_post      # not recomputed
+    assert os.path.getmtime(stage_marker) == m_stage    # not recomputed
+    assert os.path.exists(os.path.join(out, "terms", "_SUCCESS"))  # rebuilt
+    assert meta.n_docs == small_index.n_docs
+    assert meta.postings_bytes == small_index.postings_bytes
+
+    ra = [(r["docid"], r["score"]) for r in search(spark, small_index, "license", k=5).collect()]
+    rb = [(r["docid"], r["score"]) for r in search(spark, meta, "license", k=5).collect()]
+    assert ra == rb
+
+
+def test_resume_noop_when_complete(spark, small_corpus, small_index):
+    """A finished index returns instantly from meta.json."""
+    meta = build_index(
+        spark, spark.read.parquet(small_corpus), small_index.out_dir,
+        bucket_docs=256, num_partitions=4,
+    )
+    assert meta.n_docs == small_index.n_docs
+    assert meta.stages == small_index.stages
