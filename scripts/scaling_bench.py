@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence (BASELINE.json north rule).
+
+Runs the SAME index-build job on the SAME materialized corpus at two
+parallelism levels — local[N] and local[4N] — in fresh JVMs (subprocess
+per run, so executor-thread count is the only variable), reports
+throughput at both plus scaling efficiency = (T_4N_throughput /
+T_N_throughput) / 4. The sandbox stand-in for N vs 4N executor clusters
+per the measurement protocol in BASELINE.md.
+
+Usage: python scripts/scaling_bench.py [--docs 120000] [--n 8] [--runs 3]
+Writes results to BENCH_SCALING.json and prints a summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUN_SNIPPET = r"""
+import json, os, shutil, sys, time
+sys.path.insert(0, {repo!r})
+from solr_spark.session import get_spark
+from solr_spark.indexer import build_index
+from solr_spark.corpus import materialize_corpus
+
+cpus = {cpus}
+spark = get_spark(master=f"local[{{cpus}}]", shuffle_partitions=cpus,
+                  app_name="scaling_bench")
+corpus = {corpus!r}
+if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+    materialize_corpus(spark, {docs}, corpus)
+    # warm OS page cache consistently for both arms
+idx = f"/tmp/solr_spark_scale_idx_{{cpus}}"
+shutil.rmtree(idx, ignore_errors=True)
+t0 = time.time()
+meta = build_index(spark, spark.read.parquet(corpus), idx, num_partitions=cpus)
+wall = time.time() - t0
+print("RESULT " + json.dumps({{"cpus": cpus, "wall": wall, "docs": meta.n_docs,
+                               "docs_per_sec": meta.n_docs / wall}}))
+"""
+
+
+def run_once(cpus: int, docs: int, corpus: str) -> dict:
+    code = RUN_SNIPPET.format(repo=REPO, cpus=cpus, docs=docs, corpus=corpus)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, check=True
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no RESULT line:\n{out.stdout}\n{out.stderr}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=120000)
+    ap.add_argument("--n", type=int, default=8, help="small cluster size (big = 4N)")
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args()
+
+    corpus = f"/tmp/solr_spark_scale_corpus_{args.docs}"
+    results = {"docs": args.docs, "n": args.n, "runs": []}
+    tput: dict[int, list[float]] = {args.n: [], 4 * args.n: []}
+    for r in range(args.runs):
+        for cpus in (args.n, 4 * args.n):
+            res = run_once(cpus, args.docs, corpus)
+            results["runs"].append(res)
+            tput[cpus].append(res["docs_per_sec"])
+            print(f"run {r} local[{cpus}]: {res['docs_per_sec']:.0f} docs/s "
+                  f"({res['wall']:.1f}s)")
+    med_n = statistics.median(tput[args.n])
+    med_4n = statistics.median(tput[4 * args.n])
+    eff = (med_4n / med_n) / 4
+    results.update(
+        {
+            "median_docs_per_sec_N": med_n,
+            "median_docs_per_sec_4N": med_4n,
+            "scaling_efficiency": eff,
+            "pass_0_8": eff >= 0.8,
+        }
+    )
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"\nN={args.n}: {med_n:.0f} docs/s | 4N={4*args.n}: {med_4n:.0f} docs/s "
+          f"| efficiency {eff:.3f} ({'PASS' if eff >= 0.8 else 'FAIL'} >= 0.8)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,285 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Reference analogs (/root/reference/solr/):
+- exact signature dedup: core/.../update/processor/SignatureUpdateProcessorFactory.java
+  (Lookup3/MD5Signature over concatenated fields)
+- MinHash: core/.../search/MinHashQParser.java (+ Lucene MinHashFilter)
+
+Scale design (the part that matters at 100 TB):
+- exact dedup is a single hash-aggregate on the fingerprint — one shuffle
+  of (hash, id), never the content.
+- n-gram Jaccard uses a shingle inverted index: explode → self-join on
+  shingle → count shared shingles per pair. The shuffle is keyed by
+  shingle; a hot shingle (shared by s docs) contributes s² pair rows, so
+  production runs cap shingle df (``max_shingle_df``) — standard practice
+  (identical shingles in >X% of docs carry no signal). With the cap the
+  join is linear-ish in corpus size.
+- MinHash-LSH replaces the exact index with b×r banded signatures:
+  candidate generation is a groupBy on (band, band_hash) — constant
+  signature size per doc regardless of doc length, and only candidate
+  pairs are verified exactly. All signature math is JVM-side Catalyst
+  (xxhash64 + transform + array_min) — no Python in the pipeline.
+- SimHash is a vectorized Arrow UDF (numpy bit ops) + pigeonhole banding
+  on 16-bit chunks for Hamming-distance candidates.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textfn import tokens
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Token n-gram shingle array (distinct), pure Catalyst: for token
+    array t, shingle i = concat_ws(' ', slice(t, i+1, n)). Docs shorter
+    than n tokens yield an empty array (guarded — Spark's sequence()
+    would otherwise run descending)."""
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup groups: one row per duplicated *content* value with the
+    canonical (min) id, member count, and member ids. Grouping key is the
+    raw text; for long documents swap in fingerprint() to shuffle 16-byte
+    hashes instead of content (SignatureUpdateProcessorFactory semantics)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("sig"))
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs (id_a < id_b,
+    jaccard >= threshold) via a shingle inverted index — the exact
+    counterpart the MinHash path is verified against.
+
+    jaccard = |Sa ∩ Sb| / (|Sa| + |Sb| - |Sa ∩ Sb|) over DISTINCT shingles.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(tokens(F.col(text_col)), n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    sizes = sh.select("id", "n_sh")
+    inv = sh.select("id", F.explode("sh").alias("shingle"))
+    if max_shingle_df is not None:
+        hot = (
+            inv.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)
+        )
+        inv = inv.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    a = inv.alias("a")
+    b = inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a")), "id_a")
+        .join(F.broadcast(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signature(toks: Column, num_hashes: int = 64, shingle_n: int = 3) -> Column:
+    """MinHash signature as array<bigint>[num_hashes], all JVM-side:
+    h_i(doc) = min over shingles s of xxhash64(i, s). (MinHashQParser
+    semantics; Lucene MinHashFilter uses the same min-of-hashes family.)"""
+    sh = shingles(toks, shingle_n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(i, s))),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    verify: bool = True,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates, optionally verified with
+    exact Jaccard (so precision is exact; recall is the LSH probability
+    1-(1-t^r)^b). num_hashes = bands × rows_per_band.
+
+    Pipeline: signature (JVM) → explode bands → groupBy (band, hash of the
+    band slice) → pairs within bucket → dedupe pairs → exact verify.
+    """
+    r = num_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        shingles(tokens(F.col(text_col)), shingle_n).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    sig = sh.select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(F.transform(F.col("sh"), lambda s: F.xxhash64(i, s))),
+        ).alias("sig"),
+        F.size("sh").alias("n_sh"),
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice("sig", b * r + 1, r))
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    x = banded.alias("x")
+    y = banded.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if not verify:
+        return cand
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+_SIMHASH_SCHEMA = "id bigint, simhash bigint"
+
+
+def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document via an Arrow-vectorized kernel: each
+    analyzed token hashed (FNV-1a 64), its bits vote ±tf; sign of the
+    per-bit sum packs into the fingerprint. numpy-only inside the batch
+    (no per-row Python)."""
+    from ..analysis import tokenize_lists
+
+    src = df.select(F.col(id_col).cast("bigint").alias("id"), F.col(text_col).alias("text"))
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            toks = tokenize_lists(pdf["text"])
+            out = np.zeros(len(pdf), dtype=np.int64)
+            for row_i, ts in enumerate(toks):
+                if not ts:
+                    continue
+                uniq, cnt = np.unique(np.asarray(ts, dtype=object), return_counts=True)
+                hs = np.fromiter((_fnv1a64(t) for t in uniq), dtype=np.uint64, count=len(uniq))
+                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+                votes = ((bits * 2 - 1) * cnt[:, None]).sum(axis=0)
+                out[row_i] = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum().astype(np.int64))
+            yield pd.DataFrame({"id": pdf["id"].to_numpy(np.int64), "simhash": out})
+
+    return src.mapInPandas(kern, _SIMHASH_SCHEMA)
+
+
+def _fnv1a64(s: str) -> np.uint64:
+    h = np.uint64(0xCBF29CE484222325)
+    for byte in s.encode():
+        h = np.uint64((int(h) ^ byte) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+    return h
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance <= max_hamming.
+    Candidate generation by pigeonhole banding: split the 64-bit hash into
+    ``max_hamming+1`` chunks; any pair within the distance budget shares
+    at least one exact chunk → groupBy (chunk_idx, chunk_value) buckets,
+    then exact popcount verify. One shuffle keyed by 16-bit chunks."""
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    sh = simhash_table(df, id_col, text_col)
+    chunked = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned("simhash", i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("val"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "simhash", "c.chunk", "c.val")
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,292 @@
+"""Embedding similarity search: brute-force cosine top-k + IVF scale path.
+
+Reference analog (/root/reference/solr/):
+- DenseVectorField (dim + similarity): core/.../schema/DenseVectorField.java:1
+- {!knn topK=k}: core/.../search/neural/KnnQParser.java:35-81 (HNSW via
+  Lucene). HNSW is a single-node graph structure; the Spark-native scale
+  path is IVF (coarse quantizer partitioning) — candidate lists become
+  ordinary key-partitioned joins.
+
+Design notes at 100 TB:
+- Dot products run JVM-side: zip_with + aggregate over array<float> —
+  no Python, no shuffle for the brute-force scan (queries broadcast).
+- Brute force is the *baseline* (exact, one pass over the corpus per
+  query batch). IVF prunes the scan to nprobe/ncentroid of the corpus:
+  vectors are pre-assigned to centroids (a materialized column /
+  partitioning key), and a query only joins the partitions of its nprobe
+  nearest centroids.
+- Scores are computed on L2-normalized vectors, so dot == cosine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product of two array<float/double> columns (float64
+    accumulation in array order — deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def normalize(a: Column) -> Column:
+    n = l2_norm(a)
+    return F.transform(a, lambda x: x.cast("double") / n)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "q_vec",
+    k: int = 5,
+    exclude_self: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast the query batch, scan the
+    corpus once, per-query window top-k. Returns
+    (query_id, neighbor_id, cos_sim) with cos rounded to ``round_to`` dp
+    (ranking happens on the ROUNDED value — the oracle contract) and ties
+    broken by neighbor_id asc."""
+    joined = corpus.crossJoin(F.broadcast(queries))
+    if exclude_self:
+        joined = joined.filter(F.col(id_col) != F.col(q_id_col))
+    scored = joined.select(
+        F.col(q_id_col).alias("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col(vec_col), F.col(q_vec_col)), round_to).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def brute_force_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b,
+    rounded cosine >= threshold) — the correctness baseline the LSH
+    variant (embedding_near_dup_pairs) trades recall against. O(n^2)
+    dot products but zero shuffle beyond the self-join."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine("v_a", "v_b"), round_to))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def assign_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse assignment: each vector → nearest centroid (by cosine).
+    centroids: (centroid_id, c_vec), small → broadcast. In production this
+    column is written once at ingest and used as the partition key."""
+    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+        id_col,
+        vec_col,
+        "centroid_id",
+        cosine(F.col(vec_col), F.col("c_vec")).alias("__sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__sim")
+    )
+
+
+def make_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+) -> DataFrame:
+    """Deterministic k-means-lite centroids: seed with the n lowest-id
+    vectors, then ``iters`` Lloyd refinement passes (mean of assigned
+    vectors, JVM-side aggregate over array elements)."""
+    seeds = (
+        corpus.orderBy(F.asc(id_col))
+        .limit(n_centroids)
+        .select(
+            F.row_number().over(Window.orderBy(F.asc(id_col))).alias("centroid_id"),
+            F.col(vec_col).alias("c_vec"),
+        )
+    )
+    cents = seeds
+    dim = None
+    for _ in range(iters):
+        assigned = assign_centroids(corpus, cents, id_col, vec_col)
+        if dim is None:
+            dim = len(assigned.select(vec_col).first()[0])
+        # element-wise mean per centroid: posexplode + groupBy (centroid, pos)
+        flat = assigned.select(
+            "centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "val")
+        )
+        means = (
+            flat.groupBy("centroid_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "centroid_id",
+                F.transform("pm", lambda s: s.getField("m")).alias("c_vec"),
+            )
+        )
+        cents = means
+    return cents
+
+
+def ivf_topk(
+    corpus_assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "q_vec",
+    k: int = 5,
+    exclude_self: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF search: route each query to its nprobe nearest centroids, scan
+    only those cells. With nprobe == n_centroids this is EXACTLY the brute
+    force result (tested); smaller nprobe trades recall for a
+    nprobe/ncentroids fraction of the scan."""
+    q2c = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(
+            q_id_col,
+            q_vec_col,
+            "centroid_id",
+            cosine(F.col(q_vec_col), F.col("c_vec")).alias("__sim"),
+        )
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("__sim"), F.asc("centroid_id"))
+    probes = (
+        q2c.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= nprobe)
+        .select(q_id_col, q_vec_col, "centroid_id")
+    )
+    joined = corpus_assigned.join(F.broadcast(probes), "centroid_id")
+    if exclude_self:
+        joined = joined.filter(F.col(id_col) != F.col(q_id_col))
+    scored = joined.select(
+        F.col(q_id_col).alias("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col(vec_col), F.col(q_vec_col)), round_to).alias("cos_sim"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(wk))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_buckets_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via random-hyperplane LSH
+    buckets + exact verify. Planes are deterministic (xxhash64-seeded
+    signs on vector components is NOT a valid projection, so we use
+    component-subset sign buckets: sign of component j for j in the first
+    ``n_buckets_planes`` dims — a crude but deterministic SRP variant;
+    pairs with cosine >= threshold almost surely agree on most signs, and
+    each pair only needs to share ONE of the ``n_buckets_planes``
+    single-bit-dropped bucket keys). Exact cosine filter restores
+    precision."""
+    signs = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.transform(
+            F.slice(F.col(vec_col), 1, n_buckets_planes),
+            lambda x: (x > 0).cast("int"),
+        ).alias("bits"),
+    )
+    # bucket keys: full sign pattern with each single bit masked out →
+    # pairs within Hamming distance 1 of sign patterns collide somewhere
+    banded = signs.select(
+        "id",
+        "v",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_buckets_planes - 1)),
+                lambda i: F.struct(
+                    i.alias("drop"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.sequence(F.lit(0), F.lit(n_buckets_planes - 1)),
+                                lambda j: F.when(j == i, F.lit(-1)).otherwise(
+                                    F.element_at("bits", j + 1)
+                                ),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "v", "bb.drop", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.drop") == F.col("b.drop"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("v_a"),
+            F.col("b.v").alias("v_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cos_sim", F.round(cosine("v_a", "v_b"), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

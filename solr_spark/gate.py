@@ -1,0 +1,910 @@
+"""Entry registry for the driver's correctness gate (__spark_entry__.py).
+
+Each ENTRY maps one operator row of SURVEY.md §2 (or a training-data
+pipeline op) to:
+  - a Spark callable (spark, sf_dir) -> DataFrame, built from the
+    solr_spark operator modules, and
+  - a DuckDB oracle SQL string over the driver's pre-registered views
+    (region nation customer supplier part orders lineitem events
+    documents embeddings), or None for non-SQL-expressible ops
+    (driver then records a weaker rows-only check).
+
+Float discipline (so order-insensitive value hashes match exactly):
+  - raw column floats pass through untouched (same parquet bits);
+  - computed aggregates are either exact (counts, sums of integral
+    floats, min/max, decimal-cast sums emitted as double) or a single
+    deterministic scalar op on exact inputs, rounded on both sides;
+  - BM25/dismax/cosine scores follow the rounded-rank contract in
+    oracle.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .analysis import SPLIT_REGEX_SQL, STOPWORDS_SQL
+from .engine import gate_dismax, gate_search, gate_term_stats
+from .functions import dedup, multimodal, similarity, textfn
+from .operators import graph, joins, relational, rollup, windowed
+from .oracle import analyzed_tokens_sql, bm25_oracle_sql, dismax_oracle_sql
+from .sources import read_table, topic_read
+
+# ---------------------------------------------------------------------------
+# helpers
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+def _dec_sum(col: str):
+    """Exact money sum: decimal(18,2) accumulation emitted as double."""
+    return F.sum(F.col(col).cast("decimal(18,2)")).cast("double")
+
+
+DEC_SUM_SQL = "CAST(sum(CAST({c} AS DECIMAL(18,2))) AS DOUBLE)"
+
+TOKS_SQL = analyzed_tokens_sql("text")
+RAW_TOKS_SQL = (
+    "list_filter(string_split_regex(lower(text), '" + SPLIT_REGEX_SQL + "'), "
+    "x -> x <> '')"
+)
+
+ENTRIES: dict[str, tuple] = {}
+
+
+def entry(name: str, sql: str | None):
+    def deco(fn):
+        ENTRIES[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+# ===========================================================================
+# 1. Full-text engine: BM25 top-k over the inverted index (SURVEY §2.3/§2.6;
+#    reference: SolrIndexSearcher.java:1537-1795 + BM25SimilarityFactory)
+
+_FTS_QUERIES = {
+    "fts_single_term": ("table", 10),
+    "fts_rare_term": ("dup", 10),
+    "fts_disjunction": ("spark window merge", 10),
+    "fts_conjunction": ("+vector +hash", 10),
+    "fts_prohibited": ("table -vector", 10),
+    "fts_filter_lang": ("lang:en spark query", 10),
+    "fts_filter_source": ("source:src3 data", 10),
+    "fts_case_insensitive": ("SPARK Window", 10),
+    "fts_weighted_dup_clause": ("spark spark merge", 10),
+    "fts_k1": ("stream", 1),
+    "fts_k100": ("agg row", 100),
+    "fts_no_match": ("zzznotaterm", 10),
+    "fts_stopword_only": ("the and of", 10),
+}
+
+
+def _mk_fts(q: str, k: int):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return gate_search(spark, sf_dir, q, k)
+
+    return fn
+
+
+for _name, (_q, _k) in _FTS_QUERIES.items():
+    ENTRIES[_name] = (_mk_fts(_q, _k), bm25_oracle_sql(_q, _k))
+
+
+@entry("fts_dismax_tie", dismax_oracle_sql(["spark", "window"], 0.3, 15))
+def fts_dismax_tie(spark, sf_dir):
+    return gate_dismax(spark, sf_dir, ["spark", "window"], tie=0.3, k=15)
+
+
+@entry(
+    "fts_term_dictionary",
+    f"""WITH tok AS (SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents)
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf FROM tok GROUP BY term""",
+)
+def fts_term_dictionary(spark, sf_dir):
+    return gate_term_stats(spark, sf_dir)
+
+
+# ===========================================================================
+# 2. Relational plane (SURVEY §2.1/§2.2/§2.6)
+
+
+@entry(
+    "r_search_select",
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+WHERE o_orderstatus = 'O' AND o_totalprice > 50000.0
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""",
+)
+def r_search_select(spark, sf_dir):
+    return relational.search(
+        _t(spark, sf_dir, "orders"),
+        (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 50000.0),
+        ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        50,
+    )
+
+
+@entry(
+    "r_export_sorted",
+    """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity,
+CAST(row_number() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber) AS INTEGER) AS rank
+FROM lineitem""",
+)
+def r_export_sorted(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    out = relational.export_sorted(
+        li,
+        [F.asc("l_shipdate"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        ["l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"],
+    )
+    w = Window.orderBy(F.asc("l_shipdate"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+    return out.withColumn("rank", F.row_number().over(w))
+
+
+@entry(
+    "r_prefix_wildcard",
+    """SELECT p_partkey, p_name, p_brand FROM part
+WHERE p_name LIKE 'red%' OR p_name LIKE '%gear%'""",
+)
+def r_prefix_wildcard(spark, sf_dir):
+    return relational.search(
+        _t(spark, sf_dir, "part"),
+        F.col("p_name").startswith("red") | F.col("p_name").contains("gear"),
+        ["p_partkey", "p_name", "p_brand"],
+    )
+
+
+@entry(
+    "r_cursor_page",
+    """SELECT o_orderkey, o_totalprice FROM orders
+WHERE (o_totalprice < 100000.0) OR (o_totalprice = 100000.0 AND o_orderkey > 7500)
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+)
+def r_cursor_page(spark, sf_dir):
+    return relational.cursor_page(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        [("o_totalprice", False), ("o_orderkey", True)],
+        (100000.0, 7500),
+        20,
+    )
+
+
+@entry(
+    "r_having",
+    f"""SELECT o_custkey, {DEC_SUM_SQL.format(c='o_totalprice')} AS sum_spend
+FROM orders GROUP BY o_custkey
+HAVING {DEC_SUM_SQL.format(c='o_totalprice')} > 1500000.0""",
+)
+def r_having(spark, sf_dir):
+    agg = rollup.rollup(
+        _t(spark, sf_dir, "orders"),
+        ["o_custkey"],
+        [_dec_sum("o_totalprice").alias("sum_spend")],
+    )
+    return relational.having(agg, F.col("sum_spend") > 1500000.0)
+
+
+@entry(
+    "r_unique_head",
+    """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders) WHERE rn = 1""",
+)
+def r_unique_head(spark, sf_dir):
+    return relational.unique(
+        _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate"),
+        ["o_custkey"],
+        [F.asc("o_orderdate"), F.asc("o_orderkey")],
+    )
+
+
+@entry(
+    "r_topk",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""",
+)
+def r_topk(spark, sf_dir):
+    return relational.top(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_extendedprice"
+        ),
+        [F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        20,
+    )
+
+
+@entry(
+    "r_realtime_get",
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey IN (10, 20, 30)",
+)
+def r_realtime_get(spark, sf_dir):
+    return relational.realtime_get(
+        _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        ),
+        "o_orderkey",
+        [10, 20, 30],
+    )
+
+
+# ===========================================================================
+# 3. Joins (SURVEY §2.4)
+
+
+@entry(
+    "j_inner_join",
+    """SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment, o.o_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",
+)
+def j_inner_join(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    out = joins.inner_join(orders, _t(spark, sf_dir, "customer"), ["c_custkey"])
+    return out.select(
+        "o_orderkey",
+        F.col("c_custkey").alias("o_custkey"),
+        "c_name",
+        "c_mktsegment",
+        "o_totalprice",
+    )
+
+
+@entry(
+    "j_hash_broadcast",
+    """SELECT p.p_brand, count(*) AS n_items, sum(l.l_quantity) AS sum_qty
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey GROUP BY p.p_brand""",
+)
+def j_hash_broadcast(spark, sf_dir):
+    part = _t(spark, sf_dir, "part").withColumnRenamed("p_partkey", "l_partkey")
+    j = joins.hash_join(_t(spark, sf_dir, "lineitem"), part, ["l_partkey"])
+    return rollup.rollup(
+        j,
+        ["p_brand"],
+        [F.count(F.lit(1)).alias("n_items"), F.sum("l_quantity").alias("sum_qty")],
+    )
+
+
+@entry(
+    "j_left_outer_counts",
+    """SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey GROUP BY c.c_custkey""",
+)
+def j_left_outer_counts(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    j = joins.left_outer_join(
+        _t(spark, sf_dir, "customer").select("c_custkey"), orders, ["c_custkey"]
+    )
+    return rollup.rollup(j, ["c_custkey"], [F.count("o_orderkey").alias("n_orders")])
+
+
+@entry(
+    "j_semi_intersect",
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)""",
+)
+def j_semi_intersect(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return joins.intersect(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal"),
+        orders,
+        ["c_custkey"],
+    )
+
+
+@entry(
+    "j_anti_complement",
+    """SELECT c_custkey, c_name, c_acctbal FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def j_anti_complement(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return joins.complement(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal"),
+        orders,
+        ["c_custkey"],
+    )
+
+
+@entry(
+    "j_fetch_enrich",
+    """WITH t AS (SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
+SELECT t.o_orderkey, c.c_name, t.o_totalprice
+FROM t LEFT JOIN customer c ON t.o_custkey = c.c_custkey""",
+)
+def j_fetch_enrich(spark, sf_dir):
+    top10 = relational.top(
+        _t(spark, sf_dir, "orders"),
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        10,
+    ).withColumnRenamed("o_custkey", "c_custkey")
+    out = joins.fetch(top10, _t(spark, sf_dir, "customer"), "c_custkey", ["c_name"])
+    return out.select("o_orderkey", "c_name", "o_totalprice")
+
+
+@entry(
+    "j_unnest",
+    "SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part",
+)
+def j_unnest(spark, sf_dir):
+    out = joins.cartesian_product(
+        _t(spark, sf_dir, "part").select("p_partkey", "p_name"),
+        F.split(F.col("p_name"), " "),
+        "word",
+    )
+    return out.select("p_partkey", "word")
+
+
+@entry(
+    "j_domain_semi",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""",
+)
+def j_domain_semi(spark, sf_dir):
+    sub = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return joins.join_domain(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        "o_custkey",
+        sub,
+        "c_custkey",
+    )
+
+
+@entry(
+    "j_block_parent",
+    f"""SELECT o.o_orderkey, o.o_totalprice,
+{DEC_SUM_SQL.format(c='l.l_extendedprice')} AS child_score
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_quantity >= 48 GROUP BY o.o_orderkey, o.o_totalprice""",
+)
+def j_block_parent(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    out = joins.block_join_parents(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        li,
+        "o_orderkey",
+        F.col("l_quantity") >= 48,
+        score_col=F.col("l_extendedprice").cast("decimal(18,2)"),
+        score_mode="total",
+    )
+    return out.withColumn("child_score", F.col("child_score").cast("double"))
+
+
+@entry(
+    "j_graph_2hop",
+    """WITH l0 AS (SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS node FROM lineitem WHERE l_suppkey = 1),
+l1 AS (SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS node FROM lineitem
+       WHERE 'p' || CAST(l_partkey AS VARCHAR) IN (SELECT node FROM l0)),
+l2 AS (SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS node FROM lineitem
+       WHERE 'o' || CAST(l_orderkey AS VARCHAR) IN (SELECT node FROM l1)
+         AND 'p' || CAST(l_partkey AS VARCHAR) NOT IN (SELECT node FROM l0))
+SELECT node, 0 AS depth FROM l0
+UNION ALL SELECT node, 1 FROM l1
+UNION ALL SELECT node, 2 FROM l2""",
+)
+def j_graph_2hop(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = F.concat(F.lit("o"), F.col("l_orderkey").cast("string"))
+    p = F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+    edges = li.select(o.alias("src"), p.alias("dst")).unionByName(
+        li.select(p.alias("src"), o.alias("dst"))
+    )
+    roots = li.filter(F.col("l_suppkey") == 1).select(p.alias("src"))
+    return graph.graph_expand(edges, "src", "dst", roots, 2)
+
+
+# ===========================================================================
+# 4. Aggregations (SURVEY §2.5)
+
+
+@entry(
+    "a_rollup_q1",
+    f"""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+{DEC_SUM_SQL.format(c='l_extendedprice')} AS sum_price,
+round({DEC_SUM_SQL.format(c='l_extendedprice')} / count(*), 4) AS avg_price,
+count(*) AS cnt
+FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+)
+def a_rollup_q1(spark, sf_dir):
+    out = rollup.rollup(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.sum("l_quantity").alias("sum_qty"),
+            _dec_sum("l_extendedprice").alias("sum_price"),
+            F.count(F.lit(1)).alias("cnt"),
+        ],
+    )
+    return out.withColumn("avg_price", F.round(F.col("sum_price") / F.col("cnt"), 4))
+
+
+@entry(
+    "a_facet_top",
+    """SELECT o_orderpriority, count(*) AS count FROM orders
+GROUP BY o_orderpriority ORDER BY count(*) DESC, o_orderpriority LIMIT 3""",
+)
+def a_facet_top(spark, sf_dir):
+    return rollup.facet(_t(spark, sf_dir, "orders"), "o_orderpriority", limit=3)
+
+
+@entry(
+    "a_facet2d",
+    """WITH c AS (SELECT o_orderpriority, o_orderstatus, count(*) AS metric
+FROM orders GROUP BY 1, 2)
+SELECT o_orderpriority, o_orderstatus, metric FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+            ORDER BY metric DESC, o_orderstatus) AS rn FROM c) WHERE rn <= 2""",
+)
+def a_facet2d(spark, sf_dir):
+    return rollup.facet2d(
+        _t(spark, sf_dir, "orders"),
+        "o_orderpriority",
+        "o_orderstatus",
+        F.count(F.lit(1)),
+        5,
+        2,
+    )
+
+
+@entry(
+    "a_stats",
+    f"""SELECT count(*) AS n_rows, count(DISTINCT l_partkey) AS n_parts,
+min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+sum(l_quantity) AS sum_qty, {DEC_SUM_SQL.format(c='l_extendedprice')} AS sum_price
+FROM lineitem""",
+)
+def a_stats(spark, sf_dir):
+    return rollup.stats(
+        _t(spark, sf_dir, "lineitem"),
+        [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.min("l_shipdate").alias("min_ship"),
+            F.max("l_shipdate").alias("max_ship"),
+            F.sum("l_quantity").alias("sum_qty"),
+            _dec_sum("l_extendedprice").alias("sum_price"),
+        ],
+    )
+
+
+@entry(
+    "a_unique_exact",
+    """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust
+FROM orders GROUP BY o_orderstatus""",
+)
+def a_unique_exact(spark, sf_dir):
+    return rollup.rollup(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderstatus"],
+        [F.countDistinct("o_custkey").alias("n_cust")],
+    )
+
+
+@entry(
+    "a_percentile_rank",
+    """WITH s AS (SELECT l_extendedprice AS v,
+  row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+  FROM lineitem), n AS (SELECT count(*) AS c FROM lineitem)
+SELECT (SELECT v FROM s, n WHERE rn = greatest(1, CAST(ceil(0.5 * c) AS BIGINT))) AS p50,
+       (SELECT v FROM s, n WHERE rn = greatest(1, CAST(ceil(0.9 * c) AS BIGINT))) AS p90""",
+)
+def a_percentile_rank(spark, sf_dir):
+    """Exact rank-based percentile (element at ceil(p·n)) — deterministic
+    row selection, no interpolation fp. (t-digest analog row: SURVEY §2.5
+    percentile; Spark's percentile_approx is the sketch path, exercised in
+    pytest.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    n = li.count()
+    w = Window.orderBy(F.asc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+    ranked = li.select(
+        F.col("l_extendedprice").alias("v"), F.row_number().over(w).alias("rn")
+    )
+    import math
+
+    p50 = max(1, math.ceil(0.5 * n))
+    p90 = max(1, math.ceil(0.9 * n))
+    a = ranked.filter(F.col("rn") == p50).select(F.col("v").alias("p50"))
+    b = ranked.filter(F.col("rn") == p90).select(F.col("v").alias("p90"))
+    return a.crossJoin(b)
+
+
+@entry(
+    "a_timeseries_hourly",
+    f"""SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+count(*) AS cnt, {DEC_SUM_SQL.format(c='value')} AS sum_value,
+round({DEC_SUM_SQL.format(c='value')} / count(*), 4) AS avg_value
+FROM events GROUP BY 1""",
+)
+def a_timeseries_hourly(spark, sf_dir):
+    out = rollup.timeseries(
+        _t(spark, sf_dir, "events"),
+        "ts",
+        "1 hour",
+        [F.count(F.lit(1)).alias("cnt"), _dec_sum("value").alias("sum_value")],
+    )
+    return out.withColumn(
+        "avg_value", F.round(F.col("sum_value") / F.col("cnt"), 4)
+    ).select("bucket_start", "cnt", "sum_value", "avg_value")
+
+
+@entry(
+    "a_sig_terms",
+    f"""WITH tok AS (SELECT DISTINCT doc_id, unnest({TOKS_SQL}) AS term FROM documents),
+d AS (SELECT doc_id, lang FROM documents),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        CAST(count(CASE WHEN lang = 'zh' THEN 1 END) AS DOUBLE) AS fg_docs FROM d)
+SELECT t.term, count(CASE WHEN d.lang = 'zh' THEN 1 END) AS fg_df,
+       count(*) AS bg_df,
+       round((CAST(count(CASE WHEN d.lang = 'zh' THEN 1 END) AS DOUBLE) / tot.fg_docs)
+             / (CAST(count(*) AS DOUBLE) / tot.n_docs), 6) AS lift
+FROM tok t JOIN d ON t.doc_id = d.doc_id CROSS JOIN tot
+GROUP BY t.term, tot.fg_docs, tot.n_docs""",
+)
+def a_sig_terms(spark, sf_dir):
+    """significantTerms / relatedness agg: per-term foreground (lang=zh)
+    vs background document-frequency lift (RelatednessAgg.java,
+    SignificantTermsQParserPlugin.java)."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.array_distinct(textfn.tokens(F.col("text")))).alias("term")
+    )
+    tot = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.count(F.when(F.col("lang") == "zh", 1)).cast("double").alias("fg_docs"),
+    )
+    counts = tok.groupBy("term").agg(
+        F.count(F.when(F.col("lang") == "zh", 1)).alias("fg_df"),
+        F.count(F.lit(1)).alias("bg_df"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "lift",
+            F.round(
+                (F.col("fg_df").cast("double") / F.col("fg_docs"))
+                / (F.col("bg_df").cast("double") / F.col("n_docs")),
+                6,
+            ),
+        )
+        .select("term", "fg_df", "bg_df", "lift")
+    )
+
+
+@entry(
+    "a_json_extract",
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+FROM events""",
+)
+def a_json_extract(spark, sf_dir):
+    """JsonLoader-style semi-structured field extraction
+    (handler/loader/JsonLoader.java)."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id", F.get_json_object("props", "$.k").cast("bigint").alias("k_val")
+    )
+
+
+@entry(
+    "a_date_math",
+    """SELECT event_id, date_trunc('day', ts) AS day, epoch_ms(ts) AS ms
+FROM events WHERE event_id < 200""",
+)
+def a_date_math(spark, sf_dir):
+    """DateMathParser analog (core/.../util/DateMathParser.java:1):
+    date_trunc + epoch millis (the ms() function query)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 200)
+        .select(
+            "event_id",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+        )
+    )
+
+
+@entry(
+    "a_strdist",
+    """SELECT c_custkey, c_name, levenshtein(c_name, 'Customer#000000042') AS dist
+FROM customer WHERE levenshtein(c_name, 'Customer#000000042') <= 2""",
+)
+def a_strdist(spark, sf_dir):
+    """strdist function query (ValueSourceParser registry 'strdist')."""
+    d = F.levenshtein(F.col("c_name"), F.lit("Customer#000000042"))
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", d.alias("dist"))
+        .filter(F.col("dist") <= 2)
+    )
+
+
+# ===========================================================================
+# 5. Window plane: collapse / expand / grouping (SURVEY §2.6)
+
+
+@entry(
+    "w_collapse",
+    """SELECT c_nationkey, c_custkey, c_name, c_acctbal FROM (
+  SELECT *, row_number() OVER (PARTITION BY c_nationkey
+            ORDER BY c_acctbal DESC, c_custkey) AS rn FROM customer) WHERE rn = 1""",
+)
+def w_collapse(spark, sf_dir):
+    out = windowed.collapse(
+        _t(spark, sf_dir, "customer"),
+        "c_nationkey",
+        [F.desc("c_acctbal"), F.asc("c_custkey")],
+    )
+    return out.select("c_nationkey", "c_custkey", "c_name", "c_acctbal")
+
+
+@entry(
+    "w_group_topn",
+    """SELECT o_orderpriority, o_orderkey, o_totalprice,
+CAST(rn AS INTEGER) AS group_rank FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+         ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 3""",
+)
+def w_group_topn(spark, sf_dir):
+    out = windowed.group_top_n(
+        _t(spark, sf_dir, "orders"),
+        "o_orderpriority",
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        3,
+    )
+    return out.select("o_orderpriority", "o_orderkey", "o_totalprice", "group_rank")
+
+
+@entry(
+    "w_expand",
+    """WITH ranked AS (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey
+         ORDER BY c_acctbal DESC, c_custkey) AS rn FROM customer),
+page AS (SELECT * FROM ranked WHERE rn = 1
+         ORDER BY c_acctbal DESC, c_custkey LIMIT 5)
+SELECT r.c_nationkey, r.c_custkey, r.c_acctbal FROM ranked r
+WHERE r.c_nationkey IN (SELECT c_nationkey FROM page) AND r.rn BETWEEN 2 AND 4""",
+)
+def w_expand(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_custkey", "c_acctbal"
+    )
+    order = [F.desc("c_acctbal"), F.asc("c_custkey")]
+    heads = windowed.collapse(cust, "c_nationkey", order)
+    page = relational.top(heads, order, 5)
+    return windowed.expand(page, cust, "c_nationkey", order, expand_rows=3)
+
+
+# ===========================================================================
+# 6. Training-data pipeline: text analysis + dedup (documents table)
+
+
+@entry(
+    "t_token_stats",
+    f"""SELECT doc_id, len({TOKS_SQL}) AS n_tokens,
+len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_ws
+FROM documents""",
+)
+def t_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textfn.token_count(F.col("text")).cast("int").alias("n_tokens"),
+        textfn.whitespace_token_count(F.col("text")).cast("int").alias("n_ws"),
+    )
+
+
+@entry(
+    "t_fingerprint",
+    f"""SELECT doc_id, md5(array_to_string({TOKS_SQL}, ' ')) AS fp,
+md5(array_to_string(list_sort({TOKS_SQL}), ' ')) AS fp_sorted
+FROM documents""",
+)
+def t_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textfn.fingerprint(F.col("text")).alias("fp"),
+        textfn.sorted_fingerprint(F.col("text")).alias("fp_sorted"),
+    )
+
+
+@entry(
+    "t_quality",
+    f"""SELECT doc_id,
+round(CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+      / greatest(length(text), 1), 6) AS alpha_r,
+round(CAST(len(list_filter({RAW_TOKS_SQL}, x -> x IN ({STOPWORDS_SQL}))) AS DOUBLE)
+      / greatest(len({RAW_TOKS_SQL}), 1), 6) AS stop_r,
+round(0.4 * (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END)
+    + 0.4 * (CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1))
+    + 0.2 * (CAST(len(list_filter({RAW_TOKS_SQL}, x -> x IN ({STOPWORDS_SQL}))) AS DOUBLE)
+             / greatest(len({RAW_TOKS_SQL}), 1)), 6) AS quality
+FROM documents""",
+)
+def t_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(textfn.alpha_ratio(F.col("text")), 6).alias("alpha_r"),
+        F.round(textfn.stopword_ratio(F.col("text")), 6).alias("stop_r"),
+        textfn.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def _lang_id_sql() -> str:
+    cnt_cols, out_expr, best_expr = [], "'und'", "0"
+    for lang in sorted(textfn.LANG_MARKERS):
+        markers = ", ".join(f"'{m}'" for m in textfn.LANG_MARKERS[lang])
+        cnt_cols.append(
+            f"len(list_filter({RAW_TOKS_SQL}, x -> x IN ({markers}))) AS c_{lang}"
+        )
+        out_expr = f"CASE WHEN c_{lang} > ({best_expr}) THEN '{lang}' ELSE {out_expr} END"
+        best_expr = f"CASE WHEN c_{lang} > ({best_expr}) THEN c_{lang} ELSE ({best_expr}) END"
+    return (
+        f"WITH c AS (SELECT doc_id, {', '.join(cnt_cols)} FROM documents)\n"
+        f"SELECT doc_id, {out_expr} AS pred_lang FROM c"
+    )
+
+
+@entry("t_lang_id", _lang_id_sql())
+def t_lang_id(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", textfn.lang_id(F.col("text")).alias("pred_lang")
+    )
+
+
+@entry(
+    "t_exact_dups",
+    """SELECT md5(text) AS sig, min(doc_id) AS canonical_id, count(*) AS n_members
+FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
+)
+def t_exact_dups(spark, sf_dir):
+    out = dedup.exact_duplicates(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select("sig", "canonical_id", "n_members")
+
+
+_JACCARD_SQL = f"""WITH s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(t) - 2),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  FROM (SELECT doc_id, {TOKS_SQL} AS t FROM documents) WHERE len(t) >= 3)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+WHERE jaccard >= 0.8"""
+
+
+@entry("t_jaccard_pairs", _JACCARD_SQL)
+def t_jaccard_pairs(spark, sf_dir):
+    return dedup.jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.8
+    )
+
+
+@entry("t_minhash_pairs", _JACCARD_SQL)
+def t_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH candidates + exact verification: at threshold 0.8 with
+    64 hashes / 16 bands the planted near-dups (J≈0.99) are detected with
+    probability 1-(1-0.99^4)^16 ≈ 1-1e-22 — the oracle is the exact
+    Jaccard pair set (verified equal in tests/test_gate.py)."""
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        num_hashes=64,
+        bands=16,
+        threshold=0.8,
+    )
+
+
+@entry("t_simhash_pairs", None)  # rows-only: hash family not SQL-expressible
+def t_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    )
+
+
+# ===========================================================================
+# 7. Embedding similarity (embeddings table)
+
+_KNN_SQL = """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+  round(list_dot_product(e.v, q.qv)
+        / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s) WHERE rn <= 5"""
+
+
+def _queries_df(spark, sf_dir):
+    return (
+        read_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+    )
+
+
+@entry("e_knn_brute", _KNN_SQL)
+def e_knn_brute(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(
+        emb, _queries_df(spark, sf_dir), k=5, round_to=4
+    )
+
+
+@entry("e_knn_ivf", _KNN_SQL)
+def e_knn_ivf(spark, sf_dir):
+    """IVF with nprobe == n_centroids: provably identical to brute force
+    (the oracle is the same SQL) — correctness gate for the ANN scale
+    path; reduced-nprobe recall is measured in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.make_centroids(emb, 8, iters=1)
+    assigned = similarity.assign_centroids(emb, cents)
+    return similarity.ivf_topk(
+        assigned, cents, _queries_df(spark, sf_dir), nprobe=8, k=5, round_to=4
+    )
+
+
+@entry(
+    "e_near_dup",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT id_a, id_b, cos_sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round(list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+WHERE cos_sim >= 0.45""",
+)
+def e_near_dup(spark, sf_dir):
+    return similarity.brute_force_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45, round_to=4
+    )
+
+
+# ===========================================================================
+# 8. Sources / incremental / multimodal
+
+
+@entry("s_topic_incremental", "SELECT * FROM events WHERE event_id > 5000")
+def s_topic_incremental(spark, sf_dir):
+    return topic_read(_t(spark, sf_dir, "events"), "event_id", hwm=5000)
+
+
+@entry(
+    "s_media_features",
+    """SELECT doc_id AS media_id, 'image' AS kind, TRUE AS ok,
+sha256(text) AS sha256, octet_length(encode(text)) AS n_bytes
+FROM documents""",
+)
+def s_media_features(spark, sf_dir):
+    media = multimodal.synthesize_media(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", kind="image"
+    )
+    out = multimodal.extract_features(media)
+    return out.select(
+        "media_id", "kind", "ok", "sha256", F.col("n_bytes").cast("bigint").alias("n_bytes")
+    )
+
+
+# ---------------------------------------------------------------------------
+
+def all_queries():
+    return {name: fn for name, (fn, _sql) in ENTRIES.items()}
+
+
+def all_oracles():
+    return {name: sql for name, (_fn, sql) in ENTRIES.items() if sql is not None}

@@ -274,3 +274,102 @@ def search(
             .orderBy(F.desc("score"), F.asc("docid"))
         )
     return out
+
+
+POSTING_ROWS_SCHEMA = "term string, docid bigint, tf bigint"
+
+
+def postings_rows(spark: SparkSession, meta: IndexMeta, terms: list[str]) -> DataFrame:
+    """Explode the encoded postings of ``terms`` back into
+    (term, docid, tf) rows — the DataFrame face of the index used by the
+    function-query surface (termfreq/tf/docfreq/idf columns,
+    SURVEY.md §2.7: 'index-statistic functions are columns of our
+    postings/stats tables'; reference registry
+    solr/core/src/java/org/apache/solr/search/ValueSourceParser.java:163-1397).
+    Decoding is the same numpy varint kernel the scorer uses."""
+
+    def explode(batches):
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                base = int(r["bucket"]) * meta.bucket_docs
+                d, tf = decode_postings(r["doc_bytes"], r["tf_bytes"], int(r["df"]), base)
+                yield pd.DataFrame({"term": r["term"], "docid": d, "tf": tf})
+
+    postings = spark.read.parquet(meta.postings_path).where(F.col("term").isin(terms))
+    return postings.mapInPandas(explode, POSTING_ROWS_SCHEMA)
+
+
+def term_contributions(spark: SparkSession, meta: IndexMeta, terms: list[str]) -> DataFrame:
+    """Per-(docid, term) BM25 contribution as a DataFrame column —
+    idf precomputed driver-side (same np.log as the scoring kernel), the
+    tf-normalization evaluated as a Catalyst expression with the exact
+    literal shape of scoring.tfnorm, so values are bit-identical to the
+    fused kernel's contributions."""
+    from .scoring import idf as idf_fn
+
+    stats = (
+        spark.read.parquet(meta.terms_path).where(F.col("term").isin(terms)).collect()
+    )
+    df_map = {r["term"]: int(r["df"]) for r in stats}
+    present = [t for t in terms if df_map.get(t, 0) > 0]
+    if not present:
+        return spark.createDataFrame([], "docid bigint, term string, contrib double")
+    idf_rows = [(t, float(idf_fn(df_map[t], meta.n_docs))) for t in present]
+    idf_df = spark.createDataFrame(idf_rows, "term string, idf double")
+    rows = postings_rows(spark, meta, present)
+    doclens = spark.read.parquet(meta.docs_path).select("docid", "doclen")
+    avgdl = meta.avgdl
+    return (
+        rows.join(F.broadcast(idf_df), "term")
+        .join(doclens, "docid")
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (
+                F.col("tf").cast("double") * (F.lit(1.2) + F.lit(1.0))
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(1.2)
+                    * (
+                        F.lit(1.0)
+                        - F.lit(0.75)
+                        + F.lit(0.75) * F.col("doclen").cast("double") / F.lit(avgdl)
+                    )
+                )
+            ),
+        )
+        .select("docid", "term", "contrib")
+    )
+
+
+def dismax_search(
+    spark: SparkSession,
+    meta: IndexMeta,
+    terms: list[str],
+    tie: float = 0.0,
+    k: int = 10,
+) -> DataFrame:
+    """DisMax scoring across query clauses: score = max(contribs) +
+    tie * (sum(contribs) - max(contribs))
+    (reference: solr/core/src/java/org/apache/solr/search/DisMaxQParser.java:1 —
+    per-clause max plus tie-weighted remainder; tie at
+    ExtendedDismaxQParser.java:1747).
+
+    Implemented by pivoting per-term contributions wide and combining with
+    greatest() — deterministic float evaluation order (sorted terms left
+    to right), mirrored exactly by the DuckDB oracle."""
+    terms = sorted(set(terms))
+    contribs = term_contributions(spark, meta, terms)
+    wide = contribs.groupBy("docid").pivot("term", terms).agg(F.first("contrib"))
+    cols = [F.coalesce(F.col(f"`{t}`"), F.lit(0.0)) for t in terms]
+    total = cols[0]
+    for c in cols[1:]:
+        total = total + c
+    mx = F.greatest(*cols) if len(cols) > 1 else cols[0]
+    score = mx + F.lit(tie) * (total - mx)
+    return (
+        wide.withColumn("score", score)
+        .select("docid", "score")
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(k)
+    )

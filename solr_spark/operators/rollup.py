@@ -1,0 +1,167 @@
+"""Aggregation operators — JSON Facet API + streaming rollups.
+
+Reference (paths under /root/reference/solr/):
+- rollup():      solrj-streaming/.../io/stream/RollupStream.java:1 (sort-agg)
+- hashRollup():  solrj-streaming/.../io/stream/HashRollupStream.java:1
+- facet():       solrj-streaming/.../io/stream/FacetStream.java:689 (pushdown)
+- facet2D():     solrj-streaming/.../io/stream/Facet2DStream.java:1
+- stats():       solrj-streaming/.../io/stream/StatsStream.java:1
+- timeseries():  solrj-streaming/.../io/stream/TimeSeriesStream.java:52-100
+- drill():       solrj-streaming/.../io/stream/DrillStream.java:1
+- JSON facet processors: core/.../search/facet/FacetFieldProcessorBy{ArrayDV,
+  HashDV,EnumTermsStream}.java — physical strategies Catalyst picks for us
+- agg functions: core/.../search/ValueSourceParser.java:1198-1383
+  (count/sum/avg/sumsq/min/max/variance/stddev/unique/hll/percentile/
+   missing/countvals/relatedness)
+
+All reference aggregation is partial-per-shard + merge-at-coordinator with
+an optional refinement pass (facet/FacetRequest.java:126); Spark's
+partial/final hash aggregation gives the exact answer in one shot, no
+refinement needed (SURVEY.md §2.5). At 100 TB: map-side partial agg bounds
+the shuffle to (#groups × #partitions) rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# agg name → builder, mirroring ValueSourceParser registrations
+AGG_FUNCS = {
+    "count": lambda c: F.count(F.lit(1)),                      # :1207 CountAgg
+    "sum": F.sum,                                              # :1246 SumAgg
+    "avg": F.avg,                                              # :1257 AvgAgg
+    "sumsq": lambda c: F.sum(F.pow(F.col(c) if isinstance(c, str) else c, 2)),  # :1268
+    "min": F.min,                                              # :1332 MinMaxAgg
+    "max": F.max,                                              # :1344
+    "variance": F.var_pop,                                     # :1279
+    "stddev": F.stddev_pop,                                    # :1290
+    "unique": F.countDistinct,                                 # :1216 UniqueAgg (exact)
+    "hll": F.approx_count_distinct,                            # :1237 HLLAgg
+    "percentile": None,                                        # :1356 — see percentiles()
+    "missing": lambda c: F.count(F.when(F.col(c).isNull(), 1)),  # :1301 MissingAgg
+    "countvals": F.count,                                      # :1312 CountValsAgg
+}
+
+
+def rollup(df: DataFrame, group_by: list[str], aggs: list[Column]) -> DataFrame:
+    """rollup()/hashRollup(): group-by + metrics (RollupStream.java:1,
+    HashRollupStream.java:1). The reference distinguishes sort-agg vs
+    hash-agg physically; Catalyst chooses per child ordering — one API."""
+    return df.groupBy(*group_by).agg(*aggs)
+
+
+def facet(
+    df: DataFrame,
+    field: str,
+    metrics: list[Column] | None = None,
+    limit: int = 10,
+    sort_by_count: bool = True,
+) -> DataFrame:
+    """facet(): bucket counts + metrics over one field, top-N buckets
+    (FacetStream.java:689 pushes json.facet into the source; Catalyst's
+    partial aggregation IS that pushdown). Bucket order: count desc, then
+    bucket value asc — the JSON Facet API default sort with a
+    deterministic tiebreak."""
+    aggs = [F.count(F.lit(1)).alias("count")] + list(metrics or [])
+    out = df.groupBy(field).agg(*aggs)
+    order = (
+        [F.desc("count"), F.asc(field)] if sort_by_count else [F.asc(field)]
+    )
+    return out.orderBy(*order).limit(limit)
+
+
+def facet2d(
+    df: DataFrame, x: str, y: str, metric: Column, limit_x: int, limit_y: int
+) -> DataFrame:
+    """facet2D(): two-level buckets, top-N per level
+    (Facet2DStream.java:1)."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(x, y).agg(metric.alias("metric"))
+    wx = Window.partitionBy(F.lit(1)).orderBy(F.desc("metric"), F.asc(x))
+    wy = Window.partitionBy(x).orderBy(F.desc("metric"), F.asc(y))
+    return (
+        counts.withColumn("__ry", F.row_number().over(wy))
+        .filter(F.col("__ry") <= limit_y)
+        .drop("__ry")
+    )
+
+
+def stats(df: DataFrame, aggs: list[Column]) -> DataFrame:
+    """stats(): single-bucket metrics (StatsStream.java:1,
+    StatsComponent core/.../handler/component/StatsComponent.java)."""
+    return df.agg(*aggs)
+
+
+def percentiles(df: DataFrame, col: str, pcts: list[float], group_by: list[str] | None = None) -> DataFrame:
+    """percentile agg (ValueSourceParser.java:1356, facet/PercentileAgg.java
+    — t-digest sketches merged across shards). Spark offers both the
+    sketch (percentile_approx) and the exact interpolated percentile; we
+    default to exact since Spark's shuffle makes exactness affordable."""
+    exprs = [
+        F.expr(f"percentile({col}, {p})").alias(f"p{int(p * 100)}") for p in pcts
+    ]
+    return df.groupBy(*group_by).agg(*exprs) if group_by else df.agg(*exprs)
+
+
+def timeseries(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    metrics: list[Column],
+    start: str | None = None,
+    end: str | None = None,
+) -> DataFrame:
+    """timeseries(): tumbling date buckets with metrics
+    (TimeSeriesStream.java:52-100 — start/end/gap DateMath buckets).
+    Spark's window() is the same tumbling bucketing; bucket start is
+    emitted as ``bucket_start``."""
+    out = df
+    if start:
+        out = out.filter(F.col(ts_col) >= F.lit(start))
+    if end:
+        out = out.filter(F.col(ts_col) < F.lit(end))
+    return (
+        out.groupBy(F.window(ts_col, gap).alias("__w"))
+        .agg(*metrics)
+        .withColumn("bucket_start", F.col("__w.start"))
+        .drop("__w")
+    )
+
+
+def reduce_groups(df: DataFrame, group_by: list[str], sort_within: list[Column], struct_cols: list[str]) -> DataFrame:
+    """reduce(group()): sorted-stream grouping emitting per-group tuple
+    lists (ReducerStream.java:56-77, io/ops/GroupOperation.java)."""
+    return (
+        df.repartition(*[F.col(c) for c in group_by])
+        .sortWithinPartitions(*group_by, *sort_within)
+        .groupBy(*group_by)
+        .agg(F.collect_list(F.struct(*struct_cols)).alias("group"))
+    )
+
+
+def relatedness(
+    df: DataFrame, term_col: str, fg_filter: Column, min_count: int = 1
+) -> DataFrame:
+    """significantTerms/relatedness agg (ValueSourceParser.java:1383,
+    facet/RelatednessAgg.java; SignificantTermsQParserPlugin.java):
+    foreground-vs-background frequency lift per term. Emits
+    (term, fg_count, bg_count, lift = (fg/fg_total) / (bg/bg_total))."""
+    tagged = df.withColumn("__fg", fg_filter.cast("int"))
+    counts = tagged.groupBy(term_col).agg(
+        F.sum("__fg").alias("fg_count"), F.count(F.lit(1)).alias("bg_count")
+    )
+    totals = tagged.agg(
+        F.sum("__fg").alias("fg_total"), F.count(F.lit(1)).alias("bg_total")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .filter(F.col("fg_count") >= min_count)
+        .withColumn(
+            "lift",
+            (F.col("fg_count") / F.col("fg_total"))
+            / (F.col("bg_count") / F.col("bg_total")),
+        )
+        .drop("fg_total", "bg_total")
+    )

@@ -1,0 +1,113 @@
+"""Window-function operators: collapse / expand / grouping / dedup heads.
+
+Reference (paths under /root/reference/solr/):
+- collapse: core/.../search/CollapsingQParserPlugin.java:111-191 (3,810 LoC
+  — the reference's largest single operator: keep one "group head" per
+  collapse-field value, selected by score/min/max/sort; nullPolicy
+  ignore/expand/collapse)
+- expand:   core/.../handler/component/ExpandComponent.java:108 (fetch the
+  collapsed-away group members for the current page)
+- grouping (group=true, top-N per group, two-phase distributed):
+  core/.../search/Grouping.java:76-181
+
+All map to Window.partitionBy + row_number — Spark's window exchange is
+hash-partitioned on the group field, which is exactly the reference's
+per-shard collapse + coordinator merge, minus the approximation the
+reference suffers when a group spans shards (we are exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def collapse(
+    df: DataFrame,
+    field: str,
+    order: list[Column],
+    null_policy: str = "ignore",
+) -> DataFrame:
+    """collapse: one head row per ``field`` value, head = first row under
+    ``order`` (CollapsingQParserPlugin.java:111-191 group-head selection).
+
+    null_policy (CollapsingQParserPlugin NullPolicy):
+      - 'ignore': drop rows with null collapse key
+      - 'expand': keep every null-key row as its own group
+      - 'collapse': all null-key rows form one group
+    """
+    if null_policy == "ignore":
+        df = df.filter(F.col(field).isNotNull())
+        part = [F.col(field)]
+    elif null_policy == "expand":
+        df = df.withColumn(
+            "__cgrp",
+            F.when(F.col(field).isNull(), F.monotonically_increasing_id().cast("string"))
+            .otherwise(F.col(field).cast("string")),
+        )
+        part = [F.col("__cgrp")]
+    elif null_policy == "collapse":
+        part = [F.coalesce(F.col(field).cast("string"), F.lit("__null__"))]
+    else:
+        raise ValueError(f"unknown nullPolicy {null_policy!r}")
+    w = Window.partitionBy(*part).orderBy(*order)
+    out = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    return out.drop("__cgrp") if null_policy == "expand" else out
+
+
+def expand(
+    collapsed_page: DataFrame,
+    full: DataFrame,
+    field: str,
+    order: list[Column],
+    expand_rows: int = 5,
+) -> DataFrame:
+    """expand: for each group key present on the collapsed page, return up
+    to ``expand_rows`` of the *other* members of that group
+    (ExpandComponent.java:108). Keys are a page-sized set → broadcast."""
+    keys = collapsed_page.select(field).dropDuplicates([field])
+    heads = collapsed_page.select(F.col(field).alias("__f"), *[])
+    members = full.join(F.broadcast(keys), field, "left_semi")
+    w = Window.partitionBy(field).orderBy(*order)
+    ranked = members.withColumn("__rn", F.row_number().over(w))
+    # rank 1 is the head shown on the page; expand returns ranks 2..n+1
+    return (
+        ranked.filter((F.col("__rn") > 1) & (F.col("__rn") <= expand_rows + 1))
+        .drop("__rn")
+    )
+
+
+def group_top_n(df: DataFrame, group_field: str, order: list[Column], n: int) -> DataFrame:
+    """grouping (group=true&group.limit=n): top-N rows per group value
+    (Grouping.java:76-181; distributed two-phase STAGE_TOP_GROUPS merge at
+    QueryComponent.java:108-110 — Spark's window shuffle is one exact
+    phase)."""
+    w = Window.partitionBy(group_field).orderBy(*order)
+    return df.withColumn("group_rank", F.row_number().over(w)).filter(
+        F.col("group_rank") <= n
+    )
+
+
+def rerank(
+    df: DataFrame,
+    main_order: list[Column],
+    rerank_docs: int,
+    rescore: Column,
+    weight: float = 2.0,
+) -> DataFrame:
+    """rerank: re-score the top ``rerank_docs`` of the main ranking by
+    ``main_score + weight * rescore``, leave the tail ordered by the main
+    ranking (ReRankQParserPlugin.java:34-79, ReRankCollector.java:1).
+
+    df must carry a ``score`` column (the main query score)."""
+    w = Window.orderBy(*main_order)
+    ranked = df.withColumn("__rn", F.row_number().over(w))
+    return (
+        ranked.withColumn(
+            "rerank_score",
+            F.when(
+                F.col("__rn") <= rerank_docs, F.col("score") + F.lit(weight) * rescore
+            ).otherwise(F.col("score")),
+        )
+        .drop("__rn")
+    )

@@ -1,0 +1,160 @@
+"""DuckDB oracle-SQL generation for the driver's correctness gate.
+
+The driver (see __spark_entry__.py) runs each Spark query AND an ANSI-SQL
+oracle side-by-side over the same parquet tables and compares row counts,
+schemas and order-insensitive value hashes. This module generates the
+oracle SQL for the full-text entries so that BOTH sides compute the exact
+same float64 values:
+
+- identical analysis chain (the ANALYSIS CONTRACT pinned in analysis.py:
+  lowercase → [a-z0-9_]+ runs → 33 Lucene English stopwords);
+- identical BM25 arithmetic with the same literal constants and the same
+  parenthesization / accumulation order as the numpy kernel
+  (scoring.py idf/tfnorm: term contributions added in sorted-term order,
+  starting from 0.0 — IEEE: adding coalesce(…,0.0) terms left-to-right
+  reproduces the kernel's fold bit-for-bit);
+- scores rounded to 6 dp on both sides, and the top-k rank computed on the
+  ROUNDED score (tie-break: source asc, doc_id asc — which equals the
+  engine's internal-docid ascending tie-break, since docid is the ordinal
+  of the (repo=source, path=doc_id) sort). Rounding-before-ranking makes
+  the comparison immune to the ≤1-ulp ln() difference between numpy and
+  DuckDB's libm.
+
+Reference contract being checked: BM25 with k1=1.2, b=0.75, exact doclen
+(/root/reference/solr/core/src/java/org/apache/solr/search/similarities/
+BM25SimilarityFactory.java:47-50), tie-break by docid ascending
+(handler/component/ShardFieldSortedHitQueue.java).
+"""
+
+from __future__ import annotations
+
+from .analysis import SPLIT_REGEX_SQL, STOPWORDS_SQL
+from .qparser import Query, parse
+
+# token-list expression over a documents row (DuckDB list lambda syntax)
+TOKS = (
+    "list_filter(string_split_regex(lower({col}), '" + SPLIT_REGEX_SQL + "'), "
+    "x -> x <> '' AND x NOT IN (" + STOPWORDS_SQL + "))"
+)
+
+
+def _toks(col: str = "text") -> str:
+    return TOKS.format(col=col)
+
+
+def bm25_oracle_sql(q: str, k: int = 10, table: str = "documents") -> str:
+    """Generate the DuckDB oracle for a lucene-lite query string over the
+    ``documents`` view (doc_id, text, lang, source). Output columns:
+    (doc_id bigint, score double) — score rounded to 6 dp; top-k by
+    (rounded score desc, source asc, doc_id asc)."""
+    query: Query = parse(q)
+    terms = sorted(query.scoring)  # kernel accumulates in sorted-term order
+    weights = query.scoring
+    prohibited = sorted(query.prohibited)
+    required = sorted(query.required)
+
+    ctes = [
+        f"tok AS (SELECT doc_id, unnest({_toks()}) AS term FROM {table})",
+        f"dl AS (SELECT doc_id, lang, source, len({_toks()}) AS doclen FROM {table})",
+        (
+            "g AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
+            "CAST(sum(doclen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl)"
+        ),
+    ]
+    contribs = []
+    join_clauses = []
+    for i, t in enumerate(terms):
+        ctes.append(
+            f"m{i} AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS tf "
+            f"FROM tok WHERE term = '{t}' GROUP BY doc_id)"
+        )
+        ctes.append(f"df{i} AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM m{i})")
+        join_clauses.append(f"LEFT JOIN m{i} ON m{i}.doc_id = d.doc_id")
+        w = f"{float(weights[t])} * " if weights[t] != 1 else ""
+        # EXACT numpy expression mirror (scoring.py idf & tfnorm):
+        #   idf  = ln(1.0 + (N - df + 0.5) / (df + 0.5))
+        #   tfn  = tf*(1.2+1.0) / (tf + 1.2*(1.0-0.75+0.75*dl/avgdl))
+        contribs.append(
+            f"CASE WHEN m{i}.doc_id IS NULL THEN 0.0 ELSE "
+            f"{w}ln(1.0 + (g.n - (SELECT v FROM df{i}) + 0.5) / ((SELECT v FROM df{i}) + 0.5))"
+            f" * (m{i}.tf * (1.2 + 1.0) / "
+            f"(m{i}.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doclen / g.avgdl))) END"
+        )
+    for j, t in enumerate(prohibited):
+        ctes.append(
+            f"p{j} AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{t}')"
+        )
+        join_clauses.append(f"LEFT JOIN p{j} ON p{j}.doc_id = d.doc_id")
+
+    score_expr = " + ".join(contribs) if contribs else "0.0"
+    conds = []
+    if not terms:
+        conds.append("FALSE")  # empty/stopword-only query matches nothing
+    elif required and len(required) == len(terms):
+        conds += [f"m{terms.index(t)}.doc_id IS NOT NULL" for t in terms]
+    else:
+        match = " OR ".join(f"m{i}.doc_id IS NOT NULL" for i in range(len(terms)))
+        conds.append(f"({match})")
+        conds += [f"m{terms.index(t)}.doc_id IS NOT NULL" for t in required]
+    conds += [f"p{j}.doc_id IS NULL" for j in range(len(prohibited))]
+    for fld, vals in sorted(query.filters.items()):
+        col = {"repo": "source", "source": "source", "lang": "lang"}.get(fld, fld)
+        in_list = ", ".join(f"'{v}'" for v in vals)
+        conds.append(f"d.{col} IN ({in_list})")
+    where = " AND ".join(conds) if conds else "TRUE"
+    joins = "\n  ".join(join_clauses)
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        f"SELECT d.doc_id AS doc_id, round({score_expr}, 6) AS score\n"
+        f"FROM dl d CROSS JOIN g\n  {joins}\n"
+        f"WHERE {where}\n"
+        f"ORDER BY round({score_expr}, 6) DESC, d.source ASC, d.doc_id ASC\n"
+        f"LIMIT {k}"
+    )
+
+
+def analyzed_tokens_sql(col: str = "text") -> str:
+    """The token-list SQL fragment (for text-function oracles)."""
+    return _toks(col)
+
+
+def dismax_oracle_sql(terms: list[str], tie: float, k: int, table: str = "documents") -> str:
+    """Oracle for DisMax ranking (max + tie·(sum−max), DisMaxQParser.java:1)
+    under the same rounded-score contract as bm25_oracle_sql. Contribution
+    expressions mirror kernel.term_contributions' Catalyst literals."""
+    ts = sorted(set(terms))
+    ctes = [
+        f"tok AS (SELECT doc_id, unnest({_toks()}) AS term FROM {table})",
+        f"dl AS (SELECT doc_id, lang, source, len({_toks()}) AS doclen FROM {table})",
+        (
+            "g AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
+            "CAST(sum(doclen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl)"
+        ),
+    ]
+    joins, cvals = [], []
+    for i, t in enumerate(ts):
+        ctes.append(
+            f"m{i} AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS tf "
+            f"FROM tok WHERE term = '{t}' GROUP BY doc_id)"
+        )
+        ctes.append(f"df{i} AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM m{i})")
+        joins.append(f"LEFT JOIN m{i} ON m{i}.doc_id = d.doc_id")
+        cvals.append(
+            f"CASE WHEN m{i}.doc_id IS NULL THEN 0.0 ELSE "
+            f"ln(1.0 + (g.n - (SELECT v FROM df{i}) + 0.5) / ((SELECT v FROM df{i}) + 0.5))"
+            f" * (m{i}.tf * (1.2 + 1.0) / "
+            f"(m{i}.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doclen / g.avgdl))) END"
+        )
+    total = " + ".join(cvals)
+    mx = f"greatest({', '.join(cvals)})" if len(cvals) > 1 else cvals[0]
+    score = f"{mx} + {float(tie)} * (({total}) - {mx})"
+    match = " OR ".join(f"m{i}.doc_id IS NOT NULL" for i in range(len(ts)))
+    j = "\n  ".join(joins)
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        f"SELECT d.doc_id AS doc_id, round({score}, 6) AS score\n"
+        f"FROM dl d CROSS JOIN g\n  {j}\n"
+        f"WHERE ({match})\n"
+        f"ORDER BY round({score}, 6) DESC, d.source ASC, d.doc_id ASC\n"
+        f"LIMIT {k}"
+    )

@@ -1,0 +1,144 @@
+"""Training-data pipeline function tests: dedup recall/precision,
+ANN exactness + IVF recall, multimodal plumbing, text functions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_spark.functions import dedup, multimodal, similarity, textfn
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, base),
+        (1, base + " extra"),                      # near-dup of 0
+        (2, base),                                 # exact dup of 0
+        (3, "completely different content about spark and indexes here"),
+        (4, "short"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def test_exact_duplicates(spark, docs):
+    out = dedup.exact_duplicates(docs, "id", "text").collect()
+    assert len(out) == 1
+    assert out[0]["canonical_id"] == 0 and out[0]["n_members"] == 2
+
+
+def test_jaccard_and_minhash_agree(spark, docs):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.jaccard_pairs(docs, "id", "text", threshold=0.5).collect()
+    }
+    mh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(docs, "id", "text", threshold=0.5).collect()
+    }
+    assert (0, 2) in exact and (0, 1) in exact
+    assert mh == exact  # verified LSH == exact at this scale
+
+
+def test_simhash_near_pairs(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_pairs(docs, "id", "text", max_hamming=10).collect()
+    }
+    assert pairs.get((0, 2)) == 0  # identical docs → identical simhash
+    assert (0, 1) in pairs  # near-dup within hamming budget
+
+
+def test_shingles_short_doc(spark, docs):
+    out = docs.select(
+        "id", dedup.shingles(textfn.tokens(F.col("text")), 3).alias("sh")
+    ).collect()
+    by_id = {r["id"]: r["sh"] for r in out}
+    assert by_id[4] == [] and by_id[5] == []  # no descending-sequence blowup
+
+
+def test_textfn_contract(spark, docs):
+    row = docs.filter(F.col("id") == 0).select(
+        textfn.token_count(F.col("text")).alias("n"),
+        textfn.fingerprint(F.col("text")).alias("fp"),
+        textfn.lang_id(F.col("text")).alias("lang"),
+    ).collect()[0]
+    # "the ... the ... and" are stopwords: 12 raw -> 9 analyzed
+    assert row["n"] == 9
+    assert row["lang"] == "en"
+    # identical analyzed content -> identical fingerprint
+    fp2 = docs.filter(F.col("id") == 2).select(
+        textfn.fingerprint(F.col("text")).alias("fp")
+    ).collect()[0]["fp"]
+    assert row["fp"] == fp2
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(60):
+        v = rng.normal(size=8)
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    # planted near-duplicate of vector 0
+    v0 = np.array(rows[0][1])
+    dup = v0 + rng.normal(scale=0.01, size=8)
+    rows.append((60, [float(x) for x in dup / np.linalg.norm(dup)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_full_probe_equals_brute(spark, vectors):
+    qs = vectors.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    brute = similarity.brute_force_topk(vectors, qs, k=3).collect()
+    cents = similarity.make_centroids(vectors, 4, iters=1)
+    assigned = similarity.assign_centroids(vectors, cents)
+    ivf = similarity.ivf_topk(assigned, cents, qs, nprobe=4, k=3).collect()
+    key = lambda rows: sorted((r["query_id"], r["neighbor_id"], r["cos_sim"]) for r in rows)
+    assert key(brute) == key(ivf)
+
+
+def test_ivf_reduced_probe_recall(spark, vectors):
+    qs = vectors.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(vectors, qs, k=3).collect()
+    }
+    cents = similarity.make_centroids(vectors, 4, iters=2)
+    assigned = similarity.assign_centroids(vectors, cents)
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(assigned, cents, qs, nprobe=2, k=3).collect()
+    }
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.5  # nprobe=2/4 keeps most neighbors
+
+
+def test_near_dup_pairs(spark, vectors):
+    pairs = similarity.brute_force_pairs(vectors, threshold=0.99).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 60)}
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = multimodal.synthesize_media(docs, "id", "text", kind="image")
+    feats = multimodal.extract_features(media).collect()
+    by_id = {r["media_id"]: r for r in feats}
+    assert all(r["ok"] for r in feats)
+    assert by_id[0]["sha256"] == by_id[2]["sha256"]  # same payload, same hash
+    assert len(by_id[0]["feature"]) == 8
+    assert by_id[0]["width"] >= 16 and by_id[0]["height"] >= 16
+
+
+def test_multimodal_stub_errors_channelled(spark, docs):
+    media = multimodal.synthesize_media(docs.limit(2), "id", "text", kind="audio")
+    feats = multimodal.extract_features(media).collect()
+    assert all(not r["ok"] for r in feats)
+    assert all("decoder not available" in r["error"] for r in feats)
+    assert all(r["sha256"] is not None for r in feats)  # hashing still ran

@@ -1,0 +1,80 @@
+"""Mini-driver: runs every gate entry at sf0.01 and compares against its
+DuckDB oracle exactly the way the driver does (row count + schema-name set
++ order-insensitive values) — catches oracle drift before the real gate.
+
+Mirrors the reference's differential-testing style
+(control vs distributed response comparison,
+/root/reference/solr/test-framework/src/java/org/apache/solr/
+BaseDistributedSearchTestCase.java:644-656).
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = os.environ.get("SOLR_SPARK_TEST_SF", "/root/testdata/sf0.01")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype(np.float64)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype(np.int64)
+        elif pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype(bool)
+    return (
+        df.sort_values(list(df.columns), ignore_index=True)
+        if len(df)
+        else df.reset_index(drop=True)
+    )
+
+
+def _entries():
+    from solr_spark import gate
+
+    return sorted(gate.ENTRIES.items())
+
+
+@pytest.mark.parametrize("name", [n for n, _ in _entries()])
+def test_gate_entry(spark, ddb, name):
+    from solr_spark import gate
+
+    fn, sql = gate.ENTRIES[name]
+    got = fn(spark, SF_DIR).toPandas()
+    if sql is None:
+        assert got is not None  # rows-only entries: just runs
+        return
+    want = ddb.execute(sql).fetchdf()
+    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    assert sorted(got.columns) == sorted(
+        want.columns
+    ), f"{name}: columns {sorted(got.columns)} != {sorted(want.columns)}"
+    g, w = _canon(got), _canon(want)
+    pd.testing.assert_frame_equal(
+        g, w, check_dtype=False, check_exact=True, obj=name
+    )

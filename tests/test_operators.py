@@ -1,0 +1,136 @@
+"""Operator-plane unit tests (streams/joins/windows), modeled on the
+reference's StreamDecoratorTest tuple-level asserts
+(/root/reference/solr/solrj-streaming/src/test/.../StreamDecoratorTest.java)
+and CursorPagingTest's walk invariant
+(/root/reference/solr/core/src/test/org/apache/solr/CursorPagingTest.java).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_spark.operators import graph, joins, relational, rollup, windowed
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    rows = [
+        (1, "a", 10.0), (2, "b", 20.0), (3, "a", 5.0), (4, "c", 20.0),
+        (5, "b", 1.0), (6, None, 9.0), (7, "a", 10.0),
+    ]
+    return spark.createDataFrame(rows, "id int, grp string, score double")
+
+
+def test_cursor_walk_equals_full_sort(spark, people):
+    """cursorMark invariant: walking pages covers the full sorted order
+    exactly once (CursorPagingTest)."""
+    sort_cols = [("score", False), ("id", True)]
+    full = [
+        (r["id"])
+        for r in people.orderBy(F.desc("score"), F.asc("id")).collect()
+    ]
+    walked, after = [], None
+    for _ in range(10):
+        page = relational.cursor_page(people, sort_cols, after, 3).collect()
+        if not page:
+            break
+        walked += [r["id"] for r in page]
+        after = (page[-1]["score"], page[-1]["id"])
+    assert walked == full
+
+
+def test_offset_page_matches_slice(spark, people):
+    sort = [F.desc("score"), F.asc("id")]
+    full = [r["id"] for r in people.orderBy(*sort).collect()]
+    page = relational.page(people, sort, start=2, rows=3).collect()
+    assert [r["id"] for r in page] == full[2:5]
+
+
+def test_unique_first_wins(spark, people):
+    out = relational.unique(people, ["grp"], [F.asc("score"), F.asc("id")])
+    got = {r["grp"]: r["id"] for r in out.collect()}
+    assert got == {"a": 3, "b": 5, "c": 4, None: 6}
+
+
+def test_merge_sorted(spark, people):
+    a = people.filter(F.col("id") <= 3)
+    b = people.filter(F.col("id") > 3)
+    merged = relational.merge_sorted([a, b], [F.asc("id")]).collect()
+    assert [r["id"] for r in merged] == [1, 2, 3, 4, 5, 6, 7]
+
+
+def test_realtime_get_overlay(spark, people):
+    pending = spark.createDataFrame(
+        [(2, "zz", 99.0)], "id int, grp string, score double"
+    )
+    out = relational.realtime_get(people, "id", [1, 2], pending)
+    got = {r["id"]: r["grp"] for r in out.collect()}
+    assert got == {1: "a", 2: "zz"}  # tlog row shadows committed row
+
+
+def test_collapse_null_policies(spark, people):
+    order = [F.desc("score"), F.asc("id")]
+    ignore = windowed.collapse(people, "grp", order, "ignore").collect()
+    assert {r["id"] for r in ignore} == {1, 2, 4}  # a->1 (10.0,id1), b->2, c->4
+    expand = windowed.collapse(people, "grp", order, "expand").collect()
+    assert {r["id"] for r in expand} == {1, 2, 4, 6}
+    collapse_null = windowed.collapse(people, "grp", order, "collapse").collect()
+    assert {r["id"] for r in collapse_null} == {1, 2, 4, 6}
+
+
+def test_rerank(spark, people):
+    df = people.withColumn("score", F.col("score"))
+    out = windowed.rerank(
+        df, [F.desc("score"), F.asc("id")], rerank_docs=2,
+        rescore=F.col("id").cast("double"), weight=1.0,
+    )
+    rows = {r["id"]: r["rerank_score"] for r in out.collect()}
+    assert rows[2] == 22.0 and rows[4] == 24.0  # top-2 rescored
+    assert rows[1] == 10.0  # tail keeps main score
+
+
+def test_reduce_groups(spark, people):
+    out = rollup.reduce_groups(
+        people.filter(F.col("grp").isNotNull()),
+        ["grp"], [F.asc("id")], ["id", "score"],
+    ).collect()
+    g = {r["grp"]: [x["id"] for x in r["group"]] for r in out}
+    assert g == {"a": [1, 3, 7], "b": [2, 5], "c": [4]}
+
+
+def test_graph_shortest_path(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "x")], "src string, dst string"
+    )
+    assert graph.shortest_path_frontier(edges, "src", "dst", "a", "d", 5) == 3
+    assert graph.shortest_path_frontier(edges, "src", "dst", "a", "zz", 3) is None
+
+
+def test_joins_matrix(spark, people):
+    right = spark.createDataFrame([("a", 1), ("b", 2)], "grp string, v int")
+    assert joins.intersect(people, right, ["grp"]).count() == 5
+    assert joins.complement(people, right, ["grp"]).count() == 2  # c + null
+    assert joins.hash_join(people, right, ["grp"]).count() == 5
+    assert joins.left_outer_join(people, right, ["grp"]).count() == 7
+
+
+def test_block_join_score_modes(spark):
+    parents = spark.createDataFrame([(1, "p1"), (2, "p2")], "pid int, name string")
+    children = spark.createDataFrame(
+        [(1, 5.0), (1, 7.0), (2, 1.0)], "pid int, cs double"
+    )
+    out = joins.block_join_parents(
+        parents, children, "pid", F.col("cs") > 0.0, F.col("cs"), "max"
+    ).collect()
+    assert {r["pid"]: r["child_score"] for r in out} == {1: 7.0, 2: 1.0}
+
+
+def test_facet_sort_and_limit(spark, people):
+    out = rollup.facet(people.filter(F.col("grp").isNotNull()), "grp", limit=2).collect()
+    assert [(r["grp"], r["count"]) for r in out] == [("a", 3), ("b", 2)]
+
+
+def test_percentiles_exact(spark, people):
+    out = rollup.percentiles(people, "score", [0.5]).collect()[0]
+    assert out["p50"] == 10.0  # exact interpolated median of 7 values
