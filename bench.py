@@ -52,7 +52,7 @@ def main() -> None:
 
     from solr_spark.corpus import materialize_corpus
     from solr_spark.indexer import build_index
-    from solr_spark.kernel import search
+    from solr_spark.kernel import Searcher
     from solr_spark.session import get_spark
 
     spark = get_spark(master=f"local[{cpus}]", app_name="solr_spark_bench",
@@ -73,12 +73,14 @@ def main() -> None:
     timings["index_build"] = round(time.time() - t0, 3)
     docs_per_sec = round(meta.n_docs / timings["index_build"], 1)
 
-    # --- BM25 query latencies (warm: one throwaway run first) -------------
-    search(spark, meta, FTS_QUERIES[0], k=10).collect()
+    # --- BM25 query latencies (warm Searcher: terms+docs cached, the
+    # SolrIndexSearcher pattern; one throwaway run first) ------------------
+    searcher = Searcher(spark, meta)
+    searcher.search(FTS_QUERIES[0], k=10).collect()
     lat = []
     for q in FTS_QUERIES:
         t0 = time.time()
-        search(spark, meta, q, k=10).collect()
+        searcher.search(q, k=10).collect()
         lat.append(time.time() - t0)
     timings["fts_p50"] = round(statistics.median(lat), 3)
     timings["fts_total"] = round(sum(lat), 3)

@@ -55,32 +55,58 @@ def tokenize_lists(texts: pd.Series) -> pd.Series:
 
 
 def term_frequencies(doc_ids: np.ndarray, texts: pd.Series) -> tuple[pd.DataFrame, pd.DataFrame]:
-    """Analyze a batch of documents.
+    """Analyze a batch of documents — the ingest hot path, fully
+    vectorized (no per-row Python beyond the C-level regex scan):
+
+      1. tokenize: pandas .str.findall (C regex loop)
+      2. factorize the flat token stream to int32 codes (one hash pass)
+      3. stop-filter on the (tiny) unique-term table, mask by code
+      4. tf counts via a single int64 sort+run-length (np.unique) over
+         the combined (docid, code) key — no object-dtype groupby
 
     Returns ``(triples, doc_lens)``:
-      triples  — DataFrame(docid int64, term str, tf int64)
+      triples  — DataFrame(docid int64, term str, tf int64),
+                 sorted by (docid, first-occurrence code order)
       doc_lens — DataFrame(docid int64, doclen int64)  (0 for empty docs)
     """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    n_docs = doc_ids.size
     tok_lists = texts.fillna("").str.lower().str.findall(TOKEN_RE)
-    counts = tok_lists.map(len).to_numpy(dtype=np.int64)
-    flat = pd.Series(list(chain.from_iterable(tok_lists)), dtype="object")
-    rep_ids = np.repeat(np.asarray(doc_ids, dtype=np.int64), counts)
-    df = pd.DataFrame({"docid": rep_ids, "term": flat})
-    if len(df):
-        df = df[~df["term"].isin(STOPWORDS)]
-    doclen = (
-        df.groupby("docid").size().reindex(np.asarray(doc_ids, dtype=np.int64), fill_value=0)
-        if len(df)
-        else pd.Series(0, index=np.asarray(doc_ids, dtype=np.int64))
+    counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n_docs)
+    flat = list(chain.from_iterable(tok_lists))
+    if not flat:
+        return (
+            pd.DataFrame({"docid": np.array([], np.int64), "term": pd.Series([], dtype=object), "tf": np.array([], np.int64), "doclen": np.array([], np.int64)}),
+            pd.DataFrame({"docid": doc_ids, "doclen": np.zeros(n_docs, np.int64)}),
+        )
+    codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+    keep_uniq = ~pd.Index(uniques).isin(STOPWORDS)
+    keep = keep_uniq[codes]
+    # docid positions (0..n_docs-1) repeated per token, stop-filtered
+    pos = np.repeat(np.arange(n_docs, dtype=np.int64), counts)[keep]
+    codes = codes[keep]
+    doclens = np.bincount(pos, minlength=n_docs).astype(np.int64)
+    # combined key: doc position * n_uniques + code → one sort + run-length
+    # (manual RLE beats np.unique's extra flatten/mask passes)
+    k = np.int64(len(uniques))
+    key = pos * k + codes
+    key.sort()
+    change = np.empty(key.size, dtype=bool)
+    change[0] = True
+    np.not_equal(key[1:], key[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    tf = np.diff(np.append(starts, key.size))
+    ukey = key[starts]
+    upos = ukey // k
+    triples = pd.DataFrame(
+        {
+            "docid": doc_ids[upos],
+            "term": uniques[(ukey % k)],
+            "tf": tf.astype(np.int64),
+            "doclen": doclens[upos],
+        }
     )
-    doc_lens = pd.DataFrame(
-        {"docid": doclen.index.to_numpy(np.int64), "doclen": doclen.to_numpy(np.int64)}
-    )
-    if len(df):
-        triples = df.groupby(["docid", "term"], sort=False).size().rename("tf").reset_index()
-        triples["tf"] = triples["tf"].astype(np.int64)
-    else:
-        triples = pd.DataFrame({"docid": np.array([], np.int64), "term": [], "tf": np.array([], np.int64)})
+    doc_lens = pd.DataFrame({"docid": doc_ids, "doclen": doclens})
     return triples, doc_lens
 
 

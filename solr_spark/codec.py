@@ -187,3 +187,86 @@ def decode_blocks(
     if not out_docs:
         return np.empty(0, np.int64), np.empty(0, np.int64)
     return np.concatenate(out_docs), np.concatenate(out_tfs)
+
+
+def encode_posting_runs(
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    doclens: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    bases: np.ndarray,
+) -> list[EncodedPostings]:
+    """Encode MANY sorted posting runs in one vectorized pass — the
+    partition-level batch form of encode_postings (bit-identical output).
+
+    ``starts``/``ends`` delimit each run inside the parent arrays and must
+    tile them contiguously in order; ``bases`` is each run's bucket base.
+    All varint sizing/encoding happens over the whole partition at once;
+    per-block max-tf / min-doclen use np.maximum/minimum.reduceat over the
+    global block-start index vector (blocks tile the arrays exactly, so
+    reduceat's [i, i+1) segment semantics give block ranges). The only
+    per-run Python work is byte-slicing the two shared streams.
+    """
+    n = docids.size
+    G = starts.size
+    if n == 0 or G == 0:
+        return []
+    docids = np.ascontiguousarray(docids, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    doclens = np.ascontiguousarray(doclens, dtype=np.int64)
+    lens = ends - starts
+
+    deltas = np.empty(n, dtype=np.uint64)
+    if n > 1:
+        np.subtract(docids[1:], docids[:-1], out=deltas[1:], casting="unsafe")
+    deltas[starts] = (docids[starts] - bases).astype(np.uint64)
+    tf_enc = (tfs - 1).astype(np.uint64)
+
+    sizes_d = _varint_sizes(deltas)
+    sizes_t = _varint_sizes(tf_enc)
+    stream_d = varint_encode(deltas)
+    stream_t = varint_encode(tf_enc)
+    cum_d = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(sizes_d, out=cum_d[1:])
+    cum_t = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(sizes_t, out=cum_t[1:])
+
+    # global block tiling: run g owns ceil(len_g/BLOCK) blocks
+    nb = (lens + BLOCK_SIZE - 1) // BLOCK_SIZE
+    nb_total = int(nb.sum())
+    block_group = np.repeat(np.arange(G, dtype=np.int64), nb)
+    cum_nb = np.zeros(G + 1, dtype=np.int64)
+    np.cumsum(nb, out=cum_nb[1:])
+    within = np.arange(nb_total, dtype=np.int64) - cum_nb[block_group]
+    bstart = starts[block_group] + within * BLOCK_SIZE
+    bend = np.minimum(bstart + BLOCK_SIZE, ends[block_group])
+    block_last = docids[bend - 1]
+    block_max_tf = np.maximum.reduceat(tfs, bstart).astype(np.int32)
+    block_min_dl = np.minimum.reduceat(doclens, bstart).astype(np.int32)
+    offs_d = (cum_d[bstart] - cum_d[starts[block_group]]).astype(np.int32)
+    offs_t = (cum_t[bstart] - cum_t[starts[block_group]]).astype(np.int32)
+
+    # per-run cf via reduceat over run starts
+    cfs = np.add.reduceat(tfs, starts)
+
+    db = stream_d.tobytes()
+    tb = stream_t.tobytes()
+    out: list[EncodedPostings] = []
+    for g in range(G):
+        s, e = starts[g], ends[g]
+        b0, b1 = cum_nb[g], cum_nb[g + 1]
+        out.append(
+            EncodedPostings(
+                df=int(lens[g]),
+                cf=int(cfs[g]),
+                doc_bytes=db[cum_d[s] : cum_d[e]],
+                tf_bytes=tb[cum_t[s] : cum_t[e]],
+                block_offs_doc=offs_d[b0:b1],
+                block_offs_tf=offs_t[b0:b1],
+                block_last=block_last[b0:b1],
+                block_max_tf=block_max_tf[b0:b1],
+                block_min_dl=block_min_dl[b0:b1],
+            )
+        )
+    return out

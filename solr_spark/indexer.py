@@ -46,13 +46,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .analysis import term_frequencies
-from .codec import encode_postings
+from .codec import encode_posting_runs
 
-STAGE_SCHEMA = (
-    "kind tinyint, pid int, local_idx bigint, term string, tf bigint, "
-    "doclen bigint, repo string, path string, commit string, lang string, "
-    "sha256 string"
-)
+# Narrow union schema: posting rows dominate (~500× doc rows), so they
+# carry exactly one object column. Doc rows pack their metadata into that
+# column as "repo\x01path\x01commit\x01lang\x01sha256" (split JVM-side in
+# stage 2 — id columns must not contain \x01).
+STAGE_SCHEMA = "kind tinyint, pid int, local_idx bigint, term string, tf bigint, doclen bigint"
+_META_SEP = "\x01"
 
 POSTINGS_SCHEMA = (
     "term string, bucket bigint, df bigint, cf bigint, "
@@ -123,41 +124,35 @@ def _analyze_partitions(id_count_offset: None = None):
             n_docs += len(pdf)
             triples, doclens = term_frequencies(ids, pdf["content"])
             sha = pdf["content"].map(lambda s: hashlib.sha256((s or "").encode()).hexdigest())
-            docs_out = pd.DataFrame(
+            packed = (
+                pdf["repo"].astype(str)
+                + _META_SEP + pdf["path"].astype(str)
+                + _META_SEP + pdf["commit"].astype(str)
+                + _META_SEP + pdf["lang"].fillna("").astype(str)
+                + _META_SEP + sha
+            )
+            yield pd.DataFrame(
                 {
                     "kind": np.int8(0),
                     "pid": np.int32(pid),
                     "local_idx": ids,
-                    "term": None,
+                    "term": packed.to_numpy(),
                     "tf": np.int64(0),
                     "doclen": doclens["doclen"].to_numpy(),
-                    "repo": pdf["repo"].to_numpy(),
-                    "path": pdf["path"].to_numpy(),
-                    "commit": pdf["commit"].to_numpy(),
-                    "lang": pdf["lang"].to_numpy(),
-                    "sha256": sha.to_numpy(),
                 }
             )
-            yield docs_out
             if len(triples):
-                dl_map = doclens.set_index("docid")["doclen"]
-                post_out = pd.DataFrame(
+                n_postings += len(triples)
+                yield pd.DataFrame(
                     {
                         "kind": np.int8(1),
                         "pid": np.int32(pid),
                         "local_idx": triples["docid"].to_numpy(),
                         "term": triples["term"].to_numpy(),
                         "tf": triples["tf"].to_numpy(),
-                        "doclen": dl_map.loc[triples["docid"]].to_numpy(),
-                        "repo": None,
-                        "path": None,
-                        "commit": None,
-                        "lang": None,
-                        "sha256": None,
+                        "doclen": triples["doclen"].to_numpy(),
                     }
                 )
-                n_postings += len(post_out)
-                yield post_out
         if pid >= 0:  # per-partition lineage metrics row
             yield pd.DataFrame(
                 {
@@ -167,8 +162,6 @@ def _analyze_partitions(id_count_offset: None = None):
                     "term": ["_metrics"],
                     "tf": [np.int64(n_postings)],
                     "doclen": [np.int64((time.time() - t0) * 1000)],
-                    "repo": [None], "path": [None], "commit": [None],
-                    "lang": [None], "sha256": [None],
                 }
             )
 
@@ -177,7 +170,9 @@ def _analyze_partitions(id_count_offset: None = None):
 
 def _encode_partition(bucket_docs: int):
     """mapInPandas closure: vectorized posting-run encoder. Input partition
-    holds complete (term, bucket) groups (range-partitioned upstream)."""
+    holds complete (term, bucket) groups (range-partitioned upstream); the
+    whole partition is varint-encoded in ONE numpy pass
+    (codec.encode_posting_runs), per-run Python reduced to byte slicing."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         chunks = [b for b in batches if len(b)]
@@ -186,30 +181,32 @@ def _encode_partition(bucket_docs: int):
         pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
         pdf = pdf.sort_values(["term", "bucket", "docid"], kind="mergesort", ignore_index=True)
         terms = pdf["term"].to_numpy()
-        buckets = pdf["bucket"].to_numpy()
-        docids = pdf["docid"].to_numpy()
-        tfs = pdf["tf"].to_numpy()
-        dls = pdf["doclen"].to_numpy()
+        buckets = pdf["bucket"].to_numpy(np.int64)
+        docids = pdf["docid"].to_numpy(np.int64)
+        tfs = pdf["tf"].to_numpy(np.int64)
+        dls = pdf["doclen"].to_numpy(np.int64)
         # group boundaries where (term, bucket) changes
         change = np.empty(len(pdf), dtype=bool)
         change[0] = True
         change[1:] = (terms[1:] != terms[:-1]) | (buckets[1:] != buckets[:-1])
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], len(pdf))
+        encs = encode_posting_runs(
+            docids, tfs, dls, starts, ends, buckets[starts] * bucket_docs
+        )
         rows = []
-        for s, e in zip(starts, ends):
-            b = int(buckets[s])
-            enc = encode_postings(docids[s:e], tfs[s:e], dls[s:e], base=b * bucket_docs)
+        for g, enc in enumerate(encs):
+            s = starts[g]
             rows.append(
                 (
-                    terms[s], b, enc.df, enc.cf,
+                    terms[s], int(buckets[s]), enc.df, enc.cf,
                     enc.doc_bytes, enc.tf_bytes,
                     enc.block_offs_doc.tolist(), enc.block_offs_tf.tolist(),
                     enc.block_last.tolist(), enc.block_max_tf.tolist(),
                     enc.block_min_dl.tolist(),
                 )
             )
-            if len(rows) >= 2000:
+            if len(rows) >= 4000:
                 yield _rows_to_pdf(rows)
                 rows = []
         if rows:
@@ -302,12 +299,22 @@ def build_index(
     t0 = time.time()
     docs_out = os.path.join(out_dir, "docs")
     if not (resume and _done(docs_out)):
+        meta_parts = F.split(F.col("term"), _META_SEP)
         (
             stage.where(F.col("kind") == 0)
             .join(offs_df, "pid")
             .withColumn("docid", F.col("offset") + F.col("local_idx"))
             .withColumn("bucket", F.expr(f"docid DIV {bucket_docs}"))
-            .select("docid", "bucket", "repo", "path", "commit", "lang", "sha256", "doclen")
+            .select(
+                "docid",
+                "bucket",
+                meta_parts.getItem(0).alias("repo"),
+                meta_parts.getItem(1).alias("path"),
+                meta_parts.getItem(2).alias("commit"),
+                meta_parts.getItem(3).alias("lang"),
+                meta_parts.getItem(4).alias("sha256"),
+                "doclen",
+            )
             .repartitionByRange(max(P // 2, 1), "docid")
             .sortWithinPartitions("docid")
             .write.mode("overwrite")

@@ -216,6 +216,33 @@ def _score_conjunction_pruned(
     return True
 
 
+class Searcher:
+    """Warm query session over one index — holds the terms/postings/docs
+    DataFrames (and optionally caches the small ones) so repeated queries
+    skip plan re-creation and re-scans. The reference analog is
+    SolrIndexSearcher with its filter/document caches
+    (solr/core/src/java/org/apache/solr/search/SolrIndexSearcher.java:894-986):
+    term stats ≈ the term dictionary in heap, docs ≈ docValues pages in OS
+    cache. Postings stay uncached (pruned parquet scans per query)."""
+
+    def __init__(self, spark: SparkSession, meta: IndexMeta, cache: bool = True):
+        self.spark = spark
+        self.meta = meta
+        self.terms = spark.read.parquet(meta.terms_path)
+        self.postings = spark.read.parquet(meta.postings_path)
+        self.docs = spark.read.parquet(meta.docs_path)
+        if cache:
+            self.terms = self.terms.cache()
+            self.docs = self.docs.cache()
+            self.terms.count()  # materialize
+            self.docs.count()
+
+    def search(self, q: str | Query, k: int = 10, prune: bool = True,
+               with_fields: bool = False) -> DataFrame:
+        return search(self.spark, self.meta, q, k, prune, with_fields,
+                      _frames=(self.terms, self.postings, self.docs))
+
+
 def search(
     spark: SparkSession,
     meta: IndexMeta,
@@ -223,21 +250,23 @@ def search(
     k: int = 10,
     prune: bool = True,
     with_fields: bool = False,
+    _frames: tuple | None = None,
 ) -> DataFrame:
     """Top-k BM25 search. Returns DataFrame(docid, score) ordered by
     (score desc, docid asc), limited to k; with_fields joins doc columns."""
     query = parse(q) if isinstance(q, str) else q
     weights = dict(query.scoring)
     empty = spark.createDataFrame([], RESULT_SCHEMA)
+    terms_df, postings_df, docs_df = _frames or (
+        spark.read.parquet(meta.terms_path),
+        spark.read.parquet(meta.postings_path),
+        spark.read.parquet(meta.docs_path),
+    )
 
     all_terms = sorted(set(weights) | query.prohibited)
     if not weights:
         return empty
-    stats = (
-        spark.read.parquet(meta.terms_path)
-        .where(F.col("term").isin(all_terms))
-        .collect()
-    )
+    stats = terms_df.where(F.col("term").isin(all_terms)).collect()
     df_map = {r["term"]: int(r["df"]) for r in stats}
     for t in query.required:
         if df_map.get(t, 0) == 0:
@@ -249,9 +278,9 @@ def search(
     idfs = {t: float(idf_fn(df_map[t], meta.n_docs)) for t in present}
     needed = sorted(set(present) | {t for t in query.prohibited if df_map.get(t, 0) > 0})
 
-    postings = spark.read.parquet(meta.postings_path).where(F.col("term").isin(needed))
+    postings = postings_df.where(F.col("term").isin(needed))
     doc_cols = ["docid", "bucket", "doclen"] + sorted(query.filters)
-    doc_stats = spark.read.parquet(meta.docs_path).select(*doc_cols)
+    doc_stats = docs_df.select(*doc_cols)
     # prune the docs scan to buckets that contain at least one query term
     buckets = postings.select("bucket").distinct()
     doc_stats = doc_stats.join(F.broadcast(buckets), "bucket", "left_semi")
@@ -268,7 +297,7 @@ def search(
     )
     out = scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
     if with_fields:
-        docs_full = spark.read.parquet(meta.docs_path).drop("bucket", "doclen")
+        docs_full = docs_df.drop("bucket", "doclen")
         out = (
             out.join(docs_full, "docid", "left")
             .orderBy(F.desc("score"), F.asc("docid"))

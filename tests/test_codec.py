@@ -69,3 +69,40 @@ def test_partial_block_decode_matches_full():
     )
     np.testing.assert_array_equal(d, docids[expect_idx])
     np.testing.assert_array_equal(t, tfs[expect_idx])
+
+
+def test_batch_encoder_matches_single():
+    """encode_posting_runs (partition-batch path) is bit-identical to
+    encode_postings run per group — the indexer's hot path contract."""
+    import numpy as np
+
+    from solr_spark.codec import encode_posting_runs, encode_postings
+
+    rng = np.random.default_rng(0)
+    docids, tfs, dls, starts, ends, bases = [], [], [], [], [], []
+    pos = 0
+    for _ in range(50):
+        L = int(rng.integers(1, 400))
+        base = int(rng.integers(0, 5)) * 4096
+        d = np.sort(rng.choice(np.arange(base, base + 4096), size=L, replace=False))
+        docids.append(d)
+        tfs.append(rng.integers(1, 900, size=d.size))
+        dls.append(rng.integers(1, 3000, size=d.size))
+        starts.append(pos)
+        pos += d.size
+        ends.append(pos)
+        bases.append(base)
+    docids, tfs, dls = map(np.concatenate, (docids, tfs, dls))
+    encs = encode_posting_runs(
+        docids, tfs, dls, np.array(starts), np.array(ends), np.array(bases)
+    )
+    for g, enc in enumerate(encs):
+        s, e = starts[g], ends[g]
+        ref = encode_postings(docids[s:e], tfs[s:e], dls[s:e], base=bases[g])
+        assert enc.doc_bytes == ref.doc_bytes and enc.tf_bytes == ref.tf_bytes
+        assert enc.df == ref.df and enc.cf == ref.cf
+        for f in (
+            "block_offs_doc", "block_offs_tf", "block_last",
+            "block_max_tf", "block_min_dl",
+        ):
+            assert np.array_equal(getattr(enc, f), getattr(ref, f)), (g, f)
