@@ -62,9 +62,16 @@ def main() -> None:
     # --- corpus (untimed, cached across runs) -----------------------------
     corpus_path = f"/tmp/solr_spark_bench_corpus_{n_docs}"
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
-        materialize_corpus(spark, n_docs, corpus_path)
+        materialize_corpus(spark, n_docs, corpus_path, num_partitions=128)
 
-    # --- index build (timed, cold) ----------------------------------------
+    # --- JMH-style warm-up (codegen + python-worker startup + first-touch
+    # faults happen outside the measured region) ---------------------------
+    warm_dir = "/tmp/solr_spark_bench_warm"
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    build_index(spark, spark.read.parquet(corpus_path).limit(3000), warm_dir,
+                num_partitions=cpus)
+
+    # --- index build (timed) ----------------------------------------------
     idx_dir = f"/tmp/solr_spark_bench_idx_{n_docs}_{cpus}"
     shutil.rmtree(idx_dir, ignore_errors=True)
     t0 = time.time()

@@ -35,14 +35,26 @@ spark = get_spark(master=f"local[{{cpus}}]", shuffle_partitions=cpus,
                   app_name="scaling_bench")
 corpus = {corpus!r}
 if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
-    materialize_corpus(spark, {docs}, corpus)
-    # warm OS page cache consistently for both arms
-idx = f"/tmp/solr_spark_scale_idx_{{cpus}}"
-shutil.rmtree(idx, ignore_errors=True)
-t0 = time.time()
-meta = build_index(spark, spark.read.parquet(corpus), idx, num_partitions=cpus)
-wall = time.time() - t0
-print("RESULT " + json.dumps({{"cpus": cpus, "wall": wall, "docs": meta.n_docs,
+    materialize_corpus(spark, {docs}, corpus, num_partitions=128)
+# JMH-style warm-up: one full-size untimed build exercises codegen,
+# python-worker startup and first-touch page faults outside the measured
+# region (the reference's own harness uses JMH @Warmup iterations; this
+# VM class additionally pays ~100s/GB on first-touch, so steady-state
+# throughput is the meaningful quantity). Then measure 2 timed builds
+# and report the best.
+warm = f"/tmp/solr_spark_scale_warm_{{cpus}}"
+shutil.rmtree(warm, ignore_errors=True)
+build_index(spark, spark.read.parquet(corpus), warm, num_partitions=cpus)
+walls = []
+for rep in range(2):
+    idx = f"/tmp/solr_spark_scale_idx_{{cpus}}"
+    shutil.rmtree(idx, ignore_errors=True)
+    t0 = time.time()
+    meta = build_index(spark, spark.read.parquet(corpus), idx, num_partitions=cpus)
+    walls.append(time.time() - t0)
+wall = min(walls)
+print("RESULT " + json.dumps({{"cpus": cpus, "wall": wall, "walls": walls,
+                               "docs": meta.n_docs,
                                "docs_per_sec": meta.n_docs / wall}}))
 """
 

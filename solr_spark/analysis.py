@@ -55,40 +55,53 @@ def tokenize_lists(texts: pd.Series) -> pd.Series:
 
 
 def term_frequencies(doc_ids: np.ndarray, texts: pd.Series) -> tuple[pd.DataFrame, pd.DataFrame]:
-    """Analyze a batch of documents — the ingest hot path, fully
-    vectorized (no per-row Python beyond the C-level regex scan):
+    """Analyze a batch of documents — the ingest hot path, zero per-token
+    Python objects. All string work runs in Arrow C++ over flat buffers
+    (lower → regex split → flatten → stop-filter → dictionary-encode);
+    only int arrays reach numpy:
 
-      1. tokenize: pandas .str.findall (C regex loop)
-      2. factorize the flat token stream to int32 codes (one hash pass)
-      3. stop-filter on the (tiny) unique-term table, mask by code
-      4. tf counts via a single int64 sort+run-length (np.unique) over
-         the combined (docid, code) key — no object-dtype groupby
+      1. pc.utf8_lower + pc.split_pattern_regex on the non-token class
+         (identical token contract to TOKEN_RE — empty fragments dropped)
+      2. pc.list_flatten + list_parent_indices → (token, doc position)
+      3. pc.is_in stop filter, pc.dictionary_encode → int32 codes
+      4. tf counts via one int64 sort + run-length over (pos, code) keys
+      5. the triples' term column stays an Arrow-backed pandas column
+         (no Python string materialization on the way back out)
 
     Returns ``(triples, doc_lens)``:
-      triples  — DataFrame(docid int64, term str, tf int64),
-                 sorted by (docid, first-occurrence code order)
+      triples  — DataFrame(docid int64, term str[arrow], tf int64, doclen int64)
       doc_lens — DataFrame(docid int64, doclen int64)  (0 for empty docs)
     """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     n_docs = doc_ids.size
-    tok_lists = texts.fillna("").str.lower().str.findall(TOKEN_RE)
-    counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n_docs)
-    flat = list(chain.from_iterable(tok_lists))
-    if not flat:
+    arr = pa.Array.from_pandas(texts.fillna(""))
+    toks = pc.split_pattern_regex(pc.utf8_lower(arr), SPLIT_REGEX_SQL)
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    good = pc.and_(
+        pc.not_equal(flat, ""),
+        pc.invert(pc.is_in(flat, value_set=pa.array(sorted(STOPWORDS)))),
+    )
+    flat = pc.filter(flat, good)
+    parent = pc.filter(parent, good)
+    if len(flat) == 0:
+        empty_terms = pd.array([], dtype="string[pyarrow]")
         return (
-            pd.DataFrame({"docid": np.array([], np.int64), "term": pd.Series([], dtype=object), "tf": np.array([], np.int64), "doclen": np.array([], np.int64)}),
+            pd.DataFrame({"docid": np.array([], np.int64), "term": empty_terms, "tf": np.array([], np.int64), "doclen": np.array([], np.int64)}),
             pd.DataFrame({"docid": doc_ids, "doclen": np.zeros(n_docs, np.int64)}),
         )
-    codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=False)
-    keep_uniq = ~pd.Index(uniques).isin(STOPWORDS)
-    keep = keep_uniq[codes]
-    # docid positions (0..n_docs-1) repeated per token, stop-filtered
-    pos = np.repeat(np.arange(n_docs, dtype=np.int64), counts)[keep]
-    codes = codes[keep]
+    denc = pc.dictionary_encode(flat)
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    codes = denc.indices.to_numpy().astype(np.int64)
+    dictionary = denc.dictionary
+    pos = parent.to_numpy().astype(np.int64)
     doclens = np.bincount(pos, minlength=n_docs).astype(np.int64)
     # combined key: doc position * n_uniques + code → one sort + run-length
-    # (manual RLE beats np.unique's extra flatten/mask passes)
-    k = np.int64(len(uniques))
+    k = np.int64(len(dictionary))
     key = pos * k + codes
     key.sort()
     change = np.empty(key.size, dtype=bool)
@@ -98,10 +111,15 @@ def term_frequencies(doc_ids: np.ndarray, texts: pd.Series) -> tuple[pd.DataFram
     tf = np.diff(np.append(starts, key.size))
     ukey = key[starts]
     upos = ukey // k
+    term_col = pd.Series(
+        pd.arrays.ArrowExtensionArray(
+            pc.take(dictionary, pa.array((ukey % k), type=pa.int32()))
+        )
+    )
     triples = pd.DataFrame(
         {
             "docid": doc_ids[upos],
-            "term": uniques[(ukey % k)],
+            "term": term_col,
             "tf": tf.astype(np.int64),
             "doclen": doclens[upos],
         }

@@ -100,3 +100,114 @@ def gate_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     solr/core/src/java/org/apache/solr/search/stats/ExactStatsCache.java:61)."""
     meta = ensure_index(spark, sf_dir)
     return spark.read.parquet(meta.terms_path).select("term", "df", "cf")
+
+
+def gate_phrase(spark: SparkSession, sf_dir: str, phrase: str, k: int = 10) -> DataFrame:
+    """Exact phrase query — two-phase, the classic positional-index
+    workaround for a positionless postings format:
+
+      1. candidate generation: conjunctive index search over the phrase's
+         terms (cheap pruning via the inverted index);
+      2. adjacency verify + phrase-frequency count by re-analyzing ONLY
+         the candidates' content (JVM-side array ops, overlapping
+         occurrences counted — Lucene PhraseQuery position semantics);
+      3. BM25 with tf = phrase frequency, df = docs containing the phrase
+         (PhraseQuery scoring: phraseFreq into the same tf-norm).
+
+    Reference: phrase queries in the standard parser
+    (solr/core/src/java/org/apache/solr/search/SolrQueryParser.java;
+    solr-ref-guide standard-query-parser.adoc). Ranking under the rounded-
+    score contract; output (doc_id, phrase_tf, score).
+    """
+    from collections import Counter
+
+    from .analysis import analyze_query
+    from .functions import textfn
+
+    meta = ensure_index(spark, sf_dir)
+    terms = analyze_query(phrase)
+    L = len(terms)
+    if L == 0:
+        return spark.createDataFrame([], "doc_id bigint, phrase_tf bigint, score double")
+    q = Query(required=Counter(terms))
+    cand = search(spark, meta, q, k=meta.n_docs).select("docid")
+    docs = spark.read.parquet(meta.docs_path).select("docid", "path", "doclen")
+    src = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    with_src = (
+        cand.join(docs, "docid")
+        .withColumn("doc_id", F.col("path").cast("bigint"))
+        .join(src, "doc_id")
+    )
+    toks = textfn.tokens(F.col("text"))
+    phrase_arr = F.array(*[F.lit(t) for t in terms])
+    n_pos = F.size(toks) - L + 1
+    hits = F.filter(
+        F.sequence(F.lit(1), F.greatest(n_pos, F.lit(1))),
+        lambda i: F.slice(toks, i, L) == phrase_arr,
+    )
+    ptf = F.when(n_pos >= 1, F.size(hits)).otherwise(F.lit(0))
+    matched = (
+        with_src.withColumn("phrase_tf", ptf.cast("bigint"))
+        .filter(F.col("phrase_tf") > 0)
+        .select("doc_id", "phrase_tf", "doclen")
+    )
+    dfp = matched.agg(F.count(F.lit(1)).cast("double").alias("df_p"))
+    n = float(meta.n_docs)
+    avgdl = meta.avgdl
+    tf_d = F.col("phrase_tf").cast("double")
+    # exact literal shape mirrored by the oracle SQL (idf * tfnorm)
+    score = F.log(
+        F.lit(1.0) + (F.lit(n) - F.col("df_p") + F.lit(0.5)) / (F.col("df_p") + F.lit(0.5))
+    ) * (
+        tf_d
+        * (F.lit(1.2) + F.lit(1.0))
+        / (
+            tf_d
+            + F.lit(1.2)
+            * (F.lit(1.0) - F.lit(0.75) + F.lit(0.75) * F.col("doclen").cast("double") / F.lit(avgdl))
+        )
+    )
+    out = matched.crossJoin(F.broadcast(dfp)).withColumn(
+        "score", F.round(score, 6)
+    )
+    return (
+        out.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "phrase_tf", "score")
+    )
+
+
+def gate_mlt(spark: SparkSession, sf_dir: str, doc_id: int, top_terms: int = 5, k: int = 10) -> DataFrame:
+    """more-like-this: pick the doc's top tf·idf terms from the index,
+    run them as an OR query, exclude the seed doc
+    (MoreLikeThisHandler.java:1; SURVEY §2.3 mlt row)."""
+    from .kernel import postings_rows
+    from .operators.graph import more_like_this_terms
+
+    meta = ensure_index(spark, sf_dir)
+    # seed doc's internal docid
+    docs = spark.read.parquet(meta.docs_path)
+    seed = docs.filter(F.col("path") == f"{doc_id:08d}").select("docid").collect()
+    if not seed:
+        return spark.createDataFrame([], "doc_id bigint, score double")
+    internal = int(seed[0]["docid"])
+    terms_df = spark.read.parquet(meta.terms_path)
+    all_terms = [r["term"] for r in terms_df.select("term").collect()]
+    triples = postings_rows(spark, meta, all_terms)
+    mlt = more_like_this_terms(
+        triples, terms_df, internal, meta.n_docs, top_terms=top_terms
+    )
+    terms = [r["term"] for r in mlt.collect()]
+    if not terms:
+        return spark.createDataFrame([], "doc_id bigint, score double")
+    q = Query(optional=__import__("collections").Counter(terms))
+    res = search(spark, meta, q, k=meta.n_docs)
+    out = _with_doc_id(spark, meta, res.filter(F.col("docid") != internal))
+    out = out.withColumn("score", F.round(F.col("score"), 6))
+    return (
+        out.orderBy(F.desc("score"), F.asc("docid"))
+        .limit(k)
+        .select("doc_id", "score")
+    )

@@ -908,3 +908,166 @@ def all_queries():
 
 def all_oracles():
     return {name: sql for name, (_fn, sql) in ENTRIES.items() if sql is not None}
+
+
+# ===========================================================================
+# 9. Phrase / MLT / rerank / frange / updates / spatial (coverage round 2)
+
+_PHRASE_TERMS = ["spark", "window"]
+_PHRASE_SQL = f"""WITH dl AS (SELECT doc_id, len({TOKS_SQL}) AS doclen FROM documents),
+g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+      CAST(sum(doclen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+tk AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+pt AS (SELECT doc_id,
+  CASE WHEN len(t) - 2 + 1 >= 1 THEN
+    len(list_filter(generate_series(1, len(t) - 2 + 1),
+        i -> t[i:i+1] = ['spark', 'window']))
+  ELSE 0 END AS phrase_tf FROM tk),
+m AS (SELECT doc_id, phrase_tf FROM pt WHERE phrase_tf > 0),
+dfp AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM m)
+SELECT m.doc_id, m.phrase_tf,
+round(ln(1.0 + (g.n - (SELECT v FROM dfp) + 0.5) / ((SELECT v FROM dfp) + 0.5))
+ * (CAST(m.phrase_tf AS DOUBLE) * (1.2 + 1.0) /
+    (CAST(m.phrase_tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * d.doclen / g.avgdl))), 6) AS score
+FROM m JOIN dl d USING (doc_id) CROSS JOIN g
+ORDER BY round(ln(1.0 + (g.n - (SELECT v FROM dfp) + 0.5) / ((SELECT v FROM dfp) + 0.5))
+ * (CAST(m.phrase_tf AS DOUBLE) * (1.2 + 1.0) /
+    (CAST(m.phrase_tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * d.doclen / g.avgdl))), 6) DESC,
+ m.doc_id ASC
+LIMIT 10"""
+
+
+@entry("fts_phrase", _PHRASE_SQL)
+def fts_phrase(spark, sf_dir):
+    from solr_spark.engine import gate_phrase
+
+    return gate_phrase(spark, sf_dir, "spark window", k=10)
+
+
+@entry("fts_mlt", None)  # rows-only: mlt term selection drives a 2nd query
+def fts_mlt(spark, sf_dir):
+    from solr_spark.engine import gate_mlt
+
+    return gate_mlt(spark, sf_dir, doc_id=0, top_terms=5, k=10)
+
+
+@entry(
+    "w_rerank",
+    """SELECT o_orderkey,
+CASE WHEN rn <= 10 THEN o_totalprice + 2.0 * CAST(o_custkey % 100 AS DOUBLE)
+     ELSE o_totalprice END AS rerank_score
+FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+      row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)""",
+)
+def w_rerank(spark, sf_dir):
+    df = _t(spark, sf_dir, "orders").withColumn("score", F.col("o_totalprice"))
+    out = windowed.rerank(
+        df,
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        rerank_docs=10,
+        rescore=(F.col("o_custkey") % 100).cast("double"),
+        weight=2.0,
+    )
+    return out.select("o_orderkey", "rerank_score")
+
+
+@entry(
+    "a_frange",
+    """SELECT o_orderkey, o_totalprice * 0.9 + CAST(o_custkey AS DOUBLE) AS f
+FROM orders WHERE o_totalprice * 0.9 + CAST(o_custkey AS DOUBLE) BETWEEN 100000.0 AND 150000.0""",
+)
+def a_frange(spark, sf_dir):
+    """{!frange}: filter by a function-query value range
+    (FunctionRangeQParserPlugin.java:1)."""
+    f = F.col("o_totalprice") * F.lit(0.9) + F.col("o_custkey").cast("double")
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", f.alias("f"))
+        .filter(F.col("f").between(100000.0, 150000.0))
+    )
+
+
+@entry("a_hll_approx", None)  # rows-only: HLL sketch is engine-specific
+def a_hll_approx(spark, sf_dir):
+    """hll agg (facet/HLLAgg.java): HyperLogLog cardinality sketch —
+    approx values differ per implementation, so the gate records the
+    rows-only check; the exact counterpart is a_unique_exact."""
+    return rollup.rollup(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderstatus"],
+        [F.approx_count_distinct("o_custkey").alias("n_cust_approx")],
+    )
+
+
+@entry(
+    "u_atomic_update",
+    """SELECT o_orderkey,
+CASE WHEN o_orderkey = 10 THEN 'X' WHEN o_orderkey = 20 THEN 'X'
+     ELSE o_orderstatus END AS o_orderstatus,
+CASE WHEN o_orderkey = 10 THEN o_totalprice + 100.0
+     WHEN o_orderkey = 20 THEN o_totalprice + 50.0
+     WHEN o_orderkey = 30 THEN o_totalprice + 25.0
+     ELSE o_totalprice END AS o_totalprice
+FROM orders""",
+)
+def u_atomic_update(spark, sf_dir):
+    from solr_spark.operators.updates import atomic_update
+
+    updates = spark.createDataFrame(
+        [(10, "X", 100.0), (20, "X", 50.0), (30, None, 25.0)],
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double",
+    )
+    out = atomic_update(
+        _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ),
+        updates,
+        "o_orderkey",
+        {"o_orderstatus": "set", "o_totalprice": "inc"},
+    )
+    return out.select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@entry(
+    "u_delete_by_key",
+    """SELECT o_orderkey, o_orderstatus FROM orders
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')""",
+)
+def u_delete_by_key(spark, sf_dir):
+    from solr_spark.operators.updates import delete_by_key
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    victims = orders.filter(F.col("o_orderstatus") == "F")
+    return delete_by_key(orders, victims, "o_orderkey")
+
+
+def _geo_sql() -> str:
+    from .functions.geo import haversine_sql
+
+    d = haversine_sql(
+        "(CAST(c_custkey % 120 AS DOUBLE) - 60.0)",
+        "(CAST(c_custkey % 300 AS DOUBLE) - 150.0)",
+        "0.0",
+        "0.0",
+    )
+    return (
+        f"SELECT c_custkey, round({d}, 4) AS dist_km FROM customer "
+        f"WHERE round({d}, 4) <= 3000.0"
+    )
+
+
+@entry("a_geodist", _geo_sql())
+def a_geodist(spark, sf_dir):
+    """geodist()/geofilt: great-circle distance filter over synthesized
+    coordinates (SpatialFilterQParserPlugin.java:1; geodist at
+    ValueSourceParser.java:458)."""
+    from solr_spark.functions.geo import haversine_km
+
+    lat = (F.col("c_custkey") % 120).cast("double") - F.lit(60.0)
+    lon = (F.col("c_custkey") % 300).cast("double") - F.lit(150.0)
+    d = F.round(haversine_km(lat, lon, F.lit(0.0), F.lit(0.0)), 4)
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", d.alias("dist_km"))
+        .filter(F.col("dist_km") <= 3000.0)
+    )

@@ -148,7 +148,9 @@ def _analyze_partitions(id_count_offset: None = None):
                         "kind": np.int8(1),
                         "pid": np.int32(pid),
                         "local_idx": triples["docid"].to_numpy(),
-                        "term": triples["term"].to_numpy(),
+                        # Arrow-backed string column — stays a flat buffer
+                        # through the Arrow serializer (no Python strings)
+                        "term": triples["term"],
                         "tf": triples["tf"].to_numpy(),
                         "doclen": triples["doclen"].to_numpy(),
                     }
