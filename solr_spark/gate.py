@@ -79,6 +79,7 @@ _FTS_QUERIES = {
     "fts_weighted_dup_clause": ("spark spark merge", 10),
     "fts_k1": ("stream", 1),
     "fts_k100": ("agg row", 100),
+    "fts_boosted": ("spark^2 merge", 10),
     "fts_no_match": ("zzznotaterm", 10),
     "fts_stopword_only": ("the and of", 10),
 }

@@ -42,6 +42,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
+from pyspark.accumulators import AccumulatorParam
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -104,9 +105,32 @@ class IndexMeta:
         return cls(**d)
 
 
-def _analyze_partitions(id_count_offset: None = None):
+class _DictSumParam(AccumulatorParam):
+    """Accumulator merging {key: tuple-of-numbers} by element-wise sum."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, a, b):
+        for k, v in b.items():
+            if k in a:
+                a[k] = tuple(x + y for x, y in zip(a[k], v))
+            else:
+                a[k] = v
+        return a
+
+
+def _analyze_partitions(stats_acc=None):
     """mapInPandas closure: tokenize + hash one sorted partition, emitting
-    union-typed rows. local_idx is the row ordinal within the partition."""
+    union-typed rows. local_idx is the row ordinal within the partition.
+
+    ``stats_acc`` (optional _DictSumParam accumulator) collects
+    {pid: (n_docs, sum_doclen, n_postings, millis)} with the stage job
+    itself — this replaces three follow-up aggregation jobs on the driver
+    (offsets, global doclen stats, lineage). Exactly-once holds in local
+    mode (spark.task.maxFailures=1 → a task retry fails the job); cluster
+    deployments with retries should pass stats_acc=None to use the scan
+    fallback in build_index."""
     import hashlib
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -114,6 +138,7 @@ def _analyze_partitions(id_count_offset: None = None):
         pid = -1
         n_docs = 0
         n_postings = 0
+        sum_doclen = 0
         t0 = time.time()
         for pdf in batches:
             if len(pdf) == 0:
@@ -123,6 +148,7 @@ def _analyze_partitions(id_count_offset: None = None):
             local += len(pdf)
             n_docs += len(pdf)
             triples, doclens = term_frequencies(ids, pdf["content"])
+            sum_doclen += int(doclens["doclen"].sum())
             sha = pdf["content"].map(lambda s: hashlib.sha256((s or "").encode()).hexdigest())
             packed = (
                 pdf["repo"].astype(str)
@@ -156,6 +182,10 @@ def _analyze_partitions(id_count_offset: None = None):
                     }
                 )
         if pid >= 0:  # per-partition lineage metrics row
+            if stats_acc is not None:
+                stats_acc.add(
+                    {pid: (n_docs, sum_doclen, n_postings, int((time.time() - t0) * 1000))}
+                )
             yield pd.DataFrame(
                 {
                     "kind": [np.int8(2)],
@@ -170,7 +200,7 @@ def _analyze_partitions(id_count_offset: None = None):
     return fn
 
 
-def _encode_partition(bucket_docs: int):
+def _encode_partition(bucket_docs: int, enc_acc=None):
     """mapInPandas closure: vectorized posting-run encoder. Input partition
     holds complete (term, bucket) groups (range-partitioned upstream); the
     whole partition is varint-encoded in ONE numpy pass
@@ -196,6 +226,9 @@ def _encode_partition(bucket_docs: int):
         encs = encode_posting_runs(
             docids, tfs, dls, starts, ends, buckets[starts] * bucket_docs
         )
+        if enc_acc is not None:
+            nbytes = sum(len(e.doc_bytes) + len(e.tf_bytes) for e in encs)
+            enc_acc.add({0: (len(encs), nbytes)})
         rows = []
         for g, enc in enumerate(encs):
             s = starts[g]
@@ -265,7 +298,9 @@ def build_index(
 
     # ---- stage 1: analyze (single content scan) --------------------------
     t0 = time.time()
-    if not (resume and _done(stage_dir)):
+    stats_acc = spark.sparkContext.accumulator({}, _DictSumParam())
+    ran_stage1 = not (resume and _done(stage_dir))
+    if ran_stage1:
         src = docs.select(
             *[F.col(c) for c in id_cols], lang_col.alias("lang"),
             F.col(content_col).alias("content"),
@@ -275,22 +310,42 @@ def build_index(
             .sortWithinPartitions(*id_cols)
             .withColumn("pid", F.spark_partition_id())
         )
-        sorted_docs.mapInPandas(_analyze_partitions(), STAGE_SCHEMA).write.mode(
-            "overwrite"
-        ).parquet(stage_dir)
+        sorted_docs.mapInPandas(
+            _analyze_partitions(stats_acc), STAGE_SCHEMA
+        ).write.mode("overwrite").parquet(stage_dir)
     meta.stages["analyze"] = round(time.time() - t0, 3)
 
     stage = spark.read.parquet(stage_dir)
 
-    # partition offsets -> global docid (tiny collect: one row per partition)
-    offs_rows = (
-        stage.where(F.col("kind") == 0).groupBy("pid").count().orderBy("pid").collect()
-    )
+    # partition offsets -> global docid. Fresh runs get per-partition stats
+    # for free from the stage-1 accumulator; resumed runs re-derive them
+    # with one scan of the staging metrics rows (kind=2).
+    pstats = dict(stats_acc.value) if ran_stage1 else {}
+    if not pstats:
+        pstats = {
+            int(r["pid"]): (int(r["local_idx"]), 0, int(r["tf"]), int(r["doclen"]))
+            for r in stage.where(F.col("kind") == 2).collect()
+        }
+        sums = (
+            stage.where(F.col("kind") == 0)
+            .groupBy("pid")
+            .agg(F.sum("doclen").alias("s"))
+            .collect()
+        )
+        for r in sums:
+            nd, _sd, np_, ms = pstats[int(r["pid"])]
+            pstats[int(r["pid"])] = (nd, int(r["s"] or 0), np_, ms)
     offsets, acc = {}, 0
-    for r in offs_rows:
-        offsets[r["pid"]] = acc
-        acc += r["count"]
+    for pid in sorted(pstats):
+        offsets[pid] = acc
+        acc += pstats[pid][0]
     meta.n_docs = acc
+    meta.sum_doclen = sum(v[1] for v in pstats.values())
+    meta.avgdl = meta.sum_doclen / meta.n_docs if meta.n_docs else 0.0
+    meta.lineage = [
+        {"pid": pid, "n_docs": v[0], "n_postings": v[2], "millis": v[3]}
+        for pid, v in sorted(pstats.items())
+    ]
     offs_df = F.broadcast(
         spark.createDataFrame(
             [(int(p), int(o)) for p, o in offsets.items()], "pid int, offset bigint"
@@ -317,25 +372,24 @@ def build_index(
                 meta_parts.getItem(4).alias("sha256"),
                 "doclen",
             )
-            .repartitionByRange(max(P // 2, 1), "docid")
+            # deterministic slice partitioning (docid ranges are known a
+            # priori) — avoids repartitionByRange's sampling pass
+            .repartition(
+                max(P // 2, 1),
+                F.expr(f"CAST(docid * {max(P // 2, 1)} AS BIGINT) DIV {max(meta.n_docs, 1)}"),
+            )
             .sortWithinPartitions("docid")
             .write.mode("overwrite")
             .parquet(docs_out)
         )
     meta.stages["doc_stats"] = round(time.time() - t0, 3)
 
-    doc_stats = spark.read.parquet(docs_out)
-    g = doc_stats.agg(
-        F.count("*").alias("n"), F.sum("doclen").alias("s")
-    ).collect()[0]
-    meta.n_docs = int(g["n"])
-    meta.sum_doclen = int(g["s"] or 0)
-    meta.avgdl = meta.sum_doclen / meta.n_docs if meta.n_docs else 0.0
-
     # ---- stage 3: postings (term,bucket)-keyed sorted merge ---------------
     t0 = time.time()
+    enc_acc = spark.sparkContext.accumulator({}, _DictSumParam())
     post_out = os.path.join(out_dir, "postings")
-    if not (resume and _done(post_out)):
+    ran_stage3 = not (resume and _done(post_out))
+    if ran_stage3:
         triples = (
             stage.where(F.col("kind") == 1)
             .join(offs_df, "pid")
@@ -347,9 +401,13 @@ def build_index(
             )
             .withColumn("bucket", F.expr(f"docid DIV {bucket_docs}"))
         )
+        # hash exchange on (term, bucket): groups stay complete per
+        # partition and the encoder sorts within, so parquet row-group
+        # stats still prune term lookups; hash avoids the range
+        # partitioner's extra sampling scan of the staging table
         (
-            triples.repartitionByRange(P, "term", "bucket")
-            .mapInPandas(_encode_partition(bucket_docs), POSTINGS_SCHEMA)
+            triples.repartition(P, "term", "bucket")
+            .mapInPandas(_encode_partition(bucket_docs, enc_acc), POSTINGS_SCHEMA)
             .write.mode("overwrite")
             .parquet(post_out)
         )
@@ -382,20 +440,16 @@ def build_index(
     meta.n_terms = int(ts["n_terms"] or 0)
     meta.skew_max_df = int(ts["max_df"] or 0)
     meta.skew_ratio = float(ts["max_df"] / ts["mean_df"]) if ts["mean_df"] else 0.0
-    pb = postings.agg(
-        F.count("*").alias("rows"),
-        F.sum(F.length("doc_bytes") + F.length("tf_bytes")).alias("bytes"),
-    ).collect()[0]
-    meta.postings_rows = int(pb["rows"] or 0)
-    meta.postings_bytes = int(pb["bytes"] or 0)
-    meta.lineage = [
-        {
-            "pid": r["pid"],
-            "n_docs": r["local_idx"],
-            "n_postings": r["tf"],
-            "millis": r["doclen"],
-        }
-        for r in stage.where(F.col("kind") == 2).orderBy("pid").collect()
-    ]
+    if ran_stage3 and enc_acc.value:
+        rows_bytes = enc_acc.value.get(0, (0, 0))
+        meta.postings_rows = int(rows_bytes[0])
+        meta.postings_bytes = int(rows_bytes[1])
+    else:
+        pb = postings.agg(
+            F.count("*").alias("rows"),
+            F.sum(F.length("doc_bytes") + F.length("tf_bytes")).alias("bytes"),
+        ).collect()[0]
+        meta.postings_rows = int(pb["rows"] or 0)
+        meta.postings_bytes = int(pb["bytes"] or 0)
     meta.save()
     return meta

@@ -274,7 +274,8 @@ def search(
     present = [t for t in weights if df_map.get(t, 0) > 0]
     if not present:
         return empty
-    weights = {t: weights[t] for t in present}
+    # clause weight = multiplicity x boost (SolrQueryParser term^boost)
+    weights = {t: weights[t] * query.boosts.get(t, 1.0) for t in present}
     idfs = {t: float(idf_fn(df_map[t], meta.n_docs)) for t in present}
     needed = sorted(set(present) | {t for t in query.prohibited if df_map.get(t, 0) > 0})
 

@@ -70,7 +70,8 @@ def bm25_oracle_sql(q: str, k: int = 10, table: str = "documents") -> str:
         )
         ctes.append(f"df{i} AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM m{i})")
         join_clauses.append(f"LEFT JOIN m{i} ON m{i}.doc_id = d.doc_id")
-        w = f"{float(weights[t])} * " if weights[t] != 1 else ""
+        eff_w = float(weights[t]) * float(query.boosts.get(t, 1.0))
+        w = f"{eff_w} * " if eff_w != 1.0 else ""
         # EXACT numpy expression mirror (scoring.py idf & tfnorm):
         #   idf  = ln(1.0 + (N - df + 0.5) / (df + 0.5))
         #   tfn  = tf*(1.2+1.0) / (tf + 1.2*(1.0-0.75+0.75*dl/avgdl))

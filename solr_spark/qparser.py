@@ -7,6 +7,10 @@ SolrQueryParser.java; ref-guide standard-query-parser.adoc):
   term            optional scoring clause (OR semantics: sum of matching)
   +term           required scoring clause (mm=100% conjunction when all +)
   -term           prohibited clause (never scores)
+  term^2.5        boosted clause (weight multiplies the BM25 contribution,
+                  SolrQueryParser boost syntax)
+  "a b"           quoted phrase clause (adjacency match; executed by the
+                  two-phase phrase path, engine.gate_phrase)
   field:value     filter on a StrField-like doc column (lang:, repo:, ...)
                   — treated as fq (filter, NOT scored), per FIXTURES.md §2
 
@@ -18,12 +22,15 @@ Lucene's BooleanQuery).
 
 from __future__ import annotations
 
+import re
 from collections import Counter
 from dataclasses import dataclass, field
 
 from .analysis import analyze_query
 
 FILTER_FIELDS = ("lang", "repo", "path", "commit", "source")
+
+_PHRASE_RE = re.compile(r'([+-]?)"([^"]*)"')
 
 
 @dataclass
@@ -32,6 +39,8 @@ class Query:
     required: Counter = field(default_factory=Counter)
     prohibited: set = field(default_factory=set)
     filters: dict = field(default_factory=dict)          # field -> [values] (OR)
+    boosts: dict = field(default_factory=dict)           # term -> float boost
+    phrases: list = field(default_factory=list)          # [list[str] token seqs]
 
     @property
     def scoring(self) -> Counter:
@@ -46,10 +55,26 @@ class Query:
 
 def parse(q: str, filter_fields: tuple[str, ...] = FILTER_FIELDS) -> Query:
     out = Query()
+
+    def strip_phrase(m: "re.Match") -> str:
+        toks = analyze_query(m.group(2))
+        if toks:
+            out.phrases.append(toks)
+        return " "
+
+    q = _PHRASE_RE.sub(strip_phrase, q)
     for raw in q.split():
         tok, prefix = raw, ""
         if tok[:1] in "+-":
             prefix, tok = tok[0], tok[1:]
+        boost = 1.0
+        if "^" in tok:
+            tok, _, b = tok.rpartition("^")
+            try:
+                boost = float(b)
+            except ValueError:
+                tok = f"{tok}^{b}"  # not a boost — restore
+                boost = 1.0
         if ":" in tok:
             f, _, v = tok.partition(":")
             if f.lower() in filter_fields and v:
@@ -63,4 +88,6 @@ def parse(q: str, filter_fields: tuple[str, ...] = FILTER_FIELDS) -> Query:
                 out.prohibited.add(t)
             else:
                 out.optional[t] += 1
+            if boost != 1.0:
+                out.boosts[t] = out.boosts.get(t, 1.0) * boost
     return out

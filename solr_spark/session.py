@@ -92,6 +92,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SOLR_SPARK_DRIVER_MEM", "8g"))
+        # commit + pre-touch the whole heap at JVM start: G1 otherwise
+        # uncommits regions whose re-faulting costs ~100s/GB on this VM
+        # class (see MALLOC_ENV) — pay the fault cost once, up front
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+AlwaysPreTouch -Xms" + os.environ.get("SOLR_SPARK_DRIVER_MEM", "8g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # smaller input splits: scan parallelism must exceed the core
