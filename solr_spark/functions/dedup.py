@@ -34,6 +34,71 @@ from pyspark.sql import functions as F
 
 from .textfn import tokens
 
+SHINGLE_ROWS_SCHEMA = "id bigint, shingle string"
+
+
+def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Exploded DISTINCT (id, shingle) rows — the dedup pipelines' shared
+    shingle source, fully vectorized in Arrow C++ (same kernel family as
+    analysis.term_frequencies): lower → regex split → stop filter →
+    n-gram join over zero-copy shifted slices → per-doc distinct via one
+    int64 sort. No per-element Catalyst lambdas (a transform+slice
+    expression is interpreted per element — measured ~50x slower).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..analysis import SPLIT_REGEX_SQL, STOPWORDS
+
+    src = df.select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(text_col).alias("text")
+    )
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["id"].to_numpy(np.int64)
+            arr = pa.Array.from_pandas(pdf["text"].fillna(""))
+            toks = pc.split_pattern_regex(pc.utf8_lower(arr), SPLIT_REGEX_SQL)
+            flat = pc.list_flatten(toks)
+            parent = pc.list_parent_indices(toks)
+            good = pc.and_(
+                pc.not_equal(flat, ""),
+                pc.invert(pc.is_in(flat, value_set=pa.array(sorted(STOPWORDS)))),
+            )
+            flat = pc.filter(flat, good)
+            if isinstance(flat, pa.ChunkedArray):
+                flat = flat.combine_chunks()
+            parent = pc.filter(parent, good).to_numpy().astype(np.int64)
+            m = len(flat)
+            if m < n:
+                continue
+            # n-gram positions: all i where tokens i..i+n-1 share a doc
+            mask = parent[: m - n + 1] == parent[n - 1 :]
+            if not mask.any():
+                continue
+            parts = [flat.slice(j, m - n + 1) for j in range(n)]
+            grams = pc.binary_join_element_wise(*parts, " ")
+            grams = pc.filter(grams, pa.array(mask))
+            gdoc = parent[: m - n + 1][mask]
+            # per-doc distinct: one combined-key sort
+            denc = pc.dictionary_encode(grams)
+            if isinstance(denc, pa.ChunkedArray):
+                denc = denc.combine_chunks()
+            codes = denc.indices.to_numpy().astype(np.int64)
+            k = np.int64(len(denc.dictionary))
+            key = np.unique(gdoc * k + codes)
+            out_sh = pc.take(denc.dictionary, pa.array((key % k), type=pa.int32()))
+            yield pd.DataFrame(
+                {
+                    "id": ids[(key // k)],
+                    "shingle": pd.Series(pd.arrays.ArrowExtensionArray(out_sh)),
+                }
+            )
+
+    return src.mapInPandas(kern, SHINGLE_ROWS_SCHEMA)
+
 
 def shingles(toks: Column, n: int = 3) -> Column:
     """Token n-gram shingle array (distinct), pure Catalyst: for token
@@ -81,11 +146,8 @@ def jaccard_pairs(
 
     jaccard = |Sa ∩ Sb| / (|Sa| + |Sb| - |Sa ∩ Sb|) over DISTINCT shingles.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles(tokens(F.col(text_col)), n).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
-    sizes = sh.select("id", "n_sh")
-    inv = sh.select("id", F.explode("sh").alias("shingle"))
+    inv = shingle_rows(df, id_col, text_col, n)
+    sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_df is not None:
         hot = (
             inv.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)
@@ -113,7 +175,12 @@ def jaccard_pairs(
 def minhash_signature(toks: Column, num_hashes: int = 64, shingle_n: int = 3) -> Column:
     """MinHash signature as array<bigint>[num_hashes], all JVM-side:
     h_i(doc) = min over shingles s of xxhash64(i, s). (MinHashQParser
-    semantics; Lucene MinHashFilter uses the same min-of-hashes family.)"""
+    semantics; Lucene MinHashFilter uses the same min-of-hashes family.)
+
+    NOTE: convenience column form for small frames only — nested
+    higher-order functions are re-evaluated per downstream reference.
+    The pipeline path (minhash_lsh_pairs) uses the explode + min-agg
+    formulation instead, which is ~100x faster at scale."""
     sh = shingles(toks, shingle_n)
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
@@ -135,20 +202,13 @@ def minhash_lsh_pairs(
     exact Jaccard (so precision is exact; recall is the LSH probability
     1-(1-t^r)^b). num_hashes = bands × rows_per_band.
 
-    Pipeline: signature (JVM) → explode bands → groupBy (band, hash of the
-    band slice) → pairs within bucket → dedupe pairs → exact verify.
+    Pipeline: Arrow shingle kernel → signature via one hash-aggregate
+    with num_hashes min() columns → explode bands → groupBy
+    (band, band hash) buckets → candidate pairs → exact-Jaccard verify
+    over the same shingle rows (inverted-index intersection counts).
     """
     r = num_hashes // bands
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        shingles(tokens(F.col(text_col)), shingle_n).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    # Signature via explode + one hash-aggregate with num_hashes min()
-    # columns — each h_i = min over shingles of xxhash64(i, shingle).
-    # (A nested transform(sequence(...), transform(sh, ...)) expression
-    # computes the same thing but re-evaluates the whole signature per
-    # downstream reference and defeats codegen — measured 100×+ slower.)
-    inv = sh.select("id", F.explode("sh").alias("shingle"))
+    inv = shingle_rows(df, id_col, text_col, shingle_n)
     sig = inv.groupBy("id").agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
@@ -185,18 +245,29 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # exact verify restricted to candidate ids: inverted-index
+    # intersection counts (same math as jaccard_pairs / the SQL oracle)
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionByName(cand.select(F.col("id_b").alias("id")))
+        .dropDuplicates(["id"])
+    )
+    inv_c = inv.join(F.broadcast(cand_ids), "id", "left_semi")
+    sizes = inv_c.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = inv_c.alias("a")
+    b = inv_c.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
     return (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
+        cand.join(inter, ["id_a", "id_b"], "inner")
+        .join(F.broadcast(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a")), "id_a")
+        .join(F.broadcast(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b")), "id_b")
         .withColumn(
             "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
-            ),
+            F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

@@ -28,8 +28,9 @@ def test_atomic_set_inc_add_remove(spark, base):
     ).collect()
     by_id = {r["id"]: r for r in out}
     assert by_id[1]["s"] == "A" and by_id[1]["v"] == 15.0 and by_id[1]["arr"] == ["x"]
-    # null update fields keep old values (set) / no-op (inc, remove)
-    assert by_id[2]["s"] == "b" and by_id[2]["v"] == 20.0 and by_id[2]["arr"] == ["x", "y"]
+    # null update fields keep old values (set) / no-op (inc); the non-null
+    # arr update removes its value
+    assert by_id[2]["s"] == "b" and by_id[2]["v"] == 20.0 and by_id[2]["arr"] == ["x"]
     # unmatched rows pass through
     assert by_id[3]["s"] == "c" and by_id[3]["v"] == 30.0
 
