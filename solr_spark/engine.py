@@ -39,10 +39,28 @@ def documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _source_signature(sf_dir: str) -> str:
+    """Cheap content signature of the documents source (file names, sizes,
+    mtimes) — folded into the index cache key so a changed parquet under
+    the same sf_dir path never silently reuses a stale index."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    parts = []
+    if os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, name))
+            parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(path):
+        st = os.stat(path)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:8]
+
+
 def ensure_index(spark: SparkSession, sf_dir: str, bucket_docs: int = 512) -> IndexMeta:
     """Build (or reuse, via the indexer's resume manifest) the index for
     one sf_dir under a content-addressed temp location."""
-    key = hashlib.md5(f"{ENGINE_VERSION}:{os.path.abspath(sf_dir)}:{bucket_docs}".encode()).hexdigest()[:12]
+    key = hashlib.md5(
+        f"{ENGINE_VERSION}:{os.path.abspath(sf_dir)}:{bucket_docs}:{_source_signature(sf_dir)}".encode()
+    ).hexdigest()[:12]
     out = os.path.join(tempfile.gettempdir(), f"solr_spark_gate_{key}")
     return build_index(
         spark,

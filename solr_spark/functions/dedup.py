@@ -138,21 +138,33 @@ def jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | str | None = "auto",
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs (id_a < id_b,
     jaccard >= threshold) via a shingle inverted index — the exact
     counterpart the MinHash path is verified against.
 
     jaccard = |Sa ∩ Sb| / (|Sa| + |Sb| - |Sa ∩ Sb|) over DISTINCT shingles.
+
+    max_shingle_df caps a shingle's document frequency before the
+    self-join: a shingle shared by s docs emits s² pair rows, so one
+    boilerplate shingle at 100 TB is a quadratic blowup. Default "auto"
+    caps at max(64, 0.1% of corpus) — shingles that common carry no
+    near-dup signal. Pass None to opt in to the uncapped exact join
+    (verification at test scale only); the dropped-shingle count is
+    exposed via jaccard_dropped_shingles() for pipeline logging.
     """
     inv = shingle_rows(df, id_col, text_col, n)
-    sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_shingle_df == "auto":
+        n_docs = df.count()
+        max_shingle_df = max(64, n_docs // 1000)
     if max_shingle_df is not None:
         hot = (
             inv.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)
         )
         inv = inv.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    # sizes AFTER the cap: jaccard is exact over the retained shingle space
+    sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = inv.alias("a")
     b = inv.alias("b")
     inter = (
@@ -169,6 +181,19 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def jaccard_dropped_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, max_shingle_df: int = 64
+) -> DataFrame:
+    """One-row DataFrame (n_dropped, max_df_seen): how many distinct
+    shingles the jaccard_pairs df-cap removed — pipelines surface this so
+    a silent cap never reads as full coverage."""
+    dfreq = shingle_rows(df, id_col, text_col, n).groupBy("shingle").count()
+    return dfreq.agg(
+        F.count(F.when(F.col("count") > max_shingle_df, 1)).alias("n_dropped"),
+        F.max("count").alias("max_df_seen"),
     )
 
 

@@ -439,18 +439,25 @@ def a_facet_top(spark, sf_dir):
 @entry(
     "a_facet2d",
     """WITH c AS (SELECT o_orderpriority, o_orderstatus, count(*) AS metric
-FROM orders GROUP BY 1, 2)
+FROM orders GROUP BY 1, 2),
+tx AS (SELECT o_orderpriority FROM (
+  SELECT o_orderpriority, sum(metric) AS xm FROM c GROUP BY o_orderpriority)
+  ORDER BY xm DESC, o_orderpriority LIMIT 3)
 SELECT o_orderpriority, o_orderstatus, metric FROM (
   SELECT *, row_number() OVER (PARTITION BY o_orderpriority
-            ORDER BY metric DESC, o_orderstatus) AS rn FROM c) WHERE rn <= 2""",
+            ORDER BY metric DESC, o_orderstatus) AS rn
+  FROM c WHERE o_orderpriority IN (SELECT o_orderpriority FROM tx))
+WHERE rn <= 2""",
 )
 def a_facet2d(spark, sf_dir):
+    """limit_x=3 of 5 distinct priorities — the x-level top-N is load-bearing
+    (regression guard for the limit_x contract, Facet2DStream.java:1)."""
     return rollup.facet2d(
         _t(spark, sf_dir, "orders"),
         "o_orderpriority",
         "o_orderstatus",
         F.count(F.lit(1)),
-        5,
+        3,
         2,
     )
 
@@ -789,8 +796,16 @@ WHERE jaccard >= 0.8"""
 
 @entry("t_jaccard_pairs", _JACCARD_SQL)
 def t_jaccard_pairs(spark, sf_dir):
+    """max_shingle_df=None is an explicit opt-in: the oracle is the
+    uncapped all-pairs exact Jaccard, so the gate verifies the exact path
+    at test scale; production default is the "auto" df cap."""
     return dedup.jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.8
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.8,
+        max_shingle_df=None,
     )
 
 

@@ -127,10 +127,12 @@ def _analyze_partitions(stats_acc=None):
     ``stats_acc`` (optional _DictSumParam accumulator) collects
     {pid: (n_docs, sum_doclen, n_postings, millis)} with the stage job
     itself — this replaces three follow-up aggregation jobs on the driver
-    (offsets, global doclen stats, lineage). Exactly-once holds in local
-    mode (spark.task.maxFailures=1 → a task retry fails the job); cluster
-    deployments with retries should pass stats_acc=None to use the scan
-    fallback in build_index."""
+    (offsets, global doclen stats, lineage). Accumulator updates in
+    transformations are not exactly-once under task retries/speculation,
+    so build_index only trusts them when _accumulators_exact(spark) says
+    the runtime cannot retry (local master, maxFailures=1, no
+    speculation); otherwise it re-derives the stats from the staged
+    kind=2 metrics rows, which ARE exactly-once (parquet task commit)."""
     import hashlib
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -191,7 +193,10 @@ def _analyze_partitions(stats_acc=None):
                     "kind": [np.int8(2)],
                     "pid": [np.int32(pid)],
                     "local_idx": [np.int64(n_docs)],
-                    "term": ["_metrics"],
+                    # sum_doclen rides in the free string column, so the
+                    # no-accumulator path recovers ALL stats from kind=2
+                    # rows alone (no second scan of the doc rows)
+                    "term": [f"_metrics{_META_SEP}{sum_doclen}"],
                     "tf": [np.int64(n_postings)],
                     "doclen": [np.int64((time.time() - t0) * 1000)],
                 }
@@ -265,6 +270,18 @@ def _done(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
+def _accumulators_exact(spark: SparkSession) -> bool:
+    """True iff accumulator updates inside transformations are exactly-once
+    on this runtime: no task retries (maxFailures <= 1) and no speculative
+    duplicates. Cluster masters default to maxFailures=4, so they fall
+    back to the metrics-row scan (see _analyze_partitions docstring)."""
+    conf = spark.sparkContext.getConf()
+    master = conf.get("spark.master", "")
+    max_failures = int(conf.get("spark.task.maxFailures", "1" if master.startswith("local") and "," not in master else "4"))
+    speculation = conf.get("spark.speculation", "false").lower() == "true"
+    return master.startswith("local") and max_failures <= 1 and not speculation
+
+
 def build_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -317,24 +334,35 @@ def build_index(
 
     stage = spark.read.parquet(stage_dir)
 
-    # partition offsets -> global docid. Fresh runs get per-partition stats
-    # for free from the stage-1 accumulator; resumed runs re-derive them
-    # with one scan of the staging metrics rows (kind=2).
-    pstats = dict(stats_acc.value) if ran_stage1 else {}
+    # partition offsets -> global docid. Fresh runs on retry-free runtimes
+    # get per-partition stats for free from the stage-1 accumulator;
+    # resumed runs and retry-capable clusters re-derive them with one scan
+    # of the staging metrics rows (kind=2), which are exactly-once.
+    pstats = (
+        dict(stats_acc.value)
+        if ran_stage1 and _accumulators_exact(spark)
+        else {}
+    )
     if not pstats:
-        pstats = {
-            int(r["pid"]): (int(r["local_idx"]), 0, int(r["tf"]), int(r["doclen"]))
-            for r in stage.where(F.col("kind") == 2).collect()
-        }
-        sums = (
-            stage.where(F.col("kind") == 0)
-            .groupBy("pid")
-            .agg(F.sum("doclen").alias("s"))
-            .collect()
-        )
-        for r in sums:
-            nd, _sd, np_, ms = pstats[int(r["pid"])]
-            pstats[int(r["pid"])] = (nd, int(r["s"] or 0), np_, ms)
+        metrics = stage.where(F.col("kind") == 2).collect()
+        pstats = {}
+        legacy_pids = []
+        for r in metrics:
+            parts = str(r["term"]).split(_META_SEP)
+            sd = int(parts[1]) if len(parts) > 1 else -1
+            pstats[int(r["pid"])] = (int(r["local_idx"]), sd, int(r["tf"]), int(r["doclen"]))
+            if sd < 0:
+                legacy_pids.append(int(r["pid"]))
+        if legacy_pids:  # staging written by an older build: one extra scan
+            sums = (
+                stage.where(F.col("kind") == 0)
+                .groupBy("pid")
+                .agg(F.sum("doclen").alias("s"))
+                .collect()
+            )
+            for r in sums:
+                nd, _sd, np_, ms = pstats[int(r["pid"])]
+                pstats[int(r["pid"])] = (nd, int(r["s"] or 0), np_, ms)
     offsets, acc = {}, 0
     for pid in sorted(pstats):
         offsets[pid] = acc
@@ -372,12 +400,10 @@ def build_index(
                 meta_parts.getItem(4).alias("sha256"),
                 "doclen",
             )
-            # deterministic slice partitioning (docid ranges are known a
-            # priori) — avoids repartitionByRange's sampling pass
-            .repartition(
-                max(P // 2, 1),
-                F.expr(f"CAST(docid * {max(P // 2, 1)} AS BIGINT) DIV {max(meta.n_docs, 1)}"),
-            )
+            # range layout on docid: each output file covers a contiguous
+            # docid (=bucket) span, so the per-query bucket semi-join in
+            # kernel.search prunes whole files via row-group min/max
+            .repartitionByRange(max(P // 2, 1), "docid")
             .sortWithinPartitions("docid")
             .write.mode("overwrite")
             .parquet(docs_out)
@@ -401,12 +427,15 @@ def build_index(
             )
             .withColumn("bucket", F.expr(f"docid DIV {bucket_docs}"))
         )
-        # hash exchange on (term, bucket): groups stay complete per
-        # partition and the encoder sorts within, so parquet row-group
-        # stats still prune term lookups; hash avoids the range
-        # partitioner's extra sampling scan of the staging table
+        # range exchange on (term, bucket): groups stay complete per
+        # partition AND each postings file covers a contiguous term span,
+        # so a query term's pruned scan touches one file (row-group
+        # min/max stats line up with the sort). Costs the range
+        # partitioner's sampling pass over the staging table — paid once
+        # at build, repaid on every query. Skew stays structural: a term
+        # never exceeds bucket_docs postings per (term,bucket) group.
         (
-            triples.repartition(P, "term", "bucket")
+            triples.repartitionByRange(P, "term", "bucket")
             .mapInPandas(_encode_partition(bucket_docs, enc_acc), POSTINGS_SCHEMA)
             .write.mode("overwrite")
             .parquet(post_out)

@@ -75,14 +75,20 @@ def facet2d(
     df: DataFrame, x: str, y: str, metric: Column, limit_x: int, limit_y: int
 ) -> DataFrame:
     """facet2D(): two-level buckets, top-N per level
-    (Facet2DStream.java:1)."""
+    (Facet2DStream.java:1). x-level rank is by the x bucket's TOTAL metric
+    (desc, then x asc — the stream's bucketSorts default), y-level rank by
+    the (x,y) cell metric within each surviving x. The x top-N is a tiny
+    aggregate (one row per distinct x) → broadcast semi-join, no global
+    window over the cell table."""
     from pyspark.sql import Window
 
     counts = df.groupBy(x, y).agg(metric.alias("metric"))
-    wx = Window.partitionBy(F.lit(1)).orderBy(F.desc("metric"), F.asc(x))
+    x_tot = counts.groupBy(x).agg(F.sum("metric").alias("__xm"))
+    top_x = x_tot.orderBy(F.desc("__xm"), F.asc(x)).limit(limit_x).select(x)
     wy = Window.partitionBy(x).orderBy(F.desc("metric"), F.asc(y))
     return (
-        counts.withColumn("__ry", F.row_number().over(wy))
+        counts.join(F.broadcast(top_x), x, "left_semi")
+        .withColumn("__ry", F.row_number().over(wy))
         .filter(F.col("__ry") <= limit_y)
         .drop("__ry")
     )
