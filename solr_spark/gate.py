@@ -143,8 +143,12 @@ def r_export_sorted(spark, sf_dir):
         [F.asc("l_shipdate"), F.asc("l_orderkey"), F.asc("l_linenumber")],
         ["l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"],
     )
-    w = Window.orderBy(F.asc("l_shipdate"), F.asc("l_orderkey"), F.asc("l_linenumber"))
-    return out.withColumn("rank", F.row_number().over(w))
+    # partition-offset rank: range shuffle + local ordinal, no
+    # single-partition window (the export rank at 100x scale)
+    ranked = relational.global_rank(
+        out, [F.asc("l_shipdate"), F.asc("l_orderkey"), F.asc("l_linenumber")]
+    )
+    return ranked.withColumn("rank", F.col("rank").cast("int"))
 
 
 @entry(
@@ -505,22 +509,24 @@ SELECT (SELECT v FROM s, n WHERE rn = greatest(1, CAST(ceil(0.5 * c) AS BIGINT))
        (SELECT v FROM s, n WHERE rn = greatest(1, CAST(ceil(0.9 * c) AS BIGINT))) AS p90""",
 )
 def a_percentile_rank(spark, sf_dir):
-    """Exact rank-based percentile (element at ceil(p·n)) — deterministic
-    row selection, no interpolation fp. (t-digest analog row: SURVEY §2.5
-    percentile; Spark's percentile_approx is the sketch path, exercised in
-    pytest.)"""
-    li = _t(spark, sf_dir, "lineitem")
-    n = li.count()
-    w = Window.orderBy(F.asc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
-    ranked = li.select(
-        F.col("l_extendedprice").alias("v"), F.row_number().over(w).alias("rn")
-    )
+    """Exact rank-based percentile (element at ceil(p·n)) via two-pass
+    selection: count, then partition-offset global rank + filter — no
+    single-partition window. (t-digest analog row: SURVEY §2.5 percentile;
+    Spark's percentile_approx is the sketch path, exercised in pytest.)"""
     import math
 
+    li = _t(spark, sf_dir, "lineitem")
+    n = li.count()
     p50 = max(1, math.ceil(0.5 * n))
     p90 = max(1, math.ceil(0.9 * n))
-    a = ranked.filter(F.col("rn") == p50).select(F.col("v").alias("p50"))
-    b = ranked.filter(F.col("rn") == p90).select(F.col("v").alias("p90"))
+    sel = relational.nth_by_rank(
+        li.select("l_extendedprice", "l_orderkey", "l_linenumber"),
+        [F.asc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        [p50, p90],
+        "l_extendedprice",
+    )
+    a = sel.filter(F.col("rank") == p50).select(F.col("value").alias("p50"))
+    b = sel.filter(F.col("rank") == p90).select(F.col("value").alias("p90"))
     return a.crossJoin(b)
 
 
@@ -979,6 +985,7 @@ def w_rerank(spark, sf_dir):
     df = _t(spark, sf_dir, "orders").withColumn("score", F.col("o_totalprice"))
     out = windowed.rerank(
         df,
+        ["o_orderkey"],
         [F.desc("o_totalprice"), F.asc("o_orderkey")],
         rerank_docs=10,
         rescore=(F.col("o_custkey") % 100).cast("double"),

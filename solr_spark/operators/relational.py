@@ -76,6 +76,78 @@ def export_sorted(df: DataFrame, keys: list[Column], fields: list[str]) -> DataF
     return df.select(*fields).orderBy(*keys)
 
 
+def global_rank(
+    df: DataFrame,
+    order: list[Column],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global row_number over ``order`` WITHOUT a single-partition
+    window — the distributed analog of the export handler's total-order
+    rank (ExportWriter.java:367-389).
+
+    Plan: range-shuffle on the sort keys + local sort (same exchange a
+    global orderBy uses), one count-per-partition job, then a
+    partition-local Arrow pass assigns rank = partition_offset + ordinal.
+    Every stage is parallel; nothing funnels through one task.
+
+    The sorted run is persisted (memory-and-disk) between the two passes:
+    Spark's range partitioner seeds its boundary sampling with the RDD id,
+    so re-executing the exchange in a second job could place rows in
+    different partitions and corrupt the offsets. The cached run plays the
+    role of the export handler's sorted segment files; callers that rank
+    inside a larger pipeline should df.unpersist() when done."""
+    import pandas as pd
+    from pyspark import StorageLevel
+
+    sess = df.sparkSession
+    P = num_partitions or sess.sparkContext.defaultParallelism
+    part = (
+        df.repartitionByRange(P, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("__pid", F.spark_partition_id())
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in part.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    from pyspark.sql.types import StructType
+
+    # copy before .add() — StructType.add mutates in place, and df.schema
+    # is a cached object shared with the caller's DataFrame
+    out_schema = StructType(list(df.schema.fields)).add(rank_col, "long")
+
+    def kern(batches):
+        local = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            base = offsets.get(int(pdf["__pid"].iloc[0]), 0)
+            pdf = pdf.drop(columns="__pid")
+            pdf[rank_col] = base + local + 1 + pd.RangeIndex(len(pdf))
+            local += len(pdf)
+            yield pdf
+
+    return part.mapInPandas(kern, out_schema)
+
+
+def nth_by_rank(df: DataFrame, order: list[Column], ranks: list[int], value_col: str) -> DataFrame:
+    """Exact order statistics: the rows at the given 1-based global ranks
+    under ``order`` — two-pass selection (global_rank + filter), the exact
+    percentile path (facet/PercentileAgg.java's t-digest is the sketch
+    analog; this is the exact one). Returns (rank, value)."""
+    ranked = global_rank(df, order, rank_col="__grank")
+    return (
+        ranked.filter(F.col("__grank").isin([int(r) for r in ranks]))
+        .select(F.col("__grank").alias("rank"), F.col(value_col).alias("value"))
+    )
+
+
 def unique(df: DataFrame, keys: list[str], tiebreak: list[Column]) -> DataFrame:
     """unique(): one row per key, first by tiebreak order wins
     (UniqueStream.java:1 — 'first wins' over the sorted stream).

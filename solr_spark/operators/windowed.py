@@ -90,24 +90,30 @@ def group_top_n(df: DataFrame, group_field: str, order: list[Column], n: int) ->
 
 def rerank(
     df: DataFrame,
+    key_cols: list[str],
     main_order: list[Column],
     rerank_docs: int,
     rescore: Column,
     weight: float = 2.0,
 ) -> DataFrame:
     """rerank: re-score the top ``rerank_docs`` of the main ranking by
-    ``main_score + weight * rescore``, leave the tail ordered by the main
-    ranking (ReRankQParserPlugin.java:34-79, ReRankCollector.java:1).
+    ``main_score + weight * rescore``, leave the tail at the main score
+    (ReRankQParserPlugin.java:34-79, ReRankCollector.java:1).
 
-    df must carry a ``score`` column (the main query score)."""
-    w = Window.orderBy(*main_order)
-    ranked = df.withColumn("__rn", F.row_number().over(w))
-    return (
-        ranked.withColumn(
-            "rerank_score",
-            F.when(
-                F.col("__rn") <= rerank_docs, F.col("score") + F.lit(weight) * rescore
-            ).otherwise(F.col("score")),
-        )
-        .drop("__rn")
+    df must carry a ``score`` column (the main query score); ``key_cols``
+    uniquely identify a row (the uniqueKey — same requirement as the
+    reference's docid-keyed ReRankCollector).
+
+    Scale shape: the head is TakeOrdered (per-partition heaps of size
+    rerank_docs, no global window), rescoring touches only those
+    rerank_docs rows, and the tail is a broadcast anti-join against the
+    tiny head key set — the full table is never globally sorted through
+    one task."""
+    head = df.orderBy(*main_order).limit(rerank_docs)
+    head_scored = head.withColumn(
+        "rerank_score", F.col("score") + F.lit(weight) * rescore
     )
+    tail = df.join(
+        F.broadcast(head.select(*key_cols)), key_cols, "left_anti"
+    ).withColumn("rerank_score", F.col("score"))
+    return head_scored.unionByName(tail)

@@ -82,7 +82,7 @@ def test_collapse_null_policies(spark, people):
 def test_rerank(spark, people):
     df = people.withColumn("score", F.col("score"))
     out = windowed.rerank(
-        df, [F.desc("score"), F.asc("id")], rerank_docs=2,
+        df, ["id"], [F.desc("score"), F.asc("id")], rerank_docs=2,
         rescore=F.col("id").cast("double"), weight=1.0,
     )
     rows = {r["id"]: r["rerank_score"] for r in out.collect()}
@@ -134,3 +134,50 @@ def test_facet_sort_and_limit(spark, people):
 def test_percentiles_exact(spark, people):
     out = rollup.percentiles(people, "score", [0.5]).collect()[0]
     assert out["p50"] == 10.0  # exact interpolated median of 7 values
+
+
+def test_global_rank_matches_window(spark, people):
+    from solr_spark.operators import relational
+
+    order = [F.desc("score"), F.asc("id")]
+    got = relational.global_rank(people, order, num_partitions=3).collect()
+    want = {
+        r["id"]: i + 1
+        for i, r in enumerate(people.orderBy(*order).collect())
+    }
+    assert {r["id"]: r["rank"] for r in got} == want
+
+
+def test_nth_by_rank(spark, people):
+    from solr_spark.operators import relational
+
+    order = [F.asc("score"), F.asc("id")]
+    out = relational.nth_by_rank(people, order, [1, 4], "score").collect()
+    vals = {r["rank"]: r["value"] for r in out}
+    ordered = [r["score"] for r in people.orderBy(*order).collect()]
+    assert vals == {1: ordered[0], 4: ordered[3]}
+
+
+def test_no_single_partition_exchange_in_rank_plans(spark):
+    """The scale contract for the fixed round-1 offenders: global rank,
+    exact percentile selection, and rerank must not funnel the table
+    through one task (no Exchange SinglePartition in the physical plan).
+    TakeOrderedAndProject (top-k heaps) is allowed."""
+    from solr_spark.operators import relational, windowed
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).cast("double").alias("score")
+    )
+    plans = {
+        "global_rank": relational.global_rank(df, [F.asc("score"), F.asc("id")]),
+        "nth_by_rank": relational.nth_by_rank(
+            df, [F.asc("score"), F.asc("id")], [500], "score"
+        ),
+        "rerank": windowed.rerank(
+            df, ["id"], [F.desc("score"), F.asc("id")], 10,
+            F.col("id").cast("double"), 1.0,
+        ),
+    }
+    for name, d in plans.items():
+        phys = d._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in phys, f"{name} plan funnels one task"
