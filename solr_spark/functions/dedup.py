@@ -303,38 +303,52 @@ _SIMHASH_SCHEMA = "id bigint, simhash bigint"
 
 
 def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document via an Arrow-vectorized kernel: each
-    analyzed token hashed (FNV-1a 64), its bits vote ±tf; sign of the
-    per-bit sum packs into the fingerprint. numpy-only inside the batch
-    (no per-row Python)."""
-    from ..analysis import tokenize_lists
+    """64-bit SimHash per document, entirely JVM-side Catalyst (no Python
+    in the pipeline): explode analyzed tokens, hash each token instance
+    with xxhash64, let every instance vote ±1 on each of the 64 bits
+    (token with tf k votes k times — instance-level voting ≡ tf-weighted
+    voting), pack sign bits with bitwise OR.
 
-    src = df.select(F.col(id_col).cast("bigint").alias("id"), F.col(text_col).alias("text"))
+    Scale shape: ONE shuffle keyed by id, and map-side partial
+    aggregation collapses the exploded token rows to (id × 64 counters)
+    before the exchange — the wire carries ~one row per doc regardless of
+    doc length. Mirrors the MinHash signature aggregation pattern."""
+    from .textfn import tokens
 
-    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            toks = tokenize_lists(pdf["text"])
-            out = np.zeros(len(pdf), dtype=np.int64)
-            for row_i, ts in enumerate(toks):
-                if not ts:
-                    continue
-                uniq, cnt = np.unique(np.asarray(ts, dtype=object), return_counts=True)
-                hs = np.fromiter((_fnv1a64(t) for t in uniq), dtype=np.uint64, count=len(uniq))
-                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-                votes = ((bits * 2 - 1) * cnt[:, None]).sum(axis=0)
-                out[row_i] = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum().astype(np.int64))
-            yield pd.DataFrame({"id": pdf["id"].to_numpy(np.int64), "simhash": out})
-
-    return src.mapInPandas(kern, _SIMHASH_SCHEMA)
-
-
-def _fnv1a64(s: str) -> np.uint64:
-    h = np.uint64(0xCBF29CE484222325)
-    for byte in s.encode():
-        h = np.uint64((int(h) ^ byte) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-    return h
+    src = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        tokens(F.col(text_col)).alias("toks"),
+    )
+    inst = src.select("id", F.explode("toks").alias("term")).withColumn(
+        "h", F.xxhash64(F.col("term"))
+    )
+    votes = inst.groupBy("id").agg(
+        *[
+            F.sum(
+                F.shiftrightunsigned(F.col("h"), i)
+                .bitwiseAND(F.lit(1))
+                .cast("bigint")
+                * 2
+                - 1
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+    packed = F.lit(0).cast("bigint")
+    for i in range(64):
+        packed = packed.bitwiseOR(
+            F.when(
+                F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("bigint"), i)
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+    sig = votes.select("id", packed.alias("simhash"))
+    # zero-token docs vanish in the explode; restore them with simhash=0
+    # (all votes zero -> all bits 0), matching the dense-per-doc contract
+    return (
+        src.select("id")
+        .join(sig, "id", "left")
+        .select("id", F.coalesce(F.col("simhash"), F.lit(0).cast("bigint")).alias("simhash"))
+    )
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
