@@ -197,33 +197,78 @@ def gate_phrase(spark: SparkSession, sf_dir: str, phrase: str, k: int = 10) -> D
     )
 
 
-def gate_mlt(spark: SparkSession, sf_dir: str, doc_id: int, top_terms: int = 5, k: int = 10) -> DataFrame:
-    """more-like-this: pick the doc's top tf·idf terms from the index,
-    run them as an OR query, exclude the seed doc
-    (MoreLikeThisHandler.java:1; SURVEY §2.3 mlt row)."""
-    from .kernel import postings_rows
-    from .operators.graph import more_like_this_terms
+def gate_mlt(
+    spark: SparkSession,
+    sf_dir: str,
+    doc_id: int,
+    top_terms: int = 5,
+    k: int = 10,
+    min_df: int = 2,
+) -> DataFrame:
+    """more-like-this: pick the seed doc's top tf·idf terms, run them as
+    an OR query, exclude the seed doc (MoreLikeThisHandler.java:1,
+    search/mlt/SimpleMLTQParser.java; SURVEY §2.3 mlt row).
 
+    Scale shape — MLT needs ONE document's term vector, never the
+    corpus's: the seed's tf comes from re-analyzing its own content (a
+    single-row predicate-pushdown read of the source table — the
+    reference reads the seed's stored fields the same way), df comes from
+    a term-pruned scan of the terms table, and the candidate query runs
+    through per-(doc,term) contributions. No vocabulary ever reaches the
+    driver.
+
+    Score contract (mirrored by the oracle SQL): per-term BM25
+    contributions rounded to 6 dp BEFORE summation, final sum rounded to
+    6 dp — rounded inputs are multiples of 1e-6 while the fp error of any
+    summation order is ~1e-14, so the double-rounded score is
+    order-independent and exactly reproducible in SQL."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from .analysis import tokenize_lists
+    from .kernel import term_contributions
+
+    empty = spark.createDataFrame([], "doc_id bigint, score double")
     meta = ensure_index(spark, sf_dir)
-    # seed doc's internal docid
-    docs = spark.read.parquet(meta.docs_path)
-    seed = docs.filter(F.col("path") == f"{doc_id:08d}").select("docid").collect()
-    if not seed:
-        return spark.createDataFrame([], "doc_id bigint, score double")
-    internal = int(seed[0]["docid"])
-    terms_df = spark.read.parquet(meta.terms_path)
-    all_terms = [r["term"] for r in terms_df.select("term").collect()]
-    triples = postings_rows(spark, meta, all_terms)
-    mlt = more_like_this_terms(
-        triples, terms_df, internal, meta.n_docs, top_terms=top_terms
+    seed = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .where(F.col("doc_id") == doc_id)
+        .select("text")
+        .limit(1)
+        .collect()
     )
-    terms = [r["term"] for r in mlt.collect()]
+    if not seed:
+        return empty
+    tfs = Counter(tokenize_lists(pd.Series([seed[0]["text"] or ""])).iloc[0])
+    if not tfs:
+        return empty
+    seed_df = spark.createDataFrame(
+        [(t, int(c)) for t, c in sorted(tfs.items())], "term string, tf bigint"
+    )
+    stats = spark.read.parquet(meta.terms_path).where(
+        F.col("term").isin(sorted(tfs))
+    )
+    n = float(meta.n_docs)
+    mlt_score = F.col("tf").cast("double") * F.log(
+        F.lit(1.0) + (F.lit(n) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    picked = (
+        stats.join(F.broadcast(seed_df), "term")
+        .filter(F.col("df") >= min_df)
+        .withColumn("mlt_score", mlt_score)
+        .orderBy(F.desc("mlt_score"), F.asc("term"))
+        .limit(top_terms)
+        .collect()
+    )
+    terms = [r["term"] for r in picked]
     if not terms:
-        return spark.createDataFrame([], "doc_id bigint, score double")
-    q = Query(optional=__import__("collections").Counter(terms))
-    res = search(spark, meta, q, k=meta.n_docs)
-    out = _with_doc_id(spark, meta, res.filter(F.col("docid") != internal))
-    out = out.withColumn("score", F.round(F.col("score"), 6))
+        return empty
+    contribs = term_contributions(spark, meta, terms)
+    sc = contribs.groupBy("docid").agg(
+        F.round(F.sum(F.round(F.col("contrib"), 6)), 6).alias("score")
+    )
+    out = _with_doc_id(spark, meta, sc).filter(F.col("doc_id") != doc_id)
     return (
         out.orderBy(F.desc("score"), F.asc("docid"))
         .limit(k)

@@ -29,7 +29,12 @@ from .analysis import SPLIT_REGEX_SQL, STOPWORDS_SQL
 from .engine import gate_dismax, gate_search, gate_term_stats
 from .functions import dedup, multimodal, similarity, textfn
 from .operators import graph, joins, relational, rollup, windowed
-from .oracle import analyzed_tokens_sql, bm25_oracle_sql, dismax_oracle_sql
+from .oracle import (
+    analyzed_tokens_sql,
+    bm25_oracle_sql,
+    dismax_oracle_sql,
+    mlt_oracle_sql,
+)
 from .sources import read_table, topic_read
 
 # ---------------------------------------------------------------------------
@@ -966,7 +971,7 @@ def fts_phrase(spark, sf_dir):
     return gate_phrase(spark, sf_dir, "spark window", k=10)
 
 
-@entry("fts_mlt", None)  # rows-only: mlt term selection drives a 2nd query
+@entry("fts_mlt", mlt_oracle_sql(seed_doc_id=0, top_terms=5, k=10))
 def fts_mlt(spark, sf_dir):
     from solr_spark.engine import gate_mlt
 

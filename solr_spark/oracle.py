@@ -119,6 +119,47 @@ def analyzed_tokens_sql(col: str = "text") -> str:
     return _toks(col)
 
 
+def mlt_oracle_sql(
+    seed_doc_id: int,
+    top_terms: int = 5,
+    k: int = 10,
+    min_df: int = 2,
+    table: str = "documents",
+) -> str:
+    """Oracle for more-like-this (MoreLikeThisHandler.java:1): seed term
+    vector from the seed doc's own tokens, interesting-term selection by
+    tf·idf (df >= min_df, top ``top_terms``, tie-break term asc), then a
+    BM25 OR query over the selected terms excluding the seed.
+
+    Score contract shared with engine.gate_mlt: per-term contributions
+    rounded to 6 dp BEFORE the sum, sum rounded to 6 dp — the double
+    rounding makes the score independent of fp summation order, so the
+    SQL's unordered SUM reproduces the engine bit-for-bit."""
+    t = _toks()
+    return f"""WITH tok AS (SELECT doc_id, unnest({t}) AS term FROM {table}),
+dl AS (SELECT doc_id, source, len({t}) AS doclen FROM {table}),
+g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+      CAST(sum(doclen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+stf AS (SELECT term, CAST(count(*) AS DOUBLE) AS tf FROM tok
+        WHERE doc_id = {seed_doc_id} GROUP BY term),
+dfs AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tok GROUP BY term),
+sel AS (SELECT stf.term, dfs.df FROM stf JOIN dfs USING (term) CROSS JOIN g
+        WHERE dfs.df >= {min_df}
+        ORDER BY stf.tf * ln(1.0 + (g.n - dfs.df + 0.5) / (dfs.df + 0.5)) DESC, stf.term ASC
+        LIMIT {top_terms}),
+m AS (SELECT tok.doc_id, tok.term, CAST(count(*) AS DOUBLE) AS tf
+      FROM tok JOIN sel USING (term) GROUP BY tok.doc_id, tok.term),
+sc AS (SELECT m.doc_id, round(sum(round(
+         ln(1.0 + (g.n - sel.df + 0.5) / (sel.df + 0.5))
+         * (m.tf * (1.2 + 1.0) / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doclen / g.avgdl))), 6)), 6) AS score
+       FROM m JOIN sel ON m.term = sel.term JOIN dl d ON m.doc_id = d.doc_id CROSS JOIN g
+       GROUP BY m.doc_id)
+SELECT sc.doc_id, sc.score FROM sc JOIN dl d ON sc.doc_id = d.doc_id
+WHERE sc.doc_id <> {seed_doc_id}
+ORDER BY sc.score DESC, d.source ASC, sc.doc_id ASC
+LIMIT {k}"""
+
+
 def dismax_oracle_sql(terms: list[str], tie: float, k: int, table: str = "documents") -> str:
     """Oracle for DisMax ranking (max + tie·(sum−max), DisMaxQParser.java:1)
     under the same rounded-score contract as bm25_oracle_sql. Contribution
