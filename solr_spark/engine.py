@@ -80,12 +80,42 @@ def _with_doc_id(spark: SparkSession, meta: IndexMeta, res: DataFrame) -> DataFr
 
 def gate_search(spark: SparkSession, sf_dir: str, q: str, k: int = 10) -> DataFrame:
     """Top-k BM25 with the oracle's ranking contract: rank by
-    (round(score, 6) desc, docid asc); emit (doc_id, score)."""
+    (round(score, 6) desc, docid asc); emit (doc_id, score).
+
+    Mixed queries ('"spark window" merge') combine the inverted-index
+    term kernel with the two-phase phrase verify: total score =
+    term_score + phrase contributions (each a BM25 clause with
+    tf = phrase frequency), candidates = OR of all clauses — Lucene
+    BooleanQuery semantics with a PhraseQuery sub-clause
+    (solr/core/src/java/org/apache/solr/search/SolrQueryParser.java)."""
     meta = ensure_index(spark, sf_dir)
     query: Query = parse(q)
     if "source" in query.filters:  # source column is mapped onto repo
         query.filters.setdefault("repo", []).extend(query.filters.pop("source"))
-    res = search(spark, meta, query, k=meta.n_docs, prune=True)
+    phrases, query.phrases = query.phrases, []
+    parts = []
+    if query.scoring:
+        parts.append(search(spark, meta, query, k=meta.n_docs, prune=True))
+    for toks in phrases:
+        comp = _phrase_component(spark, meta, sf_dir, toks, dict(query.filters))
+        parts.append(comp.select("docid", F.col("p_score").alias("score")))
+    if not parts:
+        return spark.createDataFrame([], "doc_id bigint, score double")
+    res = parts[0]
+    for p in parts[1:]:
+        # defined accumulation order: term kernel fold first, then each
+        # phrase clause in query order — mirrored by the oracle SQL
+        res = (
+            res.withColumnRenamed("score", "s_a")
+            .join(p.withColumnRenamed("score", "s_b"), "docid", "full_outer")
+            .select(
+                "docid",
+                (
+                    F.coalesce(F.col("s_a"), F.lit(0.0))
+                    + F.coalesce(F.col("s_b"), F.lit(0.0))
+                ).alias("score"),
+            )
+        )
     out = _with_doc_id(spark, meta, res).withColumn(
         "score", F.round(F.col("score"), 6)
     )
@@ -120,8 +150,14 @@ def gate_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(meta.terms_path).select("term", "df", "cf")
 
 
-def gate_phrase(spark: SparkSession, sf_dir: str, phrase: str, k: int = 10) -> DataFrame:
-    """Exact phrase query — two-phase, the classic positional-index
+def _phrase_component(
+    spark: SparkSession,
+    meta: IndexMeta,
+    sf_dir: str,
+    terms: list[str],
+    filters: dict | None = None,
+) -> DataFrame:
+    """One phrase clause — two-phase, the classic positional-index
     workaround for a positionless postings format:
 
       1. candidate generation: conjunctive index search over the phrase's
@@ -132,22 +168,14 @@ def gate_phrase(spark: SparkSession, sf_dir: str, phrase: str, k: int = 10) -> D
       3. BM25 with tf = phrase frequency, df = docs containing the phrase
          (PhraseQuery scoring: phraseFreq into the same tf-norm).
 
-    Reference: phrase queries in the standard parser
-    (solr/core/src/java/org/apache/solr/search/SolrQueryParser.java;
-    solr-ref-guide standard-query-parser.adoc). Ranking under the rounded-
-    score contract; output (doc_id, phrase_tf, score).
-    """
+    Returns (docid, doc_id, phrase_tf, p_score) for docs where the exact
+    phrase occurs."""
     from collections import Counter
 
-    from .analysis import analyze_query
     from .functions import textfn
 
-    meta = ensure_index(spark, sf_dir)
-    terms = analyze_query(phrase)
     L = len(terms)
-    if L == 0:
-        return spark.createDataFrame([], "doc_id bigint, phrase_tf bigint, score double")
-    q = Query(required=Counter(terms))
+    q = Query(required=Counter(terms), filters=dict(filters or {}))
     cand = search(spark, meta, q, k=meta.n_docs).select("docid")
     docs = spark.read.parquet(meta.docs_path).select("docid", "path", "doclen")
     src = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
@@ -169,7 +197,7 @@ def gate_phrase(spark: SparkSession, sf_dir: str, phrase: str, k: int = 10) -> D
     matched = (
         with_src.withColumn("phrase_tf", ptf.cast("bigint"))
         .filter(F.col("phrase_tf") > 0)
-        .select("doc_id", "phrase_tf", "doclen")
+        .select("docid", "doc_id", "phrase_tf", "doclen")
     )
     dfp = matched.agg(F.count(F.lit(1)).cast("double").alias("df_p"))
     n = float(meta.n_docs)
@@ -187,9 +215,27 @@ def gate_phrase(spark: SparkSession, sf_dir: str, phrase: str, k: int = 10) -> D
             * (F.lit(1.0) - F.lit(0.75) + F.lit(0.75) * F.col("doclen").cast("double") / F.lit(avgdl))
         )
     )
-    out = matched.crossJoin(F.broadcast(dfp)).withColumn(
-        "score", F.round(score, 6)
+    return (
+        matched.crossJoin(F.broadcast(dfp))
+        .withColumn("p_score", score)
+        .select("docid", "doc_id", "phrase_tf", "p_score")
     )
+
+
+def gate_phrase(spark: SparkSession, sf_dir: str, phrase: str, k: int = 10) -> DataFrame:
+    """Exact phrase query (pure phrase clause) under the rounded-score
+    ranking contract; output (doc_id, phrase_tf, score). Reference:
+    phrase queries in the standard parser
+    (solr/core/src/java/org/apache/solr/search/SolrQueryParser.java;
+    solr-ref-guide standard-query-parser.adoc)."""
+    from .analysis import analyze_query
+
+    meta = ensure_index(spark, sf_dir)
+    terms = analyze_query(phrase)
+    if not terms:
+        return spark.createDataFrame([], "doc_id bigint, phrase_tf bigint, score double")
+    comp = _phrase_component(spark, meta, sf_dir, terms)
+    out = comp.withColumn("score", F.round(F.col("p_score"), 6))
     return (
         out.orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)

@@ -971,6 +971,46 @@ def fts_phrase(spark, sf_dir):
     return gate_phrase(spark, sf_dir, "spark window", k=10)
 
 
+# mixed boolean + phrase query: total = term-kernel score + phrase clause
+# (engine accumulation order: terms first, then the phrase — mirrored here)
+_MIXED_PHRASE_SQL = f"""WITH tok AS (SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents),
+dl AS (SELECT doc_id, lang, source, len({TOKS_SQL}) AS doclen FROM documents),
+g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+      CAST(sum(doclen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+tk AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+pt AS (SELECT doc_id,
+  CASE WHEN len(t) - 1 >= 1 THEN
+    len(list_filter(generate_series(1, len(t) - 1),
+        i -> t[i:i+1] = ['spark', 'window']))
+  ELSE 0 END AS phrase_tf FROM tk),
+pm AS (SELECT doc_id, phrase_tf FROM pt WHERE phrase_tf > 0),
+dfp AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM pm),
+m0 AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS tf FROM tok WHERE term = 'merge' GROUP BY doc_id),
+df0 AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM m0)
+SELECT d.doc_id AS doc_id, round(
+  (CASE WHEN m0.doc_id IS NULL THEN 0.0 ELSE
+   ln(1.0 + (g.n - (SELECT v FROM df0) + 0.5) / ((SELECT v FROM df0) + 0.5))
+   * (m0.tf * (1.2 + 1.0) / (m0.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doclen / g.avgdl))) END)
+ + (CASE WHEN pm.doc_id IS NULL THEN 0.0 ELSE
+   ln(1.0 + (g.n - (SELECT v FROM dfp) + 0.5) / ((SELECT v FROM dfp) + 0.5))
+   * (CAST(pm.phrase_tf AS DOUBLE) * (1.2 + 1.0) /
+      (CAST(pm.phrase_tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * d.doclen / g.avgdl))) END), 6) AS score
+FROM dl d CROSS JOIN g
+  LEFT JOIN m0 ON m0.doc_id = d.doc_id
+  LEFT JOIN pm ON pm.doc_id = d.doc_id
+WHERE m0.doc_id IS NOT NULL OR pm.doc_id IS NOT NULL
+ORDER BY 2 DESC, d.source ASC, d.doc_id ASC
+LIMIT 10"""
+
+
+@entry("fts_mixed_phrase", _MIXED_PHRASE_SQL)
+def fts_mixed_phrase(spark, sf_dir):
+    """BooleanQuery with a PhraseQuery sub-clause: '"spark window" merge'
+    (SolrQueryParser.java) — term kernel + two-phase phrase verify
+    combined in engine.gate_search."""
+    return gate_search(spark, sf_dir, '"spark window" merge', k=10)
+
+
 @entry("fts_mlt", mlt_oracle_sql(seed_doc_id=0, top_terms=5, k=10))
 def fts_mlt(spark, sf_dir):
     from solr_spark.engine import gate_mlt

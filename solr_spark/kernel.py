@@ -255,6 +255,15 @@ def search(
     """Top-k BM25 search. Returns DataFrame(docid, score) ordered by
     (score desc, docid asc), limited to k; with_fields joins doc columns."""
     query = parse(q) if isinstance(q, str) else q
+    if query.phrases:
+        # Positionless postings cannot verify adjacency; the engine layer
+        # (engine.gate_search / engine.gate_phrase) combines this kernel
+        # with the two-phase content verify. Failing loudly beats silently
+        # scoring a phrase query as a bag of nothing.
+        raise ValueError(
+            "kernel.search does not execute phrase clauses; use "
+            "engine.gate_search (mixed) or engine.gate_phrase (pure phrase)"
+        )
     weights = dict(query.scoring)
     empty = spark.createDataFrame([], RESULT_SCHEMA)
     terms_df, postings_df, docs_df = _frames or (
