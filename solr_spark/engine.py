@@ -243,6 +243,126 @@ def gate_phrase(spark: SparkSession, sf_dir: str, phrase: str, k: int = 10) -> D
     )
 
 
+def gate_edismax(
+    spark: SparkSession,
+    sf_dir: str,
+    q: str,
+    qf_text: float = 1.0,
+    qf_source: float = 0.0,
+    mm: str = "1",
+    tie: float = 0.0,
+    pf2_weight: float = 0.0,
+    pf3_weight: float = 0.0,
+    k: int = 10,
+) -> DataFrame:
+    """edismax: each analyzed query term is a DisjunctionMax clause over
+    the qf fields (text — the indexed content field, scored via the
+    inverted index; source — a keyword field with fieldlen 1, so its BM25
+    tf-norm is exactly 1.0 and the contribution reduces to idf), combined
+    as max + tie·(sum − max); min-should-match prunes docs matching fewer
+    than calculate_mm(...) clauses; pf2/pf3 add shingled phrase-proximity
+    boosts over adjacent query-term pairs/trigrams.
+
+    Reference: ExtendedDismaxQParser.java:434 (setMinShouldMatch), :285-340
+    and :608-650 (addShingledPhraseQueries for pf/pf2/pf3), :1747 (tie);
+    clause combination per DisMaxQParser.java; mm arithmetic per
+    SolrPluginUtils.java:625.
+
+    Scale shape: candidates = union of term postings docs and keyword
+    matches (never a full corpus scan), per-term contributions pivot wide
+    (bounded by query length), phrase boosts verify only conjunctive
+    candidates. Scoring/accumulation order is pinned (clauses in query
+    order, then pf2 pairs, then pf3 trigrams) and mirrored literally by
+    oracle.edismax_oracle_sql."""
+    import math
+
+    from .analysis import analyze_query
+    from .kernel import term_contributions
+    from .qparser import calculate_mm
+
+    empty = spark.createDataFrame([], "doc_id bigint, score double")
+    meta = ensure_index(spark, sf_dir)
+    clauses = analyze_query(q)
+    if not clauses:
+        return empty
+    mm_n = calculate_mm(len(clauses), mm)
+    uniq = sorted(set(clauses))
+    contribs = term_contributions(spark, meta, uniq)
+    wide = contribs.groupBy("docid").pivot("term", uniq).agg(F.first("contrib"))
+    docs = spark.read.parquet(meta.docs_path).select("docid", "repo", "doclen")
+    n = float(meta.n_docs)
+    use_source = qf_source != 0.0
+    src_idf: dict[str, float] = {}
+    if use_source:
+        src_counts = (
+            docs.filter(F.col("repo").isin(uniq))
+            .groupBy("repo")
+            .agg(F.count(F.lit(1)).alias("dfs"))
+            .collect()
+        )
+        for r in src_counts:
+            dfs = float(r["dfs"])
+            src_idf[r["repo"]] = math.log(1.0 + (n - dfs + 0.5) / (dfs + 0.5))
+    cand = wide.select("docid")
+    if src_idf:
+        cand = cand.unionByName(
+            docs.filter(F.col("repo").isin(sorted(src_idf))).select("docid")
+        ).dropDuplicates(["docid"])
+    base = docs.join(cand, "docid", "left_semi").join(wide, "docid", "left")
+
+    total = None
+    matched_count = None
+    for t in clauses:  # query order; duplicate terms are separate clauses
+        tcol = F.coalesce(F.col(f"`{t}`"), F.lit(0.0))
+        a = F.lit(float(qf_text)) * tcol
+        if use_source and t in src_idf:
+            s = F.when(F.col("repo") == t, F.lit(src_idf[t])).otherwise(F.lit(0.0))
+        else:
+            s = F.lit(0.0)
+        b = F.lit(float(qf_source)) * s
+        mx = F.greatest(a, b)
+        clause = mx + F.lit(float(tie)) * ((a + b) - mx)
+        m = F.col(f"`{t}`").isNotNull()
+        if use_source and t in src_idf:
+            m = m | (F.col("repo") == t)
+        total = clause if total is None else total + clause
+        mi = m.cast("int")
+        matched_count = mi if matched_count is None else matched_count + mi
+
+    scored = (
+        base.withColumn("score", total)
+        .withColumn("__nm", matched_count)
+        .filter(F.col("__nm") >= mm_n)
+        .select("docid", "score")
+    )
+    shingled: list[tuple[float, list[str]]] = []
+    if pf2_weight:
+        shingled += [(pf2_weight, clauses[i : i + 2]) for i in range(len(clauses) - 1)]
+    if pf3_weight:
+        shingled += [(pf3_weight, clauses[i : i + 3]) for i in range(len(clauses) - 2)]
+    for j, (w, toks) in enumerate(shingled):
+        p = _phrase_component(spark, meta, sf_dir, toks).select(
+            "docid", F.col("p_score").alias(f"__p{j}")
+        )
+        scored = (
+            scored.join(p, "docid", "left")
+            .withColumn(
+                "score",
+                F.col("score")
+                + F.lit(float(w)) * F.coalesce(F.col(f"__p{j}"), F.lit(0.0)),
+            )
+            .drop(f"__p{j}")
+        )
+    out = _with_doc_id(spark, meta, scored).withColumn(
+        "score", F.round(F.col("score"), 6)
+    )
+    return (
+        out.orderBy(F.desc("score"), F.asc("docid"))
+        .limit(k)
+        .select("doc_id", "score")
+    )
+
+
 def gate_mlt(
     spark: SparkSession,
     sf_dir: str,

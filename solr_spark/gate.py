@@ -25,7 +25,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .analysis import SPLIT_REGEX_SQL, STOPWORDS_SQL
+from .analysis import SPLIT_REGEX_SQL, STOPWORDS_SQL, analyze_query
+from .qparser import calculate_mm
 from .engine import gate_dismax, gate_search, gate_term_stats
 from .functions import dedup, multimodal, similarity, textfn
 from .operators import graph, joins, relational, rollup, windowed
@@ -33,6 +34,7 @@ from .oracle import (
     analyzed_tokens_sql,
     bm25_oracle_sql,
     dismax_oracle_sql,
+    edismax_oracle_sql,
     mlt_oracle_sql,
 )
 from .sources import read_table, topic_read
@@ -1001,6 +1003,59 @@ FROM dl d CROSS JOIN g
 WHERE m0.doc_id IS NOT NULL OR pm.doc_id IS NOT NULL
 ORDER BY 2 DESC, d.source ASC, d.doc_id ASC
 LIMIT 10"""
+
+
+# edismax: DisjunctionMax over (text, source) fields + mm + pf2/pf3
+# (ExtendedDismaxQParser.java:434 mm, :285-340 shingled phrase boosts)
+_EDM_MM_Q = "spark merge src3"
+_EDM_MM_CLAUSES = analyze_query(_EDM_MM_Q)
+_EDM_PF_Q = "spark window merge"
+_EDM_PF_CLAUSES = analyze_query(_EDM_PF_Q)
+
+
+@entry(
+    "fts_edismax_mm",
+    edismax_oracle_sql(
+        _EDM_MM_CLAUSES,
+        qf_text=1.0,
+        qf_source=2.0,
+        mm_n=calculate_mm(len(_EDM_MM_CLAUSES), "2"),
+        tie=0.1,
+        k=15,
+    ),
+)
+def fts_edismax_mm(spark, sf_dir):
+    """qf=text^1 source^2, mm=2 (doc must match >=2 of 3 clauses),
+    tie=0.1: the keyword field ('src3') competes in the per-clause
+    DisjunctionMax."""
+    from solr_spark.engine import gate_edismax
+
+    return gate_edismax(
+        spark, sf_dir, _EDM_MM_Q, qf_text=1.0, qf_source=2.0, mm="2", tie=0.1, k=15
+    )
+
+
+@entry(
+    "fts_edismax_pf2",
+    edismax_oracle_sql(
+        _EDM_PF_CLAUSES,
+        qf_text=1.0,
+        qf_source=0.0,
+        mm_n=calculate_mm(len(_EDM_PF_CLAUSES), "1"),
+        tie=0.0,
+        pf2_weight=1.5,
+        pf3_weight=2.0,
+        k=10,
+    ),
+)
+def fts_edismax_pf2(spark, sf_dir):
+    """pf2=1.5, pf3=2.0: adjacent-pair and trigram phrase-proximity
+    boosts added to the main disjunction score."""
+    from solr_spark.engine import gate_edismax
+
+    return gate_edismax(
+        spark, sf_dir, _EDM_PF_Q, mm="1", pf2_weight=1.5, pf3_weight=2.0, k=10
+    )
 
 
 @entry("fts_mixed_phrase", _MIXED_PHRASE_SQL)

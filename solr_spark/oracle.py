@@ -160,6 +160,125 @@ ORDER BY sc.score DESC, d.source ASC, sc.doc_id ASC
 LIMIT {k}"""
 
 
+def _phrase_ctes(j: int, toks: list[str]) -> list[str]:
+    """CTEs computing phrase frequency, matches and df for one shingle."""
+    L = len(toks)
+    arr = ", ".join(f"'{t}'" for t in toks)
+    return [
+        (
+            f"pt{j} AS (SELECT doc_id, CASE WHEN len(t) - {L} + 1 >= 1 THEN "
+            f"len(list_filter(generate_series(1, len(t) - {L} + 1), "
+            f"i -> t[i:i+{L - 1}] = [{arr}])) ELSE 0 END AS ptf FROM tk)"
+        ),
+        f"pm{j} AS (SELECT doc_id, ptf FROM pt{j} WHERE ptf > 0)",
+        f"dfp{j} AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM pm{j})",
+    ]
+
+
+def _phrase_expr(j: int) -> str:
+    """BM25 contribution of one matched shingle (tf = phrase frequency) —
+    exact literal mirror of engine._phrase_component."""
+    return (
+        f"CASE WHEN pm{j}.doc_id IS NULL THEN 0.0 ELSE "
+        f"ln(1.0 + (g.n - (SELECT v FROM dfp{j}) + 0.5) / ((SELECT v FROM dfp{j}) + 0.5))"
+        f" * (CAST(pm{j}.ptf AS DOUBLE) * (1.2 + 1.0) / "
+        f"(CAST(pm{j}.ptf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * d.doclen / g.avgdl))) END"
+    )
+
+
+def edismax_oracle_sql(
+    clauses: list[str],
+    qf_text: float = 1.0,
+    qf_source: float = 0.0,
+    mm_n: int = 1,
+    tie: float = 0.0,
+    pf2_weight: float = 0.0,
+    pf3_weight: float = 0.0,
+    k: int = 10,
+    table: str = "documents",
+) -> str:
+    """Oracle for edismax (engine.gate_edismax): per-clause
+    DisjunctionMax over (text, source) fields, mm clause-count filter,
+    pf2/pf3 shingled phrase boosts — every expression mirrors the
+    engine's literal shape and accumulation order (clauses in query
+    order, then pf2 pairs, then pf3 trigrams). ``clauses`` must already
+    be analyzed tokens; ``mm_n`` the resolved calculate_mm value."""
+    uniq = sorted(set(clauses))
+    idx = {t: i for i, t in enumerate(uniq)}
+    use_source = qf_source != 0.0
+    ctes = [
+        f"tok AS (SELECT doc_id, unnest({_toks()}) AS term FROM {table})",
+        f"dl AS (SELECT doc_id, lang, source, len({_toks()}) AS doclen FROM {table})",
+        (
+            "g AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
+            "CAST(sum(doclen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl)"
+        ),
+    ]
+    joins = []
+    for i, t in enumerate(uniq):
+        ctes.append(
+            f"m{i} AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS tf "
+            f"FROM tok WHERE term = '{t}' GROUP BY doc_id)"
+        )
+        ctes.append(f"df{i} AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM m{i})")
+        joins.append(f"LEFT JOIN m{i} ON m{i}.doc_id = d.doc_id")
+        if use_source:
+            ctes.append(
+                f"sdf{i} AS (SELECT CAST(count(*) AS DOUBLE) AS v "
+                f"FROM dl WHERE source = '{t}')"
+            )
+    shingled: list[tuple[float, list[str]]] = []
+    if pf2_weight:
+        shingled += [(pf2_weight, clauses[i : i + 2]) for i in range(len(clauses) - 1)]
+    if pf3_weight:
+        shingled += [(pf3_weight, clauses[i : i + 3]) for i in range(len(clauses) - 2)]
+    if shingled:
+        ctes.append(f"tk AS (SELECT doc_id, {_toks()} AS t FROM {table})")
+        for j, (_w, sh_toks) in enumerate(shingled):
+            ctes.extend(_phrase_ctes(j, sh_toks))
+            joins.append(f"LEFT JOIN pm{j} ON pm{j}.doc_id = d.doc_id")
+
+    clause_exprs, match_exprs = [], []
+    for t in clauses:
+        i = idx[t]
+        tcontrib = (
+            f"CASE WHEN m{i}.doc_id IS NULL THEN 0.0 ELSE "
+            f"ln(1.0 + (g.n - (SELECT v FROM df{i}) + 0.5) / ((SELECT v FROM df{i}) + 0.5))"
+            f" * (m{i}.tf * (1.2 + 1.0) / "
+            f"(m{i}.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doclen / g.avgdl))) END"
+        )
+        a = f"({qf_text!r} * ({tcontrib}))"
+        if use_source:
+            scontrib = (
+                f"CASE WHEN d.source = '{t}' THEN "
+                f"ln(1.0 + (g.n - (SELECT v FROM sdf{i}) + 0.5) / ((SELECT v FROM sdf{i}) + 0.5))"
+                f" ELSE 0.0 END"
+            )
+            b = f"({qf_source!r} * ({scontrib}))"
+            match_exprs.append(
+                f"CASE WHEN m{i}.doc_id IS NOT NULL OR d.source = '{t}' THEN 1 ELSE 0 END"
+            )
+        else:
+            b = f"({qf_source!r} * 0.0)"
+            match_exprs.append(f"CASE WHEN m{i}.doc_id IS NOT NULL THEN 1 ELSE 0 END")
+        clause_exprs.append(
+            f"(greatest({a}, {b}) + {float(tie)!r} * (({a} + {b}) - greatest({a}, {b})))"
+        )
+    score = " + ".join(clause_exprs)
+    for j, (w, _sh) in enumerate(shingled):
+        score = f"{score} + {float(w)!r} * ({_phrase_expr(j)})"
+    nm = " + ".join(match_exprs)
+    j = "\n  ".join(joins)
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        f"SELECT d.doc_id AS doc_id, round({score}, 6) AS score\n"
+        f"FROM dl d CROSS JOIN g\n  {j}\n"
+        f"WHERE ({nm}) >= {mm_n}\n"
+        f"ORDER BY round({score}, 6) DESC, d.source ASC, d.doc_id ASC\n"
+        f"LIMIT {k}"
+    )
+
+
 def dismax_oracle_sql(terms: list[str], tie: float, k: int, table: str = "documents") -> str:
     """Oracle for DisMax ranking (max + tie·(sum−max), DisMaxQParser.java:1)
     under the same rounded-score contract as bm25_oracle_sql. Contribution

@@ -53,6 +53,39 @@ class Query:
         return bool(self.required) and not self.optional
 
 
+def calculate_mm(optional_clause_count: int, spec: str) -> int:
+    """min-should-match spec → required clause count. Faithful port of
+    SolrPluginUtils.calculateMinShouldMatch
+    (/root/reference/solr/core/src/java/org/apache/solr/util/
+    SolrPluginUtils.java:625-663): supports integers ("2"), negatives
+    ("-1" = all but one), percentages ("75%", "-25%"), and conditional
+    specs ("3<90%": if more than 3 clauses, require 90%)."""
+    result = optional_clause_count
+    spec = re.sub(r"(\s+<\s*)|(\s*<\s+)", "<", spec.strip())
+    if "<" in spec:
+        for s in spec.split(" "):
+            parts = s.split("<", 1)
+            upper_bound = int(parts[0])
+            if optional_clause_count <= upper_bound:
+                return result
+            result = calculate_mm(optional_clause_count, parts[1])
+        return result
+    if "%" in spec:
+        import numpy as np
+
+        percent = int(spec[: spec.index("%")])
+        # float32 on purpose: the reference computes (result*percent)*(1/100f)
+        # in Java float math, so e.g. 4 clauses at 75% give (int)2.9999999=2
+        calc = int(np.float32(result * percent) * (np.float32(1) / np.float32(100)))
+        result = result + calc if calc < 0 else calc
+    else:
+        calc = int(spec)
+        result = result + calc if calc < 0 else calc
+    if result > optional_clause_count:
+        return optional_clause_count
+    return 1 if result < 1 else result
+
+
 def parse(q: str, filter_fields: tuple[str, ...] = FILTER_FIELDS) -> Query:
     out = Query()
 

@@ -43,3 +43,21 @@ def test_stopword_only_phrase_dropped():
 def test_filter_multi_value_or():
     q = parse("lang:en lang:zh spark")
     assert q.filters == {"lang": ["en", "zh"]}
+
+
+def test_calculate_mm():
+    """Port parity with SolrPluginUtils.calculateMinShouldMatch
+    (SolrPluginUtils.java:625-663), computed in Java float32 math
+    ((result*percent)*(1/100f) then (int) truncation)."""
+    from solr_spark.qparser import calculate_mm
+
+    assert calculate_mm(3, "2") == 2
+    assert calculate_mm(3, "5") == 3       # clamped to clause count
+    assert calculate_mm(3, "-1") == 2      # all but one
+    assert calculate_mm(5, "-25%") == 4    # 5 + int(-1.25) = 4
+    assert calculate_mm(4, "75%") == 3     # float32 product rounds to 3.0f
+    assert calculate_mm(10, "50%") == 5
+    assert calculate_mm(3, "66%") == 1     # (int)1.98 = 1
+    assert calculate_mm(2, "3<90%") == 2   # <= upper bound: all required
+    assert calculate_mm(10, "3<50%") == 5  # > bound: percent applies
+    assert calculate_mm(1, "-5") == 1      # floor at 1
