@@ -78,6 +78,33 @@ def _with_doc_id(spark: SparkSession, meta: IndexMeta, res: DataFrame) -> DataFr
     )
 
 
+def _multiterm_component(spark: SparkSession, meta: IndexMeta, mt) -> DataFrame:
+    """One prefix/wildcard/fuzzy clause: expand against the term
+    dictionary (sorted terms table — a prefix predicate is a pushed-down
+    range scan), decode the expanded terms' postings, emit each matching
+    doc once with the clause's constant score (Lucene CONSTANT_SCORE
+    rewrite; PrefixQParserPlugin.java, standard-query-parser.adoc fuzzy/
+    wildcard). Fully distributed: the expansion is a broadcast semi-join,
+    never a driver-side term list."""
+    from .kernel import postings_rows
+
+    terms_df = spark.read.parquet(meta.terms_path)
+    if mt.kind == "prefix":
+        pred = F.col("term").startswith(mt.pattern[:-1])
+    elif mt.kind == "wildcard":
+        pred = F.col("term").like(mt.pattern.replace("*", "%").replace("?", "_"))
+    else:  # fuzzy: classic Levenshtein (documented deviation from
+        # Lucene's Damerau-Levenshtein, see qparser.MultiTermClause)
+        pred = F.levenshtein(F.col("term"), F.lit(mt.pattern)) <= mt.max_edits
+    expanded = terms_df.filter(pred).select("term")
+    rows = postings_rows(spark, meta, expanded)
+    return (
+        rows.select("docid")
+        .dropDuplicates(["docid"])
+        .withColumn("score", F.lit(float(mt.boost)))
+    )
+
+
 def gate_search(spark: SparkSession, sf_dir: str, q: str, k: int = 10) -> DataFrame:
     """Top-k BM25 with the oracle's ranking contract: rank by
     (round(score, 6) desc, docid asc); emit (doc_id, score).
@@ -93,12 +120,15 @@ def gate_search(spark: SparkSession, sf_dir: str, q: str, k: int = 10) -> DataFr
     if "source" in query.filters:  # source column is mapped onto repo
         query.filters.setdefault("repo", []).extend(query.filters.pop("source"))
     phrases, query.phrases = query.phrases, []
+    mterms, query.multiterm = query.multiterm, []
     parts = []
     if query.scoring:
         parts.append(search(spark, meta, query, k=meta.n_docs, prune=True))
     for toks in phrases:
         comp = _phrase_component(spark, meta, sf_dir, toks, dict(query.filters))
         parts.append(comp.select("docid", F.col("p_score").alias("score")))
+    for mt in mterms:
+        parts.append(_multiterm_component(spark, meta, mt))
     if not parts:
         return spark.createDataFrame([], "doc_id bigint, score double")
     res = parts[0]

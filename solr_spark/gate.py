@@ -1005,6 +1005,66 @@ ORDER BY 2 DESC, d.source ASC, d.doc_id ASC
 LIMIT 10"""
 
 
+# term-level multi-term queries: dictionary expansion, constant-score
+# rewrite (PrefixQParserPlugin.java; standard-query-parser.adoc)
+_PREFIX_TERM_SQL = f"""WITH dl AS (SELECT doc_id, source FROM documents),
+m AS (SELECT DISTINCT doc_id FROM
+  (SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents) WHERE term LIKE 'merg%')
+SELECT d.doc_id AS doc_id, 1.0 AS score FROM dl d JOIN m ON m.doc_id = d.doc_id
+ORDER BY d.source ASC, d.doc_id ASC LIMIT 10"""
+
+
+@entry("fts_prefix_term", _PREFIX_TERM_SQL)
+def fts_prefix_term(spark, sf_dir):
+    """q='merg*': prefix expansion against the sorted term dictionary
+    (range-prunable scan), constant-score OR over expanded terms."""
+    return gate_search(spark, sf_dir, "merg*", k=10)
+
+
+_FUZZY_SQL = f"""WITH dl AS (SELECT doc_id, source FROM documents),
+m AS (SELECT DISTINCT doc_id FROM
+  (SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents)
+  WHERE levenshtein(term, 'spark') <= 1)
+SELECT d.doc_id AS doc_id, 1.0 AS score FROM dl d JOIN m ON m.doc_id = d.doc_id
+ORDER BY d.source ASC, d.doc_id ASC LIMIT 10"""
+
+
+@entry("fts_fuzzy", _FUZZY_SQL)
+def fts_fuzzy(spark, sf_dir):
+    """q='spark~1': fuzzy term expansion (classic Levenshtein <= 1 over
+    the term dictionary — documented deviation from Lucene's
+    Damerau-Levenshtein), constant-score rewrite."""
+    return gate_search(spark, sf_dir, "spark~1", k=10)
+
+
+_MIXED_WILDCARD_SQL = f"""WITH tok AS (SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents),
+dl AS (SELECT doc_id, source, len({TOKS_SQL}) AS doclen FROM documents),
+g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+      CAST(sum(doclen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+m0 AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS tf FROM tok WHERE term = 'table' GROUP BY doc_id),
+df0 AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM m0),
+mt AS (SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'w_ndow%')
+SELECT d.doc_id AS doc_id, round(
+  (CASE WHEN m0.doc_id IS NULL THEN 0.0 ELSE
+   ln(1.0 + (g.n - (SELECT v FROM df0) + 0.5) / ((SELECT v FROM df0) + 0.5))
+   * (m0.tf * (1.2 + 1.0) / (m0.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doclen / g.avgdl))) END)
+ + (CASE WHEN mt.doc_id IS NULL THEN 0.0 ELSE 1.0 END), 6) AS score
+FROM dl d CROSS JOIN g
+  LEFT JOIN m0 ON m0.doc_id = d.doc_id
+  LEFT JOIN mt ON mt.doc_id = d.doc_id
+WHERE m0.doc_id IS NOT NULL OR mt.doc_id IS NOT NULL
+ORDER BY 2 DESC, d.source ASC, d.doc_id ASC
+LIMIT 10"""
+
+
+@entry("fts_mixed_wildcard", _MIXED_WILDCARD_SQL)
+def fts_mixed_wildcard(spark, sf_dir):
+    """q='table w?ndow*': scored term clause + constant-score wildcard
+    clause combined additively (BooleanQuery with a WildcardQuery
+    SHOULD clause)."""
+    return gate_search(spark, sf_dir, "table w?ndow*", k=10)
+
+
 # edismax: DisjunctionMax over (text, source) fields + mm + pf2/pf3
 # (ExtendedDismaxQParser.java:434 mm, :285-340 shingled phrase boosts)
 _EDM_MM_Q = "spark merge src3"

@@ -255,6 +255,11 @@ def search(
     """Top-k BM25 search. Returns DataFrame(docid, score) ordered by
     (score desc, docid asc), limited to k; with_fields joins doc columns."""
     query = parse(q) if isinstance(q, str) else q
+    if query.multiterm:
+        raise ValueError(
+            "kernel.search does not expand multi-term clauses "
+            "(prefix/wildcard/fuzzy); use engine.gate_search"
+        )
     if query.phrases:
         # Positionless postings cannot verify adjacency; the engine layer
         # (engine.gate_search / engine.gate_phrase) combines this kernel
@@ -318,14 +323,21 @@ def search(
 POSTING_ROWS_SCHEMA = "term string, docid bigint, tf bigint"
 
 
-def postings_rows(spark: SparkSession, meta: IndexMeta, terms: list[str]) -> DataFrame:
+def postings_rows(
+    spark: SparkSession, meta: IndexMeta, terms: list[str] | DataFrame
+) -> DataFrame:
     """Explode the encoded postings of ``terms`` back into
     (term, docid, tf) rows — the DataFrame face of the index used by the
     function-query surface (termfreq/tf/docfreq/idf columns,
     SURVEY.md §2.7: 'index-statistic functions are columns of our
     postings/stats tables'; reference registry
     solr/core/src/java/org/apache/solr/search/ValueSourceParser.java:163-1397).
-    Decoding is the same numpy varint kernel the scorer uses."""
+    Decoding is the same numpy varint kernel the scorer uses.
+
+    ``terms`` may be a literal list (pruned isin scan) or a single-column
+    DataFrame of terms (broadcast semi-join) — the DataFrame form keeps
+    dictionary-driven expansions (prefix/wildcard/fuzzy) fully
+    distributed, no term list ever reaching the driver."""
 
     def explode(batches):
         for pdf in batches:
@@ -334,7 +346,11 @@ def postings_rows(spark: SparkSession, meta: IndexMeta, terms: list[str]) -> Dat
                 d, tf = decode_postings(r["doc_bytes"], r["tf_bytes"], int(r["df"]), base)
                 yield pd.DataFrame({"term": r["term"], "docid": d, "tf": tf})
 
-    postings = spark.read.parquet(meta.postings_path).where(F.col("term").isin(terms))
+    postings = spark.read.parquet(meta.postings_path)
+    if isinstance(terms, DataFrame):
+        postings = postings.join(F.broadcast(terms.select("term")), "term", "left_semi")
+    else:
+        postings = postings.where(F.col("term").isin(terms))
     return postings.mapInPandas(explode, POSTING_ROWS_SCHEMA)
 
 

@@ -31,6 +31,27 @@ from .analysis import analyze_query
 FILTER_FIELDS = ("lang", "repo", "path", "commit", "source")
 
 _PHRASE_RE = re.compile(r'([+-]?)"([^"]*)"')
+_FUZZY_RE = re.compile(r"^([a-z0-9_]+)~(\d*)$")
+
+
+@dataclass
+class MultiTermClause:
+    """A term-expansion clause (prefix / wildcard / fuzzy): matched against
+    the term dictionary at query time, scored constant (Lucene's
+    CONSTANT_SCORE rewrite — the default for multi-term queries,
+    solr-ref-guide standard-query-parser.adoc; PrefixQParserPlugin.java).
+
+    kind: 'prefix' | 'wildcard' | 'fuzzy'
+    pattern: the raw lowercased pattern ('spar*', 'w?ndow', 'spark')
+    max_edits: fuzzy only — classic Levenshtein budget (Lucene's
+    FuzzyQuery uses Damerau-Levenshtein; we pin classic edit distance,
+    the JVM/SQL-portable variant — documented deviation).
+    """
+
+    kind: str
+    pattern: str
+    max_edits: int = 0
+    boost: float = 1.0
 
 
 @dataclass
@@ -41,6 +62,7 @@ class Query:
     filters: dict = field(default_factory=dict)          # field -> [values] (OR)
     boosts: dict = field(default_factory=dict)           # term -> float boost
     phrases: list = field(default_factory=list)          # [list[str] token seqs]
+    multiterm: list = field(default_factory=list)        # [MultiTermClause]
 
     @property
     def scoring(self) -> Counter:
@@ -113,6 +135,25 @@ def parse(q: str, filter_fields: tuple[str, ...] = FILTER_FIELDS) -> Query:
             if f.lower() in filter_fields and v:
                 out.filters.setdefault(f.lower(), []).append(v)
                 continue
+        # term-level multi-term queries (standard-query-parser.adoc):
+        # spar* / w?ndow (wildcard), spark~ / spark~1 (fuzzy). Lowercased
+        # but NOT analyzed (Lucene analyzeMultiTerm: normalization only —
+        # analysis would eat the operators). Optional clauses only; the
+        # engine expands them against the term dictionary.
+        low = tok.lower()
+        if prefix == "" and ("*" in low or "?" in low):
+            kind = (
+                "prefix"
+                if low.endswith("*") and "*" not in low[:-1] and "?" not in low
+                else "wildcard"
+            )
+            out.multiterm.append(MultiTermClause(kind, low, 0, boost))
+            continue
+        fz = _FUZZY_RE.match(low)
+        if prefix == "" and fz:
+            edits = int(fz.group(2)) if fz.group(2) else 2
+            out.multiterm.append(MultiTermClause("fuzzy", fz.group(1), edits, boost))
+            continue
         terms = analyze_query(tok)
         for t in terms:
             if prefix == "+":
