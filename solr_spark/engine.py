@@ -25,7 +25,7 @@ from .indexer import IndexMeta, build_index
 from .kernel import dismax_search, search
 from .qparser import Query, parse
 
-ENGINE_VERSION = "v1"  # bump to invalidate cached gate indexes
+ENGINE_VERSION = "v2"  # bump to invalidate cached gate indexes (v2: bucket_stats)
 
 
 def documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:

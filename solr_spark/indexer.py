@@ -90,6 +90,10 @@ class IndexMeta:
         return os.path.join(self.out_dir, "postings")
 
     @property
+    def bucket_stats_path(self) -> str:
+        return os.path.join(self.out_dir, "bucket_stats")
+
+    @property
     def terms_path(self) -> str:
         return os.path.join(self.out_dir, "terms")
 
@@ -409,6 +413,38 @@ def build_index(
             .parquet(docs_out)
         )
     meta.stages["doc_stats"] = round(time.time() - t0, 3)
+
+    # ---- stage 2b: bucket_stats (packed per-bucket doc arrays) -----------
+    # One row per docid bucket carrying doclen/repo/lang as arrays indexed
+    # by local docid (docids are dense, so position == docid - base). The
+    # query kernel cogroups postings with THIS table instead of per-row
+    # doc_stats: the per-query exchange moves ~n_docs/bucket_docs packed
+    # rows instead of n_docs individual rows — the docs-side shuffle that
+    # dominated fts latency at scale (the reference's analog is docValues
+    # column pages, SolrIndexSearcher.java:894-986).
+    t0 = time.time()
+    bs_out = os.path.join(out_dir, "bucket_stats")
+    if not (resume and _done(bs_out)):
+        docs_df = spark.read.parquet(docs_out)
+        (
+            docs_df.groupBy("bucket")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("docid", "doclen", "repo", "lang"))
+                ).alias("a")
+            )
+            .select(
+                "bucket",
+                F.transform("a", lambda x: x["doclen"]).alias("doclens"),
+                F.transform("a", lambda x: x["repo"]).alias("repos"),
+                F.transform("a", lambda x: x["lang"]).alias("langs"),
+            )
+            .repartitionByRange(max(P // 4, 1), "bucket")
+            .sortWithinPartitions("bucket")
+            .write.mode("overwrite")
+            .parquet(bs_out)
+        )
+    meta.stages["bucket_stats"] = round(time.time() - t0, 3)
 
     # ---- stage 3: postings (term,bucket)-keyed sorted merge ---------------
     t0 = time.time()

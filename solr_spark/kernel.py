@@ -38,6 +38,10 @@ from .scoring import tfnorm
 RESULT_SCHEMA = "docid bigint, score double"
 
 
+# filter field -> packed array column in bucket_stats
+_PACKED_FILTER_COLS = {"lang": "langs", "repo": "repos"}
+
+
 def _bucket_kernel(
     idfs: dict[str, float],
     weights: dict[str, int],
@@ -48,8 +52,13 @@ def _bucket_kernel(
     bucket_docs: int,
     k: int,
     prune: bool,
+    packed: bool = False,
 ):
-    """Build the per-bucket cogrouped scoring function (pure numpy inside)."""
+    """Build the per-bucket cogrouped scoring function (pure numpy inside).
+
+    ``packed``: the docs side is the bucket_stats table (one row per
+    bucket, doclen/filter columns as position-indexed arrays) instead of
+    per-row doc stats — see indexer stage 2b."""
     scoring_terms = sorted(weights)          # fixed order -> deterministic fp sums
     req_set = set(required)
     n_req = len(req_set)
@@ -65,12 +74,23 @@ def _bucket_kernel(
 
         dl = np.zeros(B, dtype=np.float64)
         alive = np.zeros(B, dtype=bool)
-        loc_docs = docs_pdf["docid"].to_numpy(np.int64) - base
-        dl[loc_docs] = docs_pdf["doclen"].to_numpy(np.float64)
-        ok = np.ones(len(docs_pdf), dtype=bool)
-        for f_name, vals in filters.items():
-            ok &= docs_pdf[f_name].isin(vals).to_numpy()
-        alive[loc_docs[ok]] = True
+        if packed:
+            row = docs_pdf.iloc[0]
+            dls = np.asarray(row["doclens"], dtype=np.float64)
+            nloc = len(dls)
+            dl[:nloc] = dls
+            ok = np.ones(nloc, dtype=bool)
+            for f_name, vals in filters.items():
+                arr = np.asarray(row[_PACKED_FILTER_COLS[f_name]], dtype=object)
+                ok &= np.isin(arr, np.asarray(vals, dtype=object))
+            alive[:nloc] = ok
+        else:
+            loc_docs = docs_pdf["docid"].to_numpy(np.int64) - base
+            dl[loc_docs] = docs_pdf["doclen"].to_numpy(np.float64)
+            ok = np.ones(len(docs_pdf), dtype=bool)
+            for f_name, vals in filters.items():
+                ok &= docs_pdf[f_name].isin(vals).to_numpy()
+            alive[loc_docs[ok]] = True
 
         rows = {r["term"]: r for _, r in post_pdf.iterrows()}
 
@@ -226,21 +246,32 @@ class Searcher:
     cache. Postings stay uncached (pruned parquet scans per query)."""
 
     def __init__(self, spark: SparkSession, meta: IndexMeta, cache: bool = True):
+        import os
+
         self.spark = spark
         self.meta = meta
         self.terms = spark.read.parquet(meta.terms_path)
         self.postings = spark.read.parquet(meta.postings_path)
         self.docs = spark.read.parquet(meta.docs_path)
+        self.bucket_stats = (
+            spark.read.parquet(meta.bucket_stats_path)
+            if os.path.exists(os.path.join(meta.bucket_stats_path, "_SUCCESS"))
+            else None
+        )
         if cache:
             self.terms = self.terms.cache()
             self.docs = self.docs.cache()
             self.terms.count()  # materialize
             self.docs.count()
+            if self.bucket_stats is not None:
+                self.bucket_stats = self.bucket_stats.cache()
+                self.bucket_stats.count()
 
     def search(self, q: str | Query, k: int = 10, prune: bool = True,
                with_fields: bool = False) -> DataFrame:
         return search(self.spark, self.meta, q, k, prune, with_fields,
-                      _frames=(self.terms, self.postings, self.docs))
+                      _frames=(self.terms, self.postings, self.docs,
+                               self.bucket_stats))
 
 
 def search(
@@ -271,11 +302,20 @@ def search(
         )
     weights = dict(query.scoring)
     empty = spark.createDataFrame([], RESULT_SCHEMA)
-    terms_df, postings_df, docs_df = _frames or (
-        spark.read.parquet(meta.terms_path),
-        spark.read.parquet(meta.postings_path),
-        spark.read.parquet(meta.docs_path),
-    )
+    if _frames:
+        terms_df, postings_df, docs_df = _frames[0], _frames[1], _frames[2]
+        bstats_df = _frames[3] if len(_frames) > 3 else None
+    else:
+        import os
+
+        terms_df = spark.read.parquet(meta.terms_path)
+        postings_df = spark.read.parquet(meta.postings_path)
+        docs_df = spark.read.parquet(meta.docs_path)
+        bstats_df = (
+            spark.read.parquet(meta.bucket_stats_path)
+            if os.path.exists(os.path.join(meta.bucket_stats_path, "_SUCCESS"))
+            else None
+        )
 
     all_terms = sorted(set(weights) | query.prohibited)
     if not weights:
@@ -294,16 +334,25 @@ def search(
     needed = sorted(set(present) | {t for t in query.prohibited if df_map.get(t, 0) > 0})
 
     postings = postings_df.where(F.col("term").isin(needed))
-    doc_cols = ["docid", "bucket", "doclen"] + sorted(query.filters)
-    doc_stats = docs_df.select(*doc_cols)
     # prune the docs scan to buckets that contain at least one query term
     buckets = postings.select("bucket").distinct()
-    doc_stats = doc_stats.join(F.broadcast(buckets), "bucket", "left_semi")
+    use_packed = bstats_df is not None and all(
+        f in _PACKED_FILTER_COLS for f in query.filters
+    )
+    if use_packed:
+        # packed per-bucket arrays: the cogroup's docs side is one row
+        # per touched bucket, not one row per doc (indexer stage 2b)
+        doc_stats = bstats_df.join(F.broadcast(buckets), "bucket", "left_semi")
+    else:
+        doc_cols = ["docid", "bucket", "doclen"] + sorted(query.filters)
+        doc_stats = docs_df.select(*doc_cols).join(
+            F.broadcast(buckets), "bucket", "left_semi"
+        )
 
     kern = _bucket_kernel(
         idfs, weights, sorted(query.required), sorted(query.prohibited),
         {f: list(v) for f, v in query.filters.items()},
-        meta.avgdl, meta.bucket_docs, k, prune,
+        meta.avgdl, meta.bucket_docs, k, prune, packed=use_packed,
     )
     scored = (
         postings.groupby("bucket")
