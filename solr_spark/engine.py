@@ -273,6 +273,52 @@ def gate_phrase(spark: SparkSession, sf_dir: str, phrase: str, k: int = 10) -> D
     )
 
 
+def gate_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    q: str,
+    splits: tuple[int, int] = (2000, 2500),
+    k: int | None = None,
+) -> DataFrame:
+    """Incremental index maintenance check: base segment + two delta
+    batches (segments.add_segment), searched through the combined view.
+    Emits ALL matching docs with rounded scores — because additions are
+    append-only, combined stats (N, avgdl, per-term df) equal a
+    from-scratch rebuild's exactly, so the oracle is simply the full-
+    corpus BM25 SQL. Mirrors DirectUpdateHandler2.java:309-409 (addDoc →
+    new segment) + UpdateLog replay batching."""
+    from .segments import add_segment, open_base
+
+    s0, s1 = f"{splits[0]:08d}", f"{splits[1]:08d}"
+    corpus = documents_as_corpus(spark, sf_dir)
+    key = hashlib.md5(
+        f"{ENGINE_VERSION}:incr:{os.path.abspath(sf_dir)}:{splits}:{_source_signature(sf_dir)}".encode()
+    ).hexdigest()[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), f"solr_spark_incr_{key}")
+    view = open_base(
+        spark, corpus.filter(F.col("path") < s0), out_dir,
+        bucket_docs=512, resume=True,
+    )
+    view = add_segment(
+        spark, view,
+        corpus.filter((F.col("path") >= s0) & (F.col("path") < s1)),
+        out_dir, resume=True,
+    )
+    view = add_segment(
+        spark, view, corpus.filter(F.col("path") >= s1), out_dir, resume=True
+    )
+    res = view.search(spark, parse(q), k=k or view.n_docs)
+    docs = spark.read.parquet(*[m.docs_path for m in view.segments]).select(
+        "docid", "path"
+    )
+    return (
+        res.join(docs, "docid")
+        .withColumn("doc_id", F.col("path").cast("bigint"))
+        .withColumn("score", F.round(F.col("score"), 6))
+        .select("doc_id", "score")
+    )
+
+
 def gate_edismax(
     spark: SparkSession,
     sf_dir: str,

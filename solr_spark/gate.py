@@ -1005,6 +1005,16 @@ ORDER BY 2 DESC, d.source ASC, d.doc_id ASC
 LIMIT 10"""
 
 
+@entry("u_incremental_index", bm25_oracle_sql("spark merge", k=10**9))
+def u_incremental_index(spark, sf_dir):
+    """base + 2 delta segments == from-scratch rebuild (all matching docs,
+    rounded scores; oracle = full-corpus BM25 SQL). Segment lifecycle per
+    DirectUpdateHandler2.java:309-409."""
+    from solr_spark.engine import gate_incremental
+
+    return gate_incremental(spark, sf_dir, "spark merge")
+
+
 # term-level multi-term queries: dictionary expansion, constant-score
 # rewrite (PrefixQParserPlugin.java; standard-query-parser.adoc)
 _PREFIX_TERM_SQL = f"""WITH dl AS (SELECT doc_id, source FROM documents),

@@ -73,6 +73,7 @@ class IndexMeta:
     sum_doclen: int = 0
     avgdl: float = 0.0
     bucket_docs: int = DEFAULT_BUCKET_DOCS
+    docid_base: int = 0  # first docid of this segment (bucket-aligned)
     n_terms: int = 0
     postings_rows: int = 0
     postings_bytes: int = 0
@@ -297,13 +298,18 @@ def build_index(
     num_partitions: int | None = None,
     overwrite: bool = False,
     resume: bool = True,
+    docid_base: int = 0,
 ) -> IndexMeta:
     """Build the full index under ``out_dir``. Returns IndexMeta.
 
     ``docs`` must carry ``id_cols`` (unique composite key), ``content_col``,
-    and optionally ``lang``. docid = ordinal of the global (repo,path,commit)
-    sort — content-independent and parallelism-invariant (SURVEY.md §7).
-    """
+    and optionally ``lang``. docid = docid_base + ordinal of the global
+    (repo,path,commit) sort — content-independent and parallelism-invariant
+    (SURVEY.md §7). ``docid_base`` is used by delta segments
+    (segments.add_segment) and must be bucket-aligned so a docid bucket
+    never spans two segments."""
+    if docid_base % bucket_docs != 0:
+        raise ValueError("docid_base must be a multiple of bucket_docs")
     if overwrite and os.path.exists(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
@@ -367,11 +373,12 @@ def build_index(
             for r in sums:
                 nd, _sd, np_, ms = pstats[int(r["pid"])]
                 pstats[int(r["pid"])] = (nd, int(r["s"] or 0), np_, ms)
-    offsets, acc = {}, 0
+    offsets, acc = {}, docid_base
     for pid in sorted(pstats):
         offsets[pid] = acc
         acc += pstats[pid][0]
-    meta.n_docs = acc
+    meta.docid_base = docid_base
+    meta.n_docs = acc - docid_base
     meta.sum_doclen = sum(v[1] for v in pstats.values())
     meta.avgdl = meta.sum_doclen / meta.n_docs if meta.n_docs else 0.0
     meta.lineage = [

@@ -1,0 +1,145 @@
+"""Incremental index maintenance: delta segments + live-docs deletes.
+
+Mirrors the reference's update lifecycle — addDoc flushes new documents
+into NEW segments while committed segments stay immutable, and deletes
+are a docid mask applied at query time until a merge reclaims them
+(/root/reference/solr/core/src/java/org/apache/solr/update/
+DirectUpdateHandler2.java:309-409 addDoc -> segment flush;
+update/UpdateLog.java:576-710 tlog replay; Lucene live-docs semantics:
+deleted docs stop matching immediately, but df/doclen statistics keep
+counting them until segments merge).
+
+Spark shape: each delta batch is a full build_index run with a
+bucket-aligned ``docid_base``, so a docid bucket never spans segments and
+every per-(term,bucket) postings row lives in exactly one segment — the
+query kernel needs no merge logic at all. The combined view is:
+
+  postings    = union of segment postings dirs (one multi-path scan)
+  terms       = groupBy(term).sum(df, cf) over segment term tables
+                (exact global IDF across segments, the ExactStatsCache
+                analog — stronger than Lucene's per-segment stats)
+  docs        = union of segment docs dirs, minus the delete list
+  n/avgdl     = summed totals (additions are append-only, so the
+                combined stats equal a from-scratch rebuild's exactly —
+                the invariant the gate entry u_incremental_index checks)
+
+Deletes route queries down the per-row docs path (the packed
+bucket_stats arrays are immutable snapshots), anti-joining the delete
+keys — the live-docs bitmask as a join.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .indexer import IndexMeta, build_index
+
+
+@dataclass
+class IndexView:
+    """Queryable union of a base segment and any number of deltas."""
+
+    segments: list[IndexMeta]
+    delete_keys: list[tuple] = field(default_factory=list)  # (repo, path, commit)
+
+    @property
+    def bucket_docs(self) -> int:
+        return self.segments[0].bucket_docs
+
+    @property
+    def n_docs(self) -> int:
+        # live-docs semantics: stats keep counting deleted docs (they are
+        # masked from matching, not from the statistics) — Lucene parity
+        return sum(m.n_docs for m in self.segments)
+
+    @property
+    def sum_doclen(self) -> int:
+        return sum(m.sum_doclen for m in self.segments)
+
+    @property
+    def avgdl(self) -> float:
+        return self.sum_doclen / self.n_docs if self.n_docs else 0.0
+
+    @property
+    def next_docid_base(self) -> int:
+        last = self.segments[-1]
+        end = last.docid_base + last.n_docs
+        b = self.bucket_docs
+        return ((end + b - 1) // b) * b
+
+    def frames(self, spark: SparkSession):
+        """(terms, postings, docs, bucket_stats) frames for kernel.search.
+
+        With deletes present, bucket_stats is None (forces the per-row
+        docs path where the anti-join mask applies)."""
+        terms = (
+            spark.read.parquet(*[m.terms_path for m in self.segments])
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        )
+        postings = spark.read.parquet(*[m.postings_path for m in self.segments])
+        docs = spark.read.parquet(*[m.docs_path for m in self.segments])
+        bstats = None
+        if self.delete_keys:
+            dels = spark.createDataFrame(
+                self.delete_keys, "repo string, path string, commit string"
+            )
+            docs = docs.join(
+                F.broadcast(dels), ["repo", "path", "commit"], "left_anti"
+            )
+        else:
+            bs_paths = [
+                m.bucket_stats_path
+                for m in self.segments
+                if os.path.exists(os.path.join(m.bucket_stats_path, "_SUCCESS"))
+            ]
+            if len(bs_paths) == len(self.segments):
+                bstats = spark.read.parquet(*bs_paths)
+        return terms, postings, docs, bstats
+
+    def search(self, spark: SparkSession, q, k: int = 10, prune: bool = True) -> DataFrame:
+        from .kernel import search
+
+        return search(spark, self, q, k=k, prune=prune, _frames=self.frames(spark))
+
+    # kernel.search duck-types these off IndexMeta
+    @property
+    def docs_path(self) -> str:  # pragma: no cover - only hit without _frames
+        raise AttributeError("IndexView is multi-segment; use frames()")
+
+
+def open_base(spark: SparkSession, docs: DataFrame, out_dir: str, **kw) -> IndexView:
+    """Build (or resume) the base segment and wrap it in a view."""
+    meta = build_index(spark, docs, os.path.join(out_dir, "seg_0"), **kw)
+    return IndexView(segments=[meta])
+
+
+def add_segment(
+    spark: SparkSession, view: IndexView, new_docs: DataFrame, out_dir: str, **kw
+) -> IndexView:
+    """Flush a batch of new documents as the next immutable delta segment
+    (DirectUpdateHandler2.addDoc -> flush). The new segment's docids start
+    at the next bucket boundary, so buckets never straddle segments."""
+    seg_id = len(view.segments)
+    meta = build_index(
+        spark,
+        new_docs,
+        os.path.join(out_dir, f"seg_{seg_id}"),
+        bucket_docs=view.bucket_docs,
+        docid_base=view.next_docid_base,
+        **kw,
+    )
+    return IndexView(segments=view.segments + [meta], delete_keys=view.delete_keys)
+
+
+def delete_by_keys(view: IndexView, keys: list[tuple]) -> IndexView:
+    """Mark (repo, path, commit) keys deleted — the live-docs mask
+    (deleteByQuery/deleteById in DirectUpdateHandler2.java:409; applied at
+    query time, reclaimed only by a future merge/rebuild)."""
+    return IndexView(
+        segments=view.segments, delete_keys=view.delete_keys + list(keys)
+    )

@@ -79,3 +79,76 @@ def test_resume_noop_when_complete(spark, small_corpus, small_index):
     )
     assert meta.n_docs == small_index.n_docs
     assert meta.stages == small_index.stages
+
+
+def test_incremental_segments_equal_full_rebuild(spark, small_corpus, tmp_path_factory):
+    """base + delta segments answer queries identically to a from-scratch
+    rebuild (append-only: combined N/avgdl/df equal the full build's) —
+    the DirectUpdateHandler2 addDoc->flush lifecycle as immutable delta
+    segments; then live-docs delete semantics: deleted docs stop matching,
+    surviving docs keep their exact scores (Lucene keeps deleted docs in
+    the statistics until merge)."""
+    from pyspark.sql import functions as F
+
+    from solr_spark.indexer import build_index
+    from solr_spark.kernel import search
+    from solr_spark.segments import add_segment, delete_by_keys, open_base
+
+    docs = spark.read.parquet(small_corpus)
+    full_dir = str(tmp_path_factory.mktemp("segfull") / "idx")
+    full = build_index(spark, docs, full_dir, bucket_docs=128, num_partitions=4)
+
+    seg_dir = str(tmp_path_factory.mktemp("segview") / "view")
+    cut = docs.select("repo").distinct().orderBy("repo").collect()
+    mid = cut[len(cut) // 2]["repo"]
+    view = open_base(
+        spark, docs.filter(F.col("repo") < mid), seg_dir,
+        bucket_docs=128, num_partitions=4,
+    )
+    view = add_segment(
+        spark, view, docs.filter(F.col("repo") >= mid), seg_dir, num_partitions=4
+    )
+    assert view.n_docs == full.n_docs and view.avgdl == full.avgdl
+
+    for q in ["license", "spark window merge", "+int +public"]:
+        want = {
+            (r["docid"], round(r["score"], 9))
+            for r in search(spark, full, q, k=full.n_docs).collect()
+        }
+        # incremental docids differ (insertion order); compare by score set
+        # joined back to stable keys
+        got_df = view.search(spark, q, k=view.n_docs)
+        vdocs = spark.read.parquet(*[m.docs_path for m in view.segments])
+        fdocs = spark.read.parquet(full.docs_path).select(
+            F.col("docid").alias("fdocid"), "repo", "path", "commit"
+        )
+        got = {
+            (r["fdocid"], round(r["score"], 9))
+            for r in got_df.join(vdocs, "docid")
+            .join(fdocs, ["repo", "path", "commit"])
+            .select("fdocid", "score")
+            .collect()
+        }
+        assert got == want, q
+
+    # deletes: pick one matching doc, delete it, others' scores unchanged
+    first = search(spark, full, "license", k=1).collect()[0]
+    fd = spark.read.parquet(full.docs_path).filter(
+        F.col("docid") == first["docid"]
+    ).collect()[0]
+    dview = delete_by_keys(view, [(fd["repo"], fd["path"], fd["commit"])])
+    before = {
+        (r["repo"], r["path"]): r["score"]
+        for r in view.search(spark, "license", k=view.n_docs)
+        .join(spark.read.parquet(*[m.docs_path for m in view.segments]), "docid")
+        .select("repo", "path", "score").collect()
+    }
+    after = {
+        (r["repo"], r["path"]): r["score"]
+        for r in dview.search(spark, "license", k=view.n_docs)
+        .join(spark.read.parquet(*[m.docs_path for m in dview.segments]), "docid")
+        .select("repo", "path", "score").collect()
+    }
+    assert (fd["repo"], fd["path"]) in before and (fd["repo"], fd["path"]) not in after
+    del before[(fd["repo"], fd["path"])]
+    assert before == after  # statistics unchanged by the live-docs mask
