@@ -951,13 +951,14 @@ _PRIORITY = [
     "u_incremental_index", "u_atomic_update", "u_delete_by_key",
     "w_rerank", "a_frange", "a_geodist", "a_hll_approx",
     "a_percentile_rank", "a_facet2d",
+    # stream evaluators (Lang.java family)
+    "a_moving_avg", "a_corr_regress", "a_cumulative_sum", "a_diff_lag",
     # core BM25 / parser representatives
-    "fts_single_term", "fts_conjunction", "fts_disjunction",
-    "fts_prohibited", "fts_boosted", "fts_dismax_tie", "fts_filter_lang",
+    "fts_single_term", "fts_conjunction",
+    "fts_prohibited", "fts_dismax_tie",
     "fts_term_dictionary",
     # relational / join / agg / window representatives
     "r_search_select", "r_export_sorted", "r_cursor_page", "r_topk",
-    "r_realtime_get",
     "j_inner_join", "j_hash_broadcast", "j_block_parent", "j_graph_2hop",
     "a_rollup_q1", "a_timeseries_hourly", "w_collapse",
 ]
@@ -1046,6 +1047,109 @@ FROM dl d CROSS JOIN g
 WHERE m0.doc_id IS NOT NULL OR pm.doc_id IS NOT NULL
 ORDER BY 2 DESC, d.source ASC, d.doc_id ASC
 LIMIT 10"""
+
+
+# ---------------------------------------------------------------------------
+# Stream evaluators (Lang.java:419-498) — aggregate/window/scalar family
+
+_MOVAVG_SQL = """SELECT event_id,
+round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / count(*) OVER w, 6) AS moving_avg
+FROM events
+WINDOW w AS (PARTITION BY date_trunc('day', ts) ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"""
+
+
+@entry("a_moving_avg", _MOVAVG_SQL)
+def a_moving_avg(spark, sf_dir):
+    """movingAvg evaluator (MovingAverageEvaluator, Lang.java:436) over a
+    day-partitioned ordered window — exact decimal frame sums."""
+    from solr_spark.functions import evaluators
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "__day", F.date_trunc("day", F.col("ts"))
+    )
+    out = evaluators.moving_avg(
+        ev, ["__day"], [F.asc("ts"), F.asc("event_id")], "value", 3, scale=2
+    )
+    return out.select(
+        "event_id", F.round(F.col("moving_avg"), 6).alias("moving_avg")
+    )
+
+
+_CORR_SQL = """WITH m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(19,4))) AS DOUBLE) AS sx,
+  CAST(sum(CAST(o_custkey AS DECIMAL(19,4))) AS DOUBLE) AS sy,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(19,4)) * CAST(o_custkey AS DECIMAL(19,4))) AS DOUBLE) AS sxy,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(19,4)) * CAST(o_totalprice AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
+  CAST(sum(CAST(o_custkey AS DECIMAL(19,4)) * CAST(o_custkey AS DECIMAL(19,4))) AS DOUBLE) AS syy
+  FROM orders)
+SELECT round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr,
+ round((n * sxy - sx * sy) / (n * sxx - sx * sx), 10) AS slope,
+ round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
+FROM m"""
+
+
+@entry("a_corr_regress", _CORR_SQL)
+def a_corr_regress(spark, sf_dir):
+    """corr + OLS regression evaluators (CorrelationEvaluator Lang.java:429,
+    RegressionEvaluator) from exact decimal moments — deterministic under
+    any aggregation order."""
+    from solr_spark.functions import evaluators
+
+    out = evaluators.corr_regress(
+        _t(spark, sf_dir, "orders"), "o_totalprice", "o_custkey", scale=4
+    )
+    return out.select(
+        F.round("corr", 6).alias("corr"),
+        F.round("slope", 10).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+    )
+
+
+_CUMSUM_SQL = """SELECT o_orderkey,
+CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cumsum
+FROM orders"""
+
+
+@entry("a_cumulative_sum", _CUMSUM_SQL)
+def a_cumulative_sum(spark, sf_dir):
+    """Running total per customer (cumulative lambda over the sorted
+    stream) — exact decimal accumulation in a partitioned window."""
+    from solr_spark.functions import evaluators
+
+    out = evaluators.cumulative_sum(
+        _t(spark, sf_dir, "orders"),
+        ["o_custkey"],
+        [F.asc("o_orderdate"), F.asc("o_orderkey")],
+        "o_totalprice",
+        scale=2,
+    )
+    return out.select("o_orderkey", "cumsum")
+
+
+_DIFF_SQL = """SELECT event_id,
+round(coalesce(value - lag(value) OVER (
+  PARTITION BY date_trunc('day', ts) ORDER BY ts, event_id), 0.0), 6) AS diff
+FROM events"""
+
+
+@entry("a_diff_lag", _DIFF_SQL)
+def a_diff_lag(spark, sf_dir):
+    """diff evaluator: lag-1 first difference within each day partition."""
+    from solr_spark.functions import evaluators
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "__day", F.date_trunc("day", F.col("ts"))
+    )
+    out = evaluators.diff_lag(
+        ev, ["__day"], [F.asc("ts"), F.asc("event_id")], "value"
+    )
+    return out.select(
+        "event_id",
+        F.round(F.coalesce(F.col("diff"), F.lit(0.0)), 6).alias("diff"),
+    )
 
 
 @entry("u_incremental_index", bm25_oracle_sql("spark merge", k=10**9))

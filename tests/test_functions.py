@@ -142,3 +142,53 @@ def test_multimodal_stub_errors_channelled(spark, docs):
     assert all(not r["ok"] for r in feats)
     assert all("decoder not available" in r["error"] for r in feats)
     assert all(r["sha256"] is not None for r in feats)  # hashing still ran
+
+
+def test_evaluator_registry(spark):
+    """Scalar + vector evaluator builders (Lang.java:419-498 family)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from solr_spark.functions import evaluators as ev
+
+    df = spark.createDataFrame(
+        [(4.0, 2.0, [1.0, 2.0], [3.0, 4.0])], "a double, b double, u array<double>, v array<double>"
+    )
+    row = df.select(
+        ev.SCALAR["sqrt"](F.col("a")).alias("sqrt"),
+        ev.SCALAR["pow"](F.col("a"), F.col("b")).alias("pow"),
+        ev.SCALAR["div"](F.col("a"), F.col("b")).alias("div"),
+        ev.VECTOR["dotProduct"](F.col("u"), F.col("v")).alias("dot"),
+        ev.VECTOR["euclidean"](F.col("u"), F.col("v")).alias("euc"),
+        ev.VECTOR["cosineSimilarity"](F.col("u"), F.col("v")).alias("cos"),
+    ).collect()[0]
+    assert row["sqrt"] == 2.0 and row["pow"] == 16.0 and row["div"] == 2.0
+    assert row["dot"] == 11.0
+    assert abs(row["euc"] - math.sqrt(8.0)) < 1e-12
+    assert abs(row["cos"] - 11.0 / (math.sqrt(5) * 5.0)) < 1e-12
+
+
+def test_evaluator_zscore_and_windows(spark):
+    from pyspark.sql import functions as F
+
+    from solr_spark.functions import evaluators as ev
+
+    df = spark.createDataFrame(
+        [(1, "g", 1.0), (2, "g", 3.0), (3, "g", 5.0), (4, "h", 10.0)],
+        "id int, g string, v double",
+    )
+    z = {r["id"]: r["z"] for r in ev.zscore(df, "v", "z").collect()}
+    assert abs(z[4]) > abs(z[1])  # outlier farthest from the mean
+    ma = {
+        r["id"]: r["moving_avg"]
+        for r in ev.moving_avg(df, ["g"], [F.asc("id")], "v", 2).collect()
+    }
+    assert ma[1] == 1.0 and ma[2] == 2.0 and ma[3] == 4.0 and ma[4] == 10.0
+    cs = {
+        r["id"]: r["cumsum"]
+        for r in ev.cumulative_sum(df, ["g"], [F.asc("id")], "v").collect()
+    }
+    assert cs[3] == 9.0 and cs[4] == 10.0
+    d = {r["id"]: r["diff"] for r in ev.diff_lag(df, ["g"], [F.asc("id")], "v").collect()}
+    assert d[2] == 2.0 and d[3] == 2.0 and d[1] is None
