@@ -105,7 +105,13 @@ def _multiterm_component(spark: SparkSession, meta: IndexMeta, mt) -> DataFrame:
     )
 
 
-def gate_search(spark: SparkSession, sf_dir: str, q: str, k: int = 10) -> DataFrame:
+def gate_search(
+    spark: SparkSession,
+    sf_dir: str,
+    q: str,
+    k: int = 10,
+    synonyms: dict[str, list[str]] | None = None,
+) -> DataFrame:
     """Top-k BM25 with the oracle's ranking contract: rank by
     (round(score, 6) desc, docid asc); emit (doc_id, score).
 
@@ -114,9 +120,16 @@ def gate_search(spark: SparkSession, sf_dir: str, q: str, k: int = 10) -> DataFr
     term_score + phrase contributions (each a BM25 clause with
     tf = phrase frequency), candidates = OR of all clauses — Lucene
     BooleanQuery semantics with a PhraseQuery sub-clause
-    (solr/core/src/java/org/apache/solr/search/SolrQueryParser.java)."""
+    (solr/core/src/java/org/apache/solr/search/SolrQueryParser.java).
+
+    ``synonyms``: optional query-time synonym map applied through
+    qparser.expand_synonyms (synonymGraphFilter slot)."""
+    from .qparser import expand_synonyms
+
     meta = ensure_index(spark, sf_dir)
     query: Query = parse(q)
+    if synonyms:
+        query = expand_synonyms(query, synonyms)
     if "source" in query.filters:  # source column is mapped onto repo
         query.filters.setdefault("repo", []).extend(query.filters.pop("source"))
     phrases, query.phrases = query.phrases, []

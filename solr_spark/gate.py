@@ -953,14 +953,15 @@ _PRIORITY = [
     "a_percentile_rank", "a_facet2d",
     # stream evaluators (Lang.java family)
     "a_moving_avg", "a_corr_regress", "a_cumulative_sum", "a_diff_lag",
+    # range facet / block agg / synonyms
+    "a_facet_range", "a_unique_block", "fts_synonyms",
     # core BM25 / parser representatives
-    "fts_single_term", "fts_conjunction",
-    "fts_prohibited", "fts_dismax_tie",
+    "fts_single_term", "fts_conjunction", "fts_dismax_tie",
     "fts_term_dictionary",
     # relational / join / agg / window representatives
-    "r_search_select", "r_export_sorted", "r_cursor_page", "r_topk",
-    "j_inner_join", "j_hash_broadcast", "j_block_parent", "j_graph_2hop",
-    "a_rollup_q1", "a_timeseries_hourly", "w_collapse",
+    "r_search_select", "r_export_sorted", "r_topk",
+    "j_inner_join", "j_hash_broadcast", "j_graph_2hop",
+    "a_rollup_q1", "w_collapse",
 ]
 
 
@@ -1047,6 +1048,48 @@ FROM dl d CROSS JOIN g
 WHERE m0.doc_id IS NOT NULL OR pm.doc_id IS NOT NULL
 ORDER BY 2 DESC, d.source ASC, d.doc_id ASC
 LIMIT 10"""
+
+
+@entry(
+    "a_facet_range",
+    """SELECT 0.0 + floor((o_totalprice - 0.0) / 50000.0) * 50000.0 AS bucket,
+count(*) AS count FROM orders
+WHERE o_totalprice >= 0.0 AND o_totalprice < 500000.0 GROUP BY 1""",
+)
+def a_facet_range(spark, sf_dir):
+    """Numeric range facet: start=0, end=500000, gap=50000
+    (facet/FacetRangeProcessor.java start/end/gap buckets)."""
+    out = rollup.facet_range(
+        _t(spark, sf_dir, "orders"), "o_totalprice", 0.0, 500000.0, 50000.0
+    )
+    return out.select(F.col("bucket").cast("double").alias("bucket"), "count")
+
+
+@entry(
+    "a_unique_block",
+    """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_blocks
+FROM lineitem GROUP BY l_returnflag""",
+)
+def a_unique_block(spark, sf_dir):
+    """uniqueBlock agg (facet/UniqueBlockAgg.java): distinct parent blocks
+    per child-facet bucket — here distinct orders per returnflag over the
+    lineitem children."""
+    return rollup.rollup(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        [rollup.unique_block("l_orderkey").alias("n_blocks")],
+    )
+
+
+@entry("fts_synonyms", bm25_oracle_sql("merge join", k=10))
+def fts_synonyms(spark, sf_dir):
+    """Query-time synonym expansion (synonymGraphFilter slot,
+    managed-schema.xml:307-312): q='merge' with merge→join expands to the
+    same scored disjunction as q='merge join' — the oracle IS the
+    expanded query's BM25 SQL."""
+    return gate_search(
+        spark, sf_dir, "merge", k=10, synonyms={"merge": ["join"]}
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -369,6 +369,46 @@ def search(
     return out
 
 
+def hit_count(
+    spark: SparkSession,
+    meta: IndexMeta,
+    q: str | Query,
+    min_exact_count: int | None = None,
+) -> tuple[int, str]:
+    """Hit-count contract of the reference's QueryCommand
+    (core/.../search/QueryCommand.java:40,164-168 — minExactCount) and
+    Lucene's TotalHits relation: returns (count, relation) with relation
+    'EQ' (exact) or 'GTE' (lower bound after early termination).
+
+    - single optional term, no filters/prohibited: answered from the term
+      dictionary alone (df is exact; zero postings scanned);
+    - min_exact_count set: matches are scored only up to that many; if the
+      budget fills, the count is reported as a 'GTE' lower bound —
+      the caller opted out of an exact count, exactly the reference's
+      approximate-hits semantics;
+    - otherwise: exact aggregation over all matches ('EQ')."""
+    query = parse(q) if isinstance(q, str) else q
+    terms = list(query.scoring)
+    if (
+        len(terms) == 1
+        and not query.filters
+        and not query.prohibited
+        and not query.phrases
+        and not query.multiterm
+    ):
+        stats = (
+            spark.read.parquet(meta.terms_path)
+            .where(F.col("term") == terms[0])
+            .collect()
+        )
+        return (int(stats[0]["df"]) if stats else 0, "EQ")
+    if min_exact_count is not None:
+        n = len(search(spark, meta, query, k=min_exact_count).collect())
+        return (n, "EQ" if n < min_exact_count else "GTE")
+    n = search(spark, meta, query, k=meta.n_docs).count()
+    return (n, "EQ")
+
+
 POSTING_ROWS_SCHEMA = "term string, docid bigint, tf bigint"
 
 

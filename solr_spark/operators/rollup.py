@@ -94,6 +94,57 @@ def facet2d(
     )
 
 
+def facet_range(
+    df: DataFrame,
+    field: str,
+    start: float,
+    end: float,
+    gap: float,
+    metrics: list[Column] | None = None,
+    hardend: bool = False,
+    include_before: bool = False,
+    include_after: bool = False,
+) -> DataFrame:
+    """Numeric range facet (facet/FacetRangeProcessor.java: start/end/gap
+    buckets, hardend, other=before/after). Bucket i covers
+    [start + i·gap, start + (i+1)·gap); with hardend the last bucket is
+    truncated at ``end``, otherwise it extends past it (the reference's
+    hardend=false default). Values outside [start, end) fall into the
+    optional __before/__after rows. One hash aggregation — the bucket id
+    is computed per row, no join against a bucket table."""
+    import math
+
+    v = F.col(field)
+    i = F.floor((v - F.lit(start)) / F.lit(gap))
+    bucket = F.lit(start) + i.cast("double") * F.lit(gap)
+    # hardend=false (the reference default): the last bucket extends past
+    # ``end`` to a full gap width, so the effective range end is the next
+    # gap boundary; hardend=true truncates membership exactly at end
+    eff_end = end if hardend else start + math.ceil((end - start) / gap) * gap
+    in_range = (v >= start) & (v < eff_end)
+    tag = F.when(in_range, bucket.cast("string"))
+    if include_before:
+        tag = tag.when(v < start, F.lit("__before"))
+    if include_after:
+        tag = tag.when(v >= eff_end, F.lit("__after"))
+    aggs = [F.count(F.lit(1)).alias("count")] + list(metrics or [])
+    return (
+        df.withColumn("__bucket", tag)
+        .filter(F.col("__bucket").isNotNull())
+        .groupBy("__bucket")
+        .agg(*aggs)
+        .withColumnRenamed("__bucket", "bucket")
+    )
+
+
+def unique_block(child_key: str | Column) -> Column:
+    """uniqueBlock agg (facet/UniqueBlockAgg.java): number of distinct
+    parent blocks among matching child rows — countDistinct on the block
+    (root) key. The reference optimizes via segment-ordinal counting;
+    Spark's partial-aggregated distinct is the same answer exactly."""
+    return F.countDistinct(child_key)
+
+
 def stats(df: DataFrame, aggs: list[Column]) -> DataFrame:
     """stats(): single-bucket metrics (StatsStream.java:1,
     StatsComponent core/.../handler/component/StatsComponent.java)."""

@@ -75,6 +75,35 @@ class Query:
         return bool(self.required) and not self.optional
 
 
+def expand_synonyms(query: Query, synonyms: dict[str, list[str]]) -> Query:
+    """Query-time synonym expansion — the synonymGraphFilter slot of the
+    reference's query analyzer chain (solr/server/solr/configsets/_default/
+    conf/managed-schema.xml:307-312), with Solr's expand=true semantics:
+    each synonym becomes an equally-weighted OR clause alongside the
+    original term (approximating Lucene SynonymQuery, which blends df —
+    we score each variant with its own df, the pre-SynonymQuery behavior).
+    Multiplicity and boosts carry over from the source term."""
+    out = Query(
+        optional=Counter(query.optional),
+        required=Counter(query.required),
+        prohibited=set(query.prohibited),
+        filters={k: list(v) for k, v in query.filters.items()},
+        boosts=dict(query.boosts),
+        phrases=[list(p) for p in query.phrases],
+        multiterm=list(query.multiterm),
+    )
+    for bucket_name in ("optional", "required"):
+        src = getattr(query, bucket_name)
+        dst = getattr(out, bucket_name)
+        for t, cnt in src.items():
+            for s in synonyms.get(t, ()):
+                for tok in analyze_query(s):
+                    dst[tok] += cnt
+                    if t in out.boosts:
+                        out.boosts[tok] = out.boosts.get(tok, 1.0) * out.boosts[t]
+    return out
+
+
 def calculate_mm(optional_clause_count: int, spec: str) -> int:
     """min-should-match spec → required clause count. Faithful port of
     SolrPluginUtils.calculateMinShouldMatch

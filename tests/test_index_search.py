@@ -135,3 +135,30 @@ def test_meta_stats(small_index):
     assert small_index.postings_bytes > 0
     assert len(small_index.lineage) >= 1
     assert small_index.skew_ratio > 1  # Zipf vocab must show skew
+
+
+def test_hit_count_contract(spark, small_index):
+    """minExactCount semantics (QueryCommand.java:40,164-168): exact df
+    for single terms, lower-bound relation when the budget fills."""
+    from solr_spark.kernel import hit_count, search
+
+    exact = search(spark, small_index, "license", k=small_index.n_docs).count()
+    n, rel = hit_count(spark, small_index, "license")
+    assert (n, rel) == (exact, "EQ")  # term-dictionary answer, no scan
+    n2, rel2 = hit_count(spark, small_index, "license int", min_exact_count=5)
+    assert rel2 == "GTE" and n2 == 5
+    n3, rel3 = hit_count(spark, small_index, "license int", min_exact_count=10**6)
+    full = search(spark, small_index, "license int", k=small_index.n_docs).count()
+    assert (n3, rel3) == (full, "EQ")
+
+
+def test_synonym_expansion_equals_disjunction(spark, small_index):
+    from solr_spark.kernel import search
+    from solr_spark.qparser import expand_synonyms, parse
+
+    q = expand_synonyms(parse("license"), {"license": ["int"]})
+    got = search(spark, small_index, q, k=20).collect()
+    want = search(spark, small_index, "license int", k=20).collect()
+    assert [(r["docid"], r["score"]) for r in got] == [
+        (r["docid"], r["score"]) for r in want
+    ]
