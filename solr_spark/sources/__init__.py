@@ -45,6 +45,92 @@ def read_csv(spark: SparkSession, path: str, schema: str | None = None, header: 
     return r.csv(path)
 
 
+def read_xml_updates(spark: SparkSession, path: str) -> DataFrame:
+    """XMLLoader analog (handler/loader/XMLLoader.java:148-406): parse
+    Solr's XML update format — <add><doc><field name="...">value</field>
+    ...</doc></add> — into one row per <doc> with a map<string,
+    array<string>> of field values (multi-valued fields keep all values,
+    XMLLoader.java:374).
+
+    Distributed shape: whole files scattered across executors
+    (wholetext), parsed per-file with stdlib ElementTree inside
+    mapInPandas — parse work scales with file count, nothing driver-side."""
+    import pandas as pd
+
+    src = spark.read.text(path, wholetext=True)
+
+    def parse_files(batches):
+        import xml.etree.ElementTree as ET
+
+        for pdf in batches:
+            rows = []
+            for txt in pdf["value"]:
+                root = ET.fromstring(txt)
+                adds = [root] if root.tag == "add" else root.findall(".//add")
+                for add in adds:
+                    for doc in add.findall("doc"):
+                        fields: dict[str, list[str]] = {}
+                        for fld in doc.findall("field"):
+                            name = fld.attrib.get("name", "")
+                            fields.setdefault(name, []).append(fld.text or "")
+                        rows.append({"fields": fields})
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return src.mapInPandas(parse_files, "fields map<string, array<string>>")
+
+
+def read_cat(spark: SparkSession, path: str, max_lines: int | None = None) -> DataFrame:
+    """cat() analog (solrj-streaming/.../io/stream/CatStream.java): emit
+    (file, line_number, line) rows for files under ``path``. Line numbers
+    are per-file ordinals (CatStream's crawl emits in file order)."""
+    from pyspark.sql import Window
+
+    out = (
+        spark.read.text(path)
+        .withColumn("file", F.input_file_name())
+        .withColumn(
+            "line_number",
+            F.row_number().over(
+                Window.partitionBy("file").orderBy(F.monotonically_increasing_id())
+            ),
+        )
+        .withColumnRenamed("value", "line")
+        .select("file", "line_number", "line")
+    )
+    return out.filter(F.col("line_number") <= max_lines) if max_lines else out
+
+
+def write_response(
+    df: DataFrame, wt: str = "json", rows: int | None = 10, start: int = 0
+) -> str:
+    """Response-writer surface (response/JSONResponseWriter.java,
+    CSVResponseWriter.java): render a (small, already top-k'd) result
+    frame as the Solr response envelope. Driver-side by design — response
+    writing is the final, page-sized step; use write_commit for bulk
+    exports."""
+    import io
+
+    pdf = df.toPandas()
+    n_found = len(pdf)
+    if rows is not None:
+        pdf = pdf.iloc[start : start + rows]
+    if wt == "json":
+        docs = pdf.to_dict(orient="records")
+        return json.dumps(
+            {
+                "responseHeader": {"status": 0},
+                "response": {"numFound": n_found, "start": start, "docs": docs},
+            },
+            default=str,
+        )
+    if wt == "csv":
+        buf = io.StringIO()
+        pdf.to_csv(buf, index=False)
+        return buf.getvalue()
+    raise ValueError(f"unsupported wt={wt!r} (json, csv)")
+
+
 def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
     """jdbc() analog (JDBCStream.java:1) — thin passthrough; partitioned
     reads via (partitionColumn, lowerBound, upperBound, numPartitions)."""

@@ -85,3 +85,44 @@ def test_write_commit_atomic_marker(spark, tmp_path):
     sources.write_commit(spark.range(10), out)
     assert os.path.exists(os.path.join(out, "_SUCCESS"))
     assert spark.read.parquet(out).count() == 10
+
+
+def test_read_xml_updates(spark, tmp_path):
+    """XMLLoader format: <add><doc><field name=..>v</field></doc></add>
+    with multi-valued fields (XMLLoader.java:374)."""
+    from solr_spark.sources import read_xml_updates
+
+    p = tmp_path / "batch1.xml"
+    p.write_text(
+        """<add>
+  <doc><field name="id">1</field><field name="tag">a</field><field name="tag">b</field></doc>
+  <doc><field name="id">2</field><field name="title">hello</field></doc>
+</add>"""
+    )
+    rows = read_xml_updates(spark, str(tmp_path)).collect()
+    by_id = {r["fields"]["id"][0]: r["fields"] for r in rows}
+    assert by_id["1"]["tag"] == ["a", "b"]
+    assert by_id["2"]["title"] == ["hello"]
+
+
+def test_read_cat(spark, tmp_path):
+    from solr_spark.sources import read_cat
+
+    (tmp_path / "a.txt").write_text("l1\nl2\nl3\n")
+    out = read_cat(spark, str(tmp_path / "a.txt"), max_lines=2).collect()
+    assert [(r["line_number"], r["line"]) for r in sorted(out, key=lambda r: r["line_number"])] == [
+        (1, "l1"), (2, "l2"),
+    ]
+
+
+def test_write_response(spark):
+    import json as _json
+
+    from solr_spark.sources import write_response
+
+    df = spark.createDataFrame([(1, 9.5), (2, 8.0), (3, 1.0)], "id int, score double")
+    env = _json.loads(write_response(df.orderBy("id"), wt="json", rows=2))
+    assert env["response"]["numFound"] == 3
+    assert [d["id"] for d in env["response"]["docs"]] == [1, 2]
+    csv = write_response(df.orderBy("id"), wt="csv", rows=3)
+    assert csv.splitlines()[0] == "id,score" and len(csv.splitlines()) == 4
