@@ -30,17 +30,23 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Query mix over the synthetic corpus's actual vocabulary (corpus.py:
+# keywords + camelCase identifiers + snake_case + planted rare terms) —
+# hot single term, rare term, disjunction, conjunction, prohibition,
+# mixed-frequency, identifier and snake_case shapes. (The round-1 set
+# reused gate-table terms absent from this corpus, so half the latencies
+# measured the empty-result fast path.)
 FTS_QUERIES = [
-    "table",
-    "dup",
-    "spark window merge",
-    "+vector +hash",
-    "table -vector",
-    "license int",
-    "+zzfrobnicate",
+    "license",
+    "zzfrobnicate",
+    "class def return",
+    "+public +static",
+    "int -license",
     "qqxylophone7 the license",
-    "getfoo setbarimpl",
+    "getvalueimpl",
     "max_size num_count",
+    "+zzfrobnicate +license",
+    "public static void class",
 ]
 
 

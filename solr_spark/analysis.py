@@ -54,7 +54,9 @@ def tokenize_lists(texts: pd.Series) -> pd.Series:
     return toks.map(lambda ts: [t for t in ts if t not in sw])
 
 
-def term_frequencies(doc_ids: np.ndarray, texts: pd.Series) -> tuple[pd.DataFrame, pd.DataFrame]:
+def term_frequencies(
+    doc_ids: np.ndarray, texts: pd.Series, bigrams: bool = False
+) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Analyze a batch of documents — the ingest hot path, zero per-token
     Python objects. All string work runs in Arrow C++ over flat buffers
     (lower → regex split → flatten → stop-filter → dictionary-encode);
@@ -71,6 +73,14 @@ def term_frequencies(doc_ids: np.ndarray, texts: pd.Series) -> tuple[pd.DataFram
     Returns ``(triples, doc_lens)``:
       triples  — DataFrame(docid int64, term str[arrow], tf int64, doclen int64)
       doc_lens — DataFrame(docid int64, doclen int64)  (0 for empty docs)
+
+    ``bigrams=True`` additionally emits adjacent-token-pair triples with
+    term = "a b" (space-joined — unigram terms never contain a space, so
+    the two vocabularies share one postings table without collision).
+    Bigram tf counts EVERY adjacent occurrence, i.e. it equals the
+    two-term phrase frequency with overlaps — the positional-postings
+    stand-in that lets phrase queries skip content re-analysis
+    (Lucene stores positions; we store the 2-gram statistics instead).
     """
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -93,37 +103,68 @@ def term_frequencies(doc_ids: np.ndarray, texts: pd.Series) -> tuple[pd.DataFram
             pd.DataFrame({"docid": np.array([], np.int64), "term": empty_terms, "tf": np.array([], np.int64), "doclen": np.array([], np.int64)}),
             pd.DataFrame({"docid": doc_ids, "doclen": np.zeros(n_docs, np.int64)}),
         )
-    denc = pc.dictionary_encode(flat)
-    if isinstance(denc, pa.ChunkedArray):
-        denc = denc.combine_chunks()
-    codes = denc.indices.to_numpy().astype(np.int64)
-    dictionary = denc.dictionary
     pos = parent.to_numpy().astype(np.int64)
     doclens = np.bincount(pos, minlength=n_docs).astype(np.int64)
-    # combined key: doc position * n_uniques + code → one sort + run-length
-    k = np.int64(len(dictionary))
-    key = pos * k + codes
-    key.sort()
-    change = np.empty(key.size, dtype=bool)
-    change[0] = True
-    np.not_equal(key[1:], key[:-1], out=change[1:])
-    starts = np.flatnonzero(change)
-    tf = np.diff(np.append(starts, key.size))
-    ukey = key[starts]
-    upos = ukey // k
-    term_col = pd.Series(
-        pd.arrays.ArrowExtensionArray(
-            pc.take(dictionary, pa.array((ukey % k), type=pa.int32()))
+
+    def _count_runs(tokens_arr, tok_pos):
+        """(token, doc) pairs → unique (doc, term, tf) via dict-encode +
+        one combined-key sort + run-length (shared by uni- and bigrams)."""
+        denc = pc.dictionary_encode(tokens_arr)
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        codes = denc.indices.to_numpy().astype(np.int64)
+        dictionary = denc.dictionary
+        k = np.int64(len(dictionary))
+        key = tok_pos * k + codes
+        key.sort()
+        change = np.empty(key.size, dtype=bool)
+        change[0] = True
+        np.not_equal(key[1:], key[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        tf = np.diff(np.append(starts, key.size))
+        ukey = key[starts]
+        upos = ukey // k
+        term_col = pd.Series(
+            pd.arrays.ArrowExtensionArray(
+                pc.take(dictionary, pa.array((ukey % k), type=pa.int32()))
+            )
         )
-    )
-    triples = pd.DataFrame(
-        {
-            "docid": doc_ids[upos],
-            "term": term_col,
-            "tf": tf.astype(np.int64),
-            "doclen": doclens[upos],
-        }
-    )
+        return pd.DataFrame(
+            {
+                "docid": doc_ids[upos],
+                "term": term_col,
+                "tf": tf.astype(np.int64),
+                "doclen": doclens[upos],
+            }
+        )
+
+    triples = _count_runs(flat, pos)
+    if bigrams:
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        m = len(flat)
+        if m >= 2:
+            adj = pos[: m - 1] == pos[1:]
+            if adj.any():
+                grams = pc.binary_join_element_wise(
+                    flat.slice(0, m - 1), flat.slice(1, m - 1), " "
+                )
+                grams = pc.filter(grams, pa.array(adj))
+                gpos = pos[: m - 1][adj]
+                triples = pd.concat(
+                    [triples, _count_runs(grams, gpos)], ignore_index=True
+                )
+                # concat of two Arrow-backed columns yields a multi-chunk
+                # ChunkedArray; Spark's Arrow serializer needs one chunk
+                chunked = triples["term"].array._pa_array
+                triples["term"] = pd.Series(
+                    pd.arrays.ArrowExtensionArray(
+                        pa.concat_arrays(
+                            [c.cast(pa.string()) for c in chunked.chunks]
+                        )
+                    ),
+                    index=triples.index,
+                )
     doc_lens = pd.DataFrame({"docid": doc_ids, "doclen": doclens})
     return triples, doc_lens
 

@@ -55,11 +55,16 @@ def _source_signature(sf_dir: str) -> str:
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:8]
 
 
-def ensure_index(spark: SparkSession, sf_dir: str, bucket_docs: int = 512) -> IndexMeta:
+def ensure_index(
+    spark: SparkSession,
+    sf_dir: str,
+    bucket_docs: int = 512,
+    bigrams: bool = False,
+) -> IndexMeta:
     """Build (or reuse, via the indexer's resume manifest) the index for
     one sf_dir under a content-addressed temp location."""
     key = hashlib.md5(
-        f"{ENGINE_VERSION}:{os.path.abspath(sf_dir)}:{bucket_docs}:{_source_signature(sf_dir)}".encode()
+        f"{ENGINE_VERSION}:{os.path.abspath(sf_dir)}:{bucket_docs}:{bigrams}:{_source_signature(sf_dir)}".encode()
     ).hexdigest()[:12]
     out = os.path.join(tempfile.gettempdir(), f"solr_spark_gate_{key}")
     return build_index(
@@ -68,6 +73,7 @@ def ensure_index(spark: SparkSession, sf_dir: str, bucket_docs: int = 512) -> In
         out,
         bucket_docs=bucket_docs,
         resume=True,
+        bigrams=bigrams,
     )
 
 
@@ -211,37 +217,70 @@ def _phrase_component(
       3. BM25 with tf = phrase frequency, df = docs containing the phrase
          (PhraseQuery scoring: phraseFreq into the same tf-norm).
 
+    With a bigram-enabled index (build_index(bigrams=True) — the
+    positional-postings stand-in), a two-term phrase reads its frequency
+    straight from the "a b" postings row (bigram tf ≡ overlapping phrase
+    frequency) and NEVER touches content; longer phrases use the
+    conjunction of adjacent bigrams for a much tighter candidate set
+    before the re-analysis verify.
+
     Returns (docid, doc_id, phrase_tf, p_score) for docs where the exact
     phrase occurs."""
     from collections import Counter
 
     from .functions import textfn
+    from .kernel import postings_rows
 
     L = len(terms)
-    q = Query(required=Counter(terms), filters=dict(filters or {}))
-    cand = search(spark, meta, q, k=meta.n_docs).select("docid")
+    use_bigrams = bool(getattr(meta, "has_bigrams", False)) and L >= 2
     docs = spark.read.parquet(meta.docs_path).select("docid", "path", "doclen")
-    src = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
-        "doc_id", "text"
-    )
-    with_src = (
-        cand.join(docs, "docid")
-        .withColumn("doc_id", F.col("path").cast("bigint"))
-        .join(src, "doc_id")
-    )
-    toks = textfn.tokens(F.col("text"))
-    phrase_arr = F.array(*[F.lit(t) for t in terms])
-    n_pos = F.size(toks) - L + 1
-    hits = F.filter(
-        F.sequence(F.lit(1), F.greatest(n_pos, F.lit(1))),
-        lambda i: F.slice(toks, i, L) == phrase_arr,
-    )
-    ptf = F.when(n_pos >= 1, F.size(hits)).otherwise(F.lit(0))
-    matched = (
-        with_src.withColumn("phrase_tf", ptf.cast("bigint"))
-        .filter(F.col("phrase_tf") > 0)
-        .select("docid", "doc_id", "phrase_tf", "doclen")
-    )
+    if use_bigrams and L == 2:
+        # zero content re-read: bigram postings ARE the phrase stats
+        rows = postings_rows(spark, meta, [f"{terms[0]} {terms[1]}"])
+        joined = rows.select("docid", F.col("tf").alias("phrase_tf")).join(
+            docs, "docid"
+        )
+        if filters:
+            fdocs = spark.read.parquet(meta.docs_path).select(
+                "docid", *sorted(filters)
+            )
+            joined = joined.join(fdocs, "docid")
+            for f_name, vals in sorted(filters.items()):
+                joined = joined.filter(F.col(f_name).isin(list(vals)))
+        matched = joined.withColumn(
+            "doc_id", F.col("path").cast("bigint")
+        ).select("docid", "doc_id", "phrase_tf", "doclen")
+    else:
+        if use_bigrams:
+            # candidates: docs containing every adjacent bigram
+            clause = Counter(
+                f"{terms[i]} {terms[i + 1]}" for i in range(L - 1)
+            )
+        else:
+            clause = Counter(terms)
+        q = Query(required=clause, filters=dict(filters or {}))
+        cand = search(spark, meta, q, k=meta.n_docs).select("docid")
+        src = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+            "doc_id", "text"
+        )
+        with_src = (
+            cand.join(docs, "docid")
+            .withColumn("doc_id", F.col("path").cast("bigint"))
+            .join(src, "doc_id")
+        )
+        toks = textfn.tokens(F.col("text"))
+        phrase_arr = F.array(*[F.lit(t) for t in terms])
+        n_pos = F.size(toks) - L + 1
+        hits = F.filter(
+            F.sequence(F.lit(1), F.greatest(n_pos, F.lit(1))),
+            lambda i: F.slice(toks, i, L) == phrase_arr,
+        )
+        ptf = F.when(n_pos >= 1, F.size(hits)).otherwise(F.lit(0))
+        matched = (
+            with_src.withColumn("phrase_tf", ptf.cast("bigint"))
+            .filter(F.col("phrase_tf") > 0)
+            .select("docid", "doc_id", "phrase_tf", "doclen")
+        )
     dfp = matched.agg(F.count(F.lit(1)).cast("double").alias("df_p"))
     n = float(meta.n_docs)
     avgdl = meta.avgdl
@@ -265,15 +304,18 @@ def _phrase_component(
     )
 
 
-def gate_phrase(spark: SparkSession, sf_dir: str, phrase: str, k: int = 10) -> DataFrame:
+def gate_phrase(
+    spark: SparkSession, sf_dir: str, phrase: str, k: int = 10, bigrams: bool = False
+) -> DataFrame:
     """Exact phrase query (pure phrase clause) under the rounded-score
     ranking contract; output (doc_id, phrase_tf, score). Reference:
     phrase queries in the standard parser
     (solr/core/src/java/org/apache/solr/search/SolrQueryParser.java;
-    solr-ref-guide standard-query-parser.adoc)."""
+    solr-ref-guide standard-query-parser.adoc). ``bigrams=True`` runs
+    against a bigram-enabled index (the positional-postings stand-in)."""
     from .analysis import analyze_query
 
-    meta = ensure_index(spark, sf_dir)
+    meta = ensure_index(spark, sf_dir, bigrams=bigrams)
     terms = analyze_query(phrase)
     if not terms:
         return spark.createDataFrame([], "doc_id bigint, phrase_tf bigint, score double")

@@ -945,7 +945,7 @@ _PRIORITY = [
     "e_knn_brute", "e_knn_ivf", "e_near_dup",
     "s_media_features", "s_topic_incremental",
     # round-2 engine operators + previously-unevaluated entries
-    "fts_phrase", "fts_mixed_phrase", "fts_mlt",
+    "fts_phrase", "fts_phrase_bigram", "fts_mixed_phrase", "fts_mlt",
     "fts_edismax_mm", "fts_edismax_pf2",
     "fts_prefix_term", "fts_fuzzy", "fts_mixed_wildcard",
     "u_incremental_index", "u_atomic_update", "u_delete_by_key",
@@ -961,7 +961,7 @@ _PRIORITY = [
     # relational / join / agg / window representatives
     "r_search_select", "r_export_sorted", "r_topk",
     "j_inner_join", "j_hash_broadcast", "j_graph_2hop",
-    "a_rollup_q1", "w_collapse",
+    "a_rollup_q1",
 ]
 
 
@@ -1016,6 +1016,17 @@ def fts_phrase(spark, sf_dir):
     from solr_spark.engine import gate_phrase
 
     return gate_phrase(spark, sf_dir, "spark window", k=10)
+
+
+@entry("fts_phrase_bigram", _PHRASE_SQL)
+def fts_phrase_bigram(spark, sf_dir):
+    """Same phrase, bigram-indexed path: phrase frequency read straight
+    from the 'spark window' postings row — zero content re-analysis
+    (the positional-postings stand-in). Same oracle as fts_phrase proves
+    the two paths are score-identical."""
+    from solr_spark.engine import gate_phrase
+
+    return gate_phrase(spark, sf_dir, "spark window", k=10, bigrams=True)
 
 
 # mixed boolean + phrase query: total = term-kernel score + phrase clause

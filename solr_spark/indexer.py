@@ -74,6 +74,7 @@ class IndexMeta:
     avgdl: float = 0.0
     bucket_docs: int = DEFAULT_BUCKET_DOCS
     docid_base: int = 0  # first docid of this segment (bucket-aligned)
+    has_bigrams: bool = False  # adjacent-pair postings present (phrase path)
     n_terms: int = 0
     postings_rows: int = 0
     postings_bytes: int = 0
@@ -125,7 +126,7 @@ class _DictSumParam(AccumulatorParam):
         return a
 
 
-def _analyze_partitions(stats_acc=None):
+def _analyze_partitions(stats_acc=None, bigrams: bool = False):
     """mapInPandas closure: tokenize + hash one sorted partition, emitting
     union-typed rows. local_idx is the row ordinal within the partition.
 
@@ -154,7 +155,7 @@ def _analyze_partitions(stats_acc=None):
             ids = np.arange(local, local + len(pdf), dtype=np.int64)
             local += len(pdf)
             n_docs += len(pdf)
-            triples, doclens = term_frequencies(ids, pdf["content"])
+            triples, doclens = term_frequencies(ids, pdf["content"], bigrams=bigrams)
             sum_doclen += int(doclens["doclen"].sum())
             sha = pdf["content"].map(lambda s: hashlib.sha256((s or "").encode()).hexdigest())
             packed = (
@@ -299,6 +300,7 @@ def build_index(
     overwrite: bool = False,
     resume: bool = True,
     docid_base: int = 0,
+    bigrams: bool = False,
 ) -> IndexMeta:
     """Build the full index under ``out_dir``. Returns IndexMeta.
 
@@ -319,7 +321,7 @@ def build_index(
 
     P = num_partitions or spark.sparkContext.defaultParallelism
     stage_dir = os.path.join(out_dir, "_stage", "tokens")
-    meta = IndexMeta(out_dir=out_dir, bucket_docs=bucket_docs)
+    meta = IndexMeta(out_dir=out_dir, bucket_docs=bucket_docs, has_bigrams=bigrams)
     cols = {c.lower() for c in docs.columns}
     lang_col = F.col("lang") if "lang" in cols else F.lit(None).cast("string")
 
@@ -338,7 +340,7 @@ def build_index(
             .withColumn("pid", F.spark_partition_id())
         )
         sorted_docs.mapInPandas(
-            _analyze_partitions(stats_acc), STAGE_SCHEMA
+            _analyze_partitions(stats_acc, bigrams=bigrams), STAGE_SCHEMA
         ).write.mode("overwrite").parquet(stage_dir)
     meta.stages["analyze"] = round(time.time() - t0, 3)
 
