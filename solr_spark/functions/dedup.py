@@ -154,7 +154,9 @@ def jaccard_pairs(
     (verification at test scale only); the dropped-shingle count is
     exposed via jaccard_dropped_shingles() for pipeline logging.
     """
-    inv = shingle_rows(df, id_col, text_col, n)
+    from pyspark import StorageLevel
+
+    inv = shingle_rows(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     if max_shingle_df == "auto":
         n_docs = df.count()
         max_shingle_df = max(64, n_docs // 1000)
@@ -232,8 +234,16 @@ def minhash_lsh_pairs(
     (band, band hash) buckets → candidate pairs → exact-Jaccard verify
     over the same shingle rows (inverted-index intersection counts).
     """
+    from pyspark import StorageLevel
+
     r = num_hashes // bands
-    inv = shingle_rows(df, id_col, text_col, shingle_n)
+    # the shingle table feeds the signature agg, the candidate verify and
+    # the size agg — persist it once instead of re-running the Arrow
+    # tokenize+shingle kernel 3-4x (at 100 TB you'd materialize this to
+    # parquet; memory-and-disk is the single-job equivalent)
+    inv = shingle_rows(df, id_col, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sig = inv.groupBy("id").agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
