@@ -55,7 +55,10 @@ def tokenize_lists(texts: pd.Series) -> pd.Series:
 
 
 def term_frequencies(
-    doc_ids: np.ndarray, texts: pd.Series, bigrams: bool = False
+    doc_ids: np.ndarray,
+    texts: pd.Series,
+    bigrams: bool = False,
+    term_transform=None,
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Analyze a batch of documents — the ingest hot path, zero per-token
     Python objects. All string work runs in Arrow C++ over flat buffers
@@ -114,6 +117,17 @@ def term_frequencies(
             denc = denc.combine_chunks()
         codes = denc.indices.to_numpy().astype(np.int64)
         dictionary = denc.dictionary
+        if term_transform is not None:
+            # analyzer transform over the DICTIONARY only (unique terms):
+            # stems may collide, so remap codes into the stemmed code
+            # space — the run-length pass below then merges their tfs.
+            uniq = dictionary.to_pylist()
+            new_code: dict[str, int] = {}
+            remap = np.empty(len(uniq), dtype=np.int64)
+            for ci, t in enumerate(uniq):
+                remap[ci] = new_code.setdefault(term_transform(t), len(new_code))
+            codes = remap[codes]
+            dictionary = pa.array(list(new_code), type=pa.string())
         k = np.int64(len(dictionary))
         key = tok_pos * k + codes
         key.sort()
@@ -167,6 +181,57 @@ def term_frequencies(
                 )
     doc_lens = pd.DataFrame({"docid": doc_ids, "doclen": doclens})
     return triples, doc_lens
+
+
+def s_stem(word: str) -> str:
+    """Harman S-stemmer (Donna Harman, "How Effective Is Suffixing?",
+    JASIS 42(1), 1991 — public algorithm; the reference ships it as the
+    EnglishMinimalStem family slot of its analyzer registry,
+    solr/server/solr/configsets/_default managed-schema field types):
+
+      1. ends 'ies': → 'y'    unless 'eies'/'aies' (then unchanged)
+      2. ends 'es':  → drop s unless 'aes'/'ees'/'oes' (then unchanged)
+      3. ends 's':   → drop s unless 'us'/'ss' (then unchanged)
+
+    The first rule whose suffix matches DECIDES (exceptions terminate,
+    they do not fall through to later rules). Words of length ≤ 2 pass
+    through (the Lucene minimal-stem guard)."""
+    if len(word) <= 2:
+        return word
+    if word.endswith("ies"):
+        return word if word.endswith(("eies", "aies")) else word[:-3] + "y"
+    if word.endswith("es"):
+        return word if word.endswith(("aes", "ees", "oes")) else word[:-1]
+    if word.endswith("s"):
+        return word if word.endswith(("us", "ss")) else word[:-1]
+    return word
+
+
+# SQL mirror of s_stem over a lambda variable x (DuckDB list_transform
+# body) — identical branch order and guards.
+S_STEM_CASE_SQL = (
+    "CASE WHEN length(x) <= 2 THEN x "
+    "WHEN x LIKE '%ies' THEN "
+    "(CASE WHEN x LIKE '%eies' OR x LIKE '%aies' THEN x "
+    "ELSE substr(x, 1, length(x) - 3) || 'y' END) "
+    "WHEN x LIKE '%es' THEN "
+    "(CASE WHEN x LIKE '%aes' OR x LIKE '%ees' OR x LIKE '%oes' THEN x "
+    "ELSE substr(x, 1, length(x) - 1) END) "
+    "WHEN x LIKE '%s' THEN "
+    "(CASE WHEN x LIKE '%us' OR x LIKE '%ss' THEN x "
+    "ELSE substr(x, 1, length(x) - 1) END) "
+    "ELSE x END"
+)
+
+# Analyzer registry: name → per-term transform applied to the token
+# DICTIONARY (unique terms), not the token stream — stemming cost scales
+# with vocabulary size, not corpus size (the Spark-native analog of
+# Lucene's per-segment term dictionary). None = identity (the pinned
+# "code" contract above).
+ANALYZERS: dict[str, "callable | None"] = {
+    "code": None,
+    "code_stem": s_stem,
+}
 
 
 def analyze_query(q: str) -> list[str]:

@@ -60,11 +60,12 @@ def ensure_index(
     sf_dir: str,
     bucket_docs: int = 512,
     bigrams: bool = False,
+    analyzer: str = "code",
 ) -> IndexMeta:
     """Build (or reuse, via the indexer's resume manifest) the index for
     one sf_dir under a content-addressed temp location."""
     key = hashlib.md5(
-        f"{ENGINE_VERSION}:{os.path.abspath(sf_dir)}:{bucket_docs}:{bigrams}:{_source_signature(sf_dir)}".encode()
+        f"{ENGINE_VERSION}:{os.path.abspath(sf_dir)}:{bucket_docs}:{bigrams}:{analyzer}:{_source_signature(sf_dir)}".encode()
     ).hexdigest()[:12]
     out = os.path.join(tempfile.gettempdir(), f"solr_spark_gate_{key}")
     return build_index(
@@ -74,6 +75,7 @@ def ensure_index(
         bucket_docs=bucket_docs,
         resume=True,
         bigrams=bigrams,
+        analyzer=analyzer,
     )
 
 
@@ -117,6 +119,7 @@ def gate_search(
     q: str,
     k: int = 10,
     synonyms: dict[str, list[str]] | None = None,
+    analyzer: str = "code",
 ) -> DataFrame:
     """Top-k BM25 with the oracle's ranking contract: rank by
     (round(score, 6) desc, docid asc); emit (doc_id, score).
@@ -130,12 +133,28 @@ def gate_search(
 
     ``synonyms``: optional query-time synonym map applied through
     qparser.expand_synonyms (synonymGraphFilter slot)."""
+    from collections import Counter
+
+    from .analysis import ANALYZERS
     from .qparser import expand_synonyms
 
-    meta = ensure_index(spark, sf_dir)
+    meta = ensure_index(spark, sf_dir, analyzer=analyzer)
     query: Query = parse(q)
     if synonyms:
         query = expand_synonyms(query, synonyms)
+    transform = ANALYZERS[analyzer]
+    if transform is not None:
+        # query terms go through the same per-term analyzer transform the
+        # index dictionary did (the query/index analyzer symmetry the
+        # reference enforces per field type)
+        for attr in ("optional", "required"):
+            src_counter = getattr(query, attr)
+            stemmed = Counter()
+            for t, c in src_counter.items():
+                stemmed[transform(t)] += c
+            setattr(query, attr, stemmed)
+        query.prohibited = {transform(t) for t in query.prohibited}
+        query.boosts = {transform(t): b for t, b in query.boosts.items()}
     if "source" in query.filters:  # source column is mapped onto repo
         query.filters.setdefault("repo", []).extend(query.filters.pop("source"))
     phrases, query.phrases = query.phrases, []
@@ -568,6 +587,151 @@ def gate_mlt(
     out = _with_doc_id(spark, meta, sc).filter(F.col("doc_id") != doc_id)
     return (
         out.orderBy(F.desc("score"), F.asc("docid"))
+        .limit(k)
+        .select("doc_id", "score")
+    )
+
+
+def _source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _position_filter(toks, pred) -> "F.Column":
+    """Positions i in 1..len(toks) where pred(i) holds (SQL-portable
+    1-based position list — the building block for span verification)."""
+    return F.filter(F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1))), pred)
+
+
+def gate_complexphrase(
+    spark: SparkSession, sf_dir: str, phrase: str, k: int = 10
+) -> DataFrame:
+    """{!complexphrase}: a quoted phrase whose positions may hold wildcard
+    patterns — '"spark wind*"' matches 'spark window', 'spark windows', …
+    (ComplexPhraseQParserPlugin.java:1; Lucene ComplexPhraseQueryParser).
+
+    Two-phase like the plain phrase path: (1) candidates from the
+    inverted index — concrete positions as a required conjunction,
+    wildcard positions as dictionary-expanded OR groups (each an
+    index-pruned postings read, never a content scan); (2) span verify by
+    re-analyzing only the candidates: position i matches iff every
+    offset j satisfies token[i+j] == term_j, or LIKE pattern_j for
+    wildcard slots. Constant-score rewrite (the multi-term contract,
+    matching _multiterm_component), tie-broken (source, doc_id)."""
+    from .functions import textfn
+    from .kernel import postings_rows
+
+    meta = ensure_index(spark, sf_dir)
+    slots = [t for t in phrase.lower().split() if t]
+    if not slots:
+        return spark.createDataFrame([], "doc_id bigint, score double")
+    concrete = [t for t in slots if "*" not in t and "?" not in t]
+
+    # --- phase 1: index-pruned candidates --------------------------------
+    if concrete:
+        from collections import Counter
+
+        q = Query(required=Counter(concrete))
+        cand = search(spark, meta, q, k=meta.n_docs).select("docid")
+    else:
+        # all-wildcard phrase: candidates = docs matching the first slot's
+        # dictionary expansion (still index-pruned, no full scan)
+        terms_df = spark.read.parquet(meta.terms_path)
+        pat = slots[0].replace("*", "%").replace("?", "_")
+        rows = postings_rows(spark, meta, terms_df.filter(F.col("term").like(pat)).select("term"))
+        cand = rows.select("docid").dropDuplicates(["docid"])
+
+    docs = spark.read.parquet(meta.docs_path).select("docid", "path")
+    src = _source_docs(spark, sf_dir).select("doc_id", "text")
+    with_src = (
+        cand.join(docs, "docid")
+        .withColumn("doc_id", F.col("path").cast("bigint"))
+        .join(src, "doc_id")
+    )
+
+    # --- phase 2: span verify on candidates only -------------------------
+    toks = textfn.tokens(F.col("text"))
+    L = len(slots)
+    n_pos = F.size(toks) - L + 1
+
+    def slot_pred(i, j, slot):
+        el = F.element_at(toks, i + F.lit(j))
+        if "*" in slot or "?" in slot:
+            return el.like(slot.replace("*", "%").replace("?", "_"))
+        return el == F.lit(slot)
+
+    def pos_ok(i):
+        cond = slot_pred(i, 0, slots[0])
+        for j in range(1, L):
+            cond = cond & slot_pred(i, j, slots[j])
+        return cond
+
+    hits = F.filter(F.sequence(F.lit(1), F.greatest(n_pos, F.lit(1))), pos_ok)
+    matched = with_src.withColumn(
+        "ok", (n_pos >= 1) & (F.size(hits) > 0)
+    ).filter(F.col("ok"))
+    out = matched.join(
+        _source_docs(spark, sf_dir).select("doc_id", "source"), "doc_id"
+    ).select("doc_id", F.lit(1.0).alias("score"), "source")
+    return (
+        out.orderBy(F.asc("source"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "score")
+    )
+
+
+def gate_proximity(
+    spark: SparkSession,
+    sf_dir: str,
+    term_a: str,
+    term_b: str,
+    slop: int,
+    ordered: bool = True,
+    k: int = 10,
+) -> DataFrame:
+    """Surround-parser proximity query — `3w(a, b)` (ordered within
+    distance) / `3n(a, b)` (unordered within distance)
+    (solr/core/src/java/org/apache/solr/search/SurroundQParserPlugin.java:1;
+    Lucene surround query language, solr-ref-guide other-parsers.adoc).
+
+    Two-phase: candidates = conjunctive index search on both terms (the
+    pruned postings path), then a span-distance verify on the candidates'
+    token arrays: ordered requires 0 < pos(b) − pos(a) ≤ slop; unordered
+    requires |pos(a) − pos(b)| ≤ slop. Constant-score rewrite, tie-broken
+    (source, doc_id) — the same contract as the other multi-term paths."""
+    from collections import Counter
+
+    from .functions import textfn
+
+    meta = ensure_index(spark, sf_dir)
+    a, b = term_a.lower(), term_b.lower()
+    q = Query(required=Counter([a, b]))
+    cand = search(spark, meta, q, k=meta.n_docs).select("docid")
+    docs = spark.read.parquet(meta.docs_path).select("docid", "path")
+    src = _source_docs(spark, sf_dir).select("doc_id", "text", "source")
+    with_src = (
+        cand.join(docs, "docid")
+        .withColumn("doc_id", F.col("path").cast("bigint"))
+        .join(src, "doc_id")
+    )
+    toks = textfn.tokens(F.col("text"))
+    pos_a = _position_filter(toks, lambda i: F.element_at(toks, i) == F.lit(a))
+    pos_b = _position_filter(toks, lambda i: F.element_at(toks, i) == F.lit(b))
+    if ordered:
+        pair_ok = lambda i: F.exists(  # noqa: E731
+            pos_b, lambda j: (j > i) & (j - i <= F.lit(slop))
+        )
+    else:
+        pair_ok = lambda i: F.exists(  # noqa: E731
+            pos_b, lambda j: (j != i) & (F.abs(j - i) <= F.lit(slop))
+        )
+    matched = (
+        with_src.withColumn("pa", pos_a)
+        .withColumn("hit", F.exists(F.col("pa"), pair_ok))
+        .filter(F.col("hit"))
+    )
+    return (
+        matched.select("doc_id", F.lit(1.0).alias("score"), "source")
+        .orderBy(F.asc("source"), F.asc("doc_id"))
         .limit(k)
         .select("doc_id", "score")
     )

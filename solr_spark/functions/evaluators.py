@@ -90,6 +90,27 @@ VECTOR = {
     ),
 }
 
+# second batch of the vector family (mean/variance/scale/unitize — the
+# reference's descriptive and transform evaluators over list values)
+VECTOR.update(
+    {
+        "mean": lambda a: F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v
+        )
+        / F.size(a),
+        "variance": lambda a: F.aggregate(  # population variance: E[x²]−E[x]²
+            a, F.lit(0.0), lambda acc, v: acc + v * v
+        )
+        / F.size(a)
+        - (VECTOR["mean"](a) * VECTOR["mean"](a)),
+        "scale": lambda k, a: F.transform(a, lambda v: k * v),
+        "unitize": lambda a: F.transform(
+            a, lambda v: v / F.sqrt(VECTOR["dotProduct"](a, a))
+        ),
+        "norm2": lambda a: F.sqrt(VECTOR["dotProduct"](a, a)),
+    }
+)
+
 
 def _dec(c: Column | str, scale: int = 4, width: int = 18) -> Column:
     col = F.col(c) if isinstance(c, str) else c
@@ -205,6 +226,127 @@ def cumulative_sum(
     return df.withColumn(
         out_col, F.sum(_dec(value, scale)).over(w).cast("double")
     )
+
+
+def moving_median(
+    df: DataFrame,
+    part_cols: list[str],
+    order: list[Column],
+    value: str,
+    window: int,
+    out_col: str = "moving_median",
+) -> DataFrame:
+    """movingMedian (MovingMedianEvaluator, Lang.java window family):
+    exact median over a trailing row frame. Spark has no holistic median
+    window function, so the frame's values ride a sorted array (frames
+    are small by construction — ``window`` rows) and the median is the
+    interpolated middle, matching DuckDB's window median semantics."""
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(*order)
+        .rowsBetween(-(window - 1), 0)
+    )
+    arr = F.sort_array(F.collect_list(F.col(value).cast("double")).over(w))
+    n = F.size(arr)
+    odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    even = (
+        F.element_at(arr, (n / 2).cast("int"))
+        + F.element_at(arr, (n / 2 + 1).cast("int"))
+    ) / 2.0
+    return df.withColumn(out_col, F.when(n % 2 == 1, odd).otherwise(even))
+
+
+def covariance(df: DataFrame, x: str, y: str, scale: int = 4) -> DataFrame:
+    """cov (CovarianceEvaluator, Lang.java:430): one-row population and
+    sample covariance from the same exact decimal moments as corr —
+    cov_pop = (Σxy − Σx·Σy/n)/n, cov_samp = (Σxy − Σx·Σy/n)/(n−1)."""
+    m = df.agg(*exact_moments(x, y, scale))
+    n, sx, sy, sxy = F.col("n"), F.col("sx"), F.col("sy"), F.col("sxy")
+    return m.select(
+        ((sxy - sx * sy / n) / n).alias("cov_pop"),
+        ((sxy - sx * sy / n) / (n - F.lit(1.0))).alias("cov_samp"),
+    )
+
+
+def percent_rank(
+    df: DataFrame,
+    part_cols: list[str],
+    order: list[Column],
+    out_col: str = "pct_rank",
+) -> DataFrame:
+    """percentRank / rank-transform evaluator: (rank−1)/(n−1) within each
+    partition — both engines implement the identical SQL-standard
+    definition, so values match bit-for-bit."""
+    w = Window.partitionBy(*part_cols).orderBy(*order)
+    return df.withColumn(out_col, F.percent_rank().over(w))
+
+
+def describe(df: DataFrame, value: str, scale: int = 2) -> DataFrame:
+    """describe (DescribeEvaluator): one-row summary — count, exact
+    decimal mean, min/max, and interpolated quartiles (Spark `percentile`
+    and DuckDB `quantile_cont` share the linear-interpolation
+    definition)."""
+    v = F.col(value).cast("double")
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(_dec(value, scale)).cast("double") / F.count(F.lit(1))).alias("mean"),
+        F.min(v).alias("min"),
+        F.expr(f"percentile({value}, 0.25)").alias("p25"),
+        F.expr(f"percentile({value}, 0.5)").alias("p50"),
+        F.expr(f"percentile({value}, 0.75)").alias("p75"),
+        F.max(v).alias("max"),
+    )
+
+
+def ema(
+    df: DataFrame,
+    part_cols: list[str],
+    order: list[Column],
+    value: str,
+    alpha: float,
+    out_col: str = "ema",
+) -> DataFrame:
+    """expMovingAvg (ExponentialMovingAverageEvaluator): within each
+    partition, ema_0 = x_0; ema_i = α·x_i + (1−α)·ema_{i−1}.
+
+    The recurrence is inherently sequential, but only WITHIN a partition
+    key — so each group's ordered values ride one array (groups are
+    bounded: a day, a device, a user) and the recurrence folds JVM-side
+    with F.aggregate, then explodes back to rows. No Python, no global
+    sort; parallelism = number of groups, the same contract as the
+    reference's per-stream evaluation."""
+    a = float(alpha)
+    w = Window.partitionBy(*part_cols).orderBy(*order)
+    with_rn = df.withColumn("__rn", F.row_number().over(w))
+    grouped = with_rn.groupBy(*part_cols).agg(
+        F.array_sort(
+            F.collect_list(F.struct("__rn", F.col(value).cast("double").alias("__v")))
+        ).alias("__a")
+    )
+    emas = F.aggregate(
+        F.col("__a"),
+        F.expr("CAST(array() AS ARRAY<DOUBLE>)"),
+        lambda acc, s: F.when(F.size(acc) == 0, F.array(s["__v"])).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.lit(a) * s["__v"] + F.lit(1.0 - a) * F.element_at(acc, -1)
+                ),
+            )
+        ),
+    )
+    exploded = grouped.withColumn("__e", emas).select(
+        *part_cols,
+        F.posexplode(
+            F.arrays_zip(F.col("__a"), F.col("__e").alias("__ema"))
+        ).alias("__pos", "__z"),
+    )
+    flat = exploded.select(
+        *part_cols,
+        F.col("__z.__a.__rn").alias("__rn"),
+        F.col("__z.__ema").alias(out_col),
+    )
+    return with_rn.join(flat, [*part_cols, "__rn"]).drop("__rn")
 
 
 def zscore(df: DataFrame, value: str, out_col: str = "zscore") -> DataFrame:

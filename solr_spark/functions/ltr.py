@@ -1,0 +1,134 @@
+"""Learning-to-rank re-scoring — the reference's LTR module re-expressed
+as Catalyst expressions over the rerank head.
+
+Reference (paths under /root/reference/solr/modules/ltr/src/java/org/apache/solr/ltr/):
+- model contract + rescoring loop: `model/LTRScoringModel.java:1`,
+  `LTRRescorer.java:149-235` (rescore only the top rerank_docs of the
+  main ranking, keep the tail at the original score)
+- linear model: `model/LinearModel.java:33-76` (score = Σ w_i · f_i over
+  normalized feature values)
+- GBDT ensemble: `model/MultipleAdditiveTreesModel.java:60-140` (sum of
+  regression trees, each a threshold-branch chain)
+- normalizers: `norm/MinMaxNormalizer.java:30-56`,
+  `norm/StandardNormalizer.java:29-54`, `norm/IdentityNormalizer.java`
+- features: `feature/FieldValueFeature.java`, `feature/OriginalScoreFeature.java`
+
+Spark-first shape: a feature is ANY Column expression over the candidate
+row (field values, the original score, function queries), so feature
+extraction is whole-stage-codegen'd — no per-doc Python, no feature
+store round-trip. The model itself compiles to one Column: a linear
+model folds to a weighted sum; a tree ensemble folds each tree to nested
+CASE WHEN and sums the leaves. Rescoring rides the same
+top-k + broadcast-anti-join plan as windowed.rerank, so the full corpus
+is never globally sorted: the head is TakeOrdered(rerank_docs), the tail
+is untouched.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Feature:
+    """One named feature: a Column expression plus an optional normalizer
+    (norm/Normalizer.java contract — normalization happens before the
+    model sees the value)."""
+
+    name: str
+    expr: Column
+    # ("identity") | ("minmax", min, max) | ("standard", avg, std)
+    norm: tuple = ("identity",)
+
+    def normalized(self) -> Column:
+        kind = self.norm[0]
+        if kind == "identity":
+            return self.expr
+        if kind == "minmax":  # MinMaxNormalizer.java:47 (value-min)/(max-min)
+            mn, mx = float(self.norm[1]), float(self.norm[2])
+            return (self.expr - F.lit(mn)) / F.lit(mx - mn)
+        if kind == "standard":  # StandardNormalizer.java:46 (value-avg)/std
+            mu, sd = float(self.norm[1]), float(self.norm[2])
+            return (self.expr - F.lit(mu)) / F.lit(sd)
+        raise ValueError(f"unknown normalizer {kind!r}")
+
+
+@dataclass
+class LinearModel:
+    """score = Σ weight_i · normalized(feature_i) (LinearModel.java:66-76)."""
+
+    features: list[Feature]
+    weights: dict[str, float]
+
+    def score(self) -> Column:
+        total = F.lit(0.0)
+        for f in self.features:
+            total = total + F.lit(float(self.weights.get(f.name, 0.0))) * f.normalized()
+        return total
+
+
+@dataclass
+class TreeNode:
+    """Regression-tree node (MultipleAdditiveTreesModel.RegressionTreeNode:
+    a branch compares one feature against a threshold — missing/NaN goes
+    left, matching the reference's `<=` left-branch convention — or a
+    leaf holds a value)."""
+
+    feature: str | None = None
+    threshold: float = 0.0
+    left: "TreeNode | None" = None
+    right: "TreeNode | None" = None
+    value: float = 0.0
+
+    @property
+    def is_leaf(self) -> bool:
+        return self.feature is None
+
+
+@dataclass
+class TreesModel:
+    """GBDT ensemble: score = Σ_tree weight_t · tree_t(features)
+    (MultipleAdditiveTreesModel.java:60-140). Each tree folds to nested
+    CASE WHEN over the feature Columns — pure Catalyst, evaluated only on
+    the rerank head."""
+
+    features: list[Feature]
+    trees: list[tuple[float, TreeNode]] = field(default_factory=list)
+
+    def _fold(self, node: TreeNode, cols: dict[str, Column]) -> Column:
+        if node.is_leaf:
+            return F.lit(float(node.value))
+        fcol = cols[node.feature]
+        return F.when(
+            fcol <= F.lit(float(node.threshold)), self._fold(node.left, cols)
+        ).otherwise(self._fold(node.right, cols))
+
+    def score(self) -> Column:
+        cols = {f.name: f.normalized() for f in self.features}
+        total = F.lit(0.0)
+        for w, root in self.trees:
+            total = total + F.lit(float(w)) * self._fold(root, cols)
+        return total
+
+
+def ltr_rerank(
+    df: DataFrame,
+    key_cols: list[str],
+    main_order: list[Column],
+    rerank_docs: int,
+    model: "LinearModel | TreesModel",
+    out_col: str = "ltr_score",
+) -> DataFrame:
+    """Re-score the top ``rerank_docs`` of the main ranking with ``model``;
+    the tail keeps the original ``score`` column (LTRRescorer.java:149-235
+    — identical plan shape to windowed.rerank: TakeOrdered head, model
+    Column on the head only, broadcast anti-join tail)."""
+    head = df.orderBy(*main_order).limit(rerank_docs)
+    head_scored = head.withColumn(out_col, model.score().cast("double"))
+    tail = df.join(
+        F.broadcast(head.select(*key_cols)), key_cols, "left_anti"
+    ).withColumn(out_col, F.col("score").cast("double"))
+    return head_scored.unionByName(tail)

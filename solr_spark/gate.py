@@ -949,17 +949,24 @@ _PRIORITY = [
     "fts_edismax_mm", "fts_edismax_pf2",
     "fts_prefix_term", "fts_fuzzy", "fts_mixed_wildcard",
     "u_incremental_index", "u_atomic_update", "u_delete_by_key",
-    "w_rerank", "a_frange", "a_geodist", "a_hll_approx",
+    "w_rerank", "w_ltr_linear", "w_ltr_trees",
+    "a_frange", "a_geodist", "a_hll_approx",
     "a_percentile_rank", "a_facet2d",
+    # specialty parsers (complexphrase / surround proximity)
+    "fts_complexphrase", "fts_proximity", "fts_proximity_un",
     # stream evaluators (Lang.java family)
     "a_moving_avg", "a_corr_regress", "a_cumulative_sum", "a_diff_lag",
-    # range facet / block agg / synonyms
-    "a_facet_range", "a_unique_block", "fts_synonyms",
-    # core BM25 / parser representatives
+    "a_moving_median", "a_covariance", "a_percent_rank", "a_describe",
+    # range facet / block agg / synonyms / stemmed analyzer
+    "a_facet_range", "a_unique_block", "fts_synonyms", "fts_stemmed",
+    # round-2-changed plans that must keep fresh driver evidence
+    "r_export_sorted",
+    # core BM25 / parser / relational representatives (round-1 green rows
+    # exist for everything from here down — safe to spill past a bounded
+    # driver evaluation window)
     "fts_single_term", "fts_conjunction", "fts_dismax_tie",
     "fts_term_dictionary",
-    # relational / join / agg / window representatives
-    "r_search_select", "r_export_sorted", "r_topk",
+    "r_search_select", "r_topk",
     "j_inner_join", "j_hash_broadcast", "j_graph_2hop",
     "a_rollup_q1",
 ]
@@ -1092,6 +1099,25 @@ def a_unique_block(spark, sf_dir):
     )
 
 
+def _stemmed_oracle() -> str:
+    from .analysis import S_STEM_CASE_SQL, s_stem
+
+    stem_toks = f"list_transform({TOKS_SQL}, x -> {S_STEM_CASE_SQL})"
+    return bm25_oracle_sql(
+        "windows merges", k=10, toks_sql=stem_toks, term_transform=s_stem
+    )
+
+
+@entry("fts_stemmed", _stemmed_oracle())
+def fts_stemmed(spark, sf_dir):
+    """S-stemmed analyzer chain (Harman 1991; the EnglishMinimalStem slot
+    of the reference's analyzer registry): q='windows merges' matches
+    docs containing 'window'/'merge' — the stem transform runs over the
+    term DICTIONARY at build time and over the query terms at search
+    time, so stemming cost scales with vocabulary, not corpus."""
+    return gate_search(spark, sf_dir, "windows merges", k=10, analyzer="code_stem")
+
+
 @entry("fts_synonyms", bm25_oracle_sql("merge join", k=10))
 def fts_synonyms(spark, sf_dir):
     """Query-time synonym expansion (synonymGraphFilter slot,
@@ -1204,6 +1230,164 @@ def a_diff_lag(spark, sf_dir):
         "event_id",
         F.round(F.coalesce(F.col("diff"), F.lit(0.0)), 6).alias("diff"),
     )
+
+
+# complexphrase: wildcard-slot phrase "spark wind*" (ComplexPhraseQParserPlugin)
+_COMPLEXPHRASE_SQL = f"""WITH tk AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+m AS (SELECT doc_id FROM tk WHERE len(t) >= 2 AND
+  len(list_filter(generate_series(1, len(t) - 1),
+      i -> t[i] = 'spark' AND t[i+1] LIKE 'wind%')) > 0)
+SELECT d.doc_id AS doc_id, 1.0 AS score FROM documents d JOIN m USING (doc_id)
+ORDER BY d.source ASC, d.doc_id ASC LIMIT 10"""
+
+
+@entry("fts_complexphrase", _COMPLEXPHRASE_SQL)
+def fts_complexphrase(spark, sf_dir):
+    from solr_spark.engine import gate_complexphrase
+
+    return gate_complexphrase(spark, sf_dir, "spark wind*", k=10)
+
+
+_PROX_SQL_ORDERED = f"""WITH tk AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+m AS (SELECT doc_id FROM tk WHERE
+  len(list_filter(generate_series(1, len(t)),
+      i -> t[i] = 'spark' AND len(list_filter(generate_series(1, len(t)),
+           j -> t[j] = 'merge' AND j > i AND j - i <= 3)) > 0)) > 0)
+SELECT d.doc_id AS doc_id, 1.0 AS score FROM documents d JOIN m USING (doc_id)
+ORDER BY d.source ASC, d.doc_id ASC LIMIT 10"""
+
+_PROX_SQL_UNORDERED = f"""WITH tk AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+m AS (SELECT doc_id FROM tk WHERE
+  len(list_filter(generate_series(1, len(t)),
+      i -> t[i] = 'spark' AND len(list_filter(generate_series(1, len(t)),
+           j -> t[j] = 'merge' AND j <> i AND abs(j - i) <= 2)) > 0)) > 0)
+SELECT d.doc_id AS doc_id, 1.0 AS score FROM documents d JOIN m USING (doc_id)
+ORDER BY d.source ASC, d.doc_id ASC LIMIT 10"""
+
+
+@entry("fts_proximity", _PROX_SQL_ORDERED)
+def fts_proximity(spark, sf_dir):
+    """surround 3w(spark, merge): ordered span within distance 3
+    (SurroundQParserPlugin.java:1)."""
+    from solr_spark.engine import gate_proximity
+
+    return gate_proximity(spark, sf_dir, "spark", "merge", slop=3, ordered=True, k=10)
+
+
+@entry("fts_proximity_un", _PROX_SQL_UNORDERED)
+def fts_proximity_un(spark, sf_dir):
+    """surround 2n(spark, merge): unordered span within distance 2."""
+    from solr_spark.engine import gate_proximity
+
+    return gate_proximity(spark, sf_dir, "spark", "merge", slop=2, ordered=False, k=10)
+
+
+@entry(
+    "a_moving_median",
+    """SELECT event_id, round(median(value) OVER w, 6) AS moving_median
+FROM events
+WINDOW w AS (PARTITION BY date_trunc('day', ts) ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+)
+def a_moving_median(spark, sf_dir):
+    """movingMedian evaluator: exact interpolated median over a trailing
+    3-row frame per day partition."""
+    from solr_spark.functions import evaluators
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "__day", F.date_trunc("day", F.col("ts"))
+    )
+    out = evaluators.moving_median(
+        ev, ["__day"], [F.asc("ts"), F.asc("event_id")], "value", 3
+    )
+    return out.select(
+        "event_id", F.round(F.col("moving_median"), 6).alias("moving_median")
+    )
+
+
+@entry(
+    "a_covariance",
+    """WITH m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(19,4))) AS DOUBLE) AS sx,
+  CAST(sum(CAST(o_custkey AS DECIMAL(19,4))) AS DOUBLE) AS sy,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(19,4)) * CAST(o_custkey AS DECIMAL(19,4))) AS DOUBLE) AS sxy
+  FROM orders)
+SELECT round((sxy - sx * sy / n) / n, 6) AS cov_pop,
+       round((sxy - sx * sy / n) / (n - 1.0), 6) AS cov_samp FROM m""",
+)
+def a_covariance(spark, sf_dir):
+    """cov evaluator (CovarianceEvaluator) from exact decimal moments."""
+    from solr_spark.functions import evaluators
+
+    out = evaluators.covariance(
+        _t(spark, sf_dir, "orders"), "o_totalprice", "o_custkey", scale=4
+    )
+    return out.select(
+        F.round("cov_pop", 6).alias("cov_pop"),
+        F.round("cov_samp", 6).alias("cov_samp"),
+    )
+
+
+@entry(
+    "a_percent_rank",
+    """SELECT event_id,
+round(percent_rank() OVER (PARTITION BY date_trunc('day', ts)
+      ORDER BY value, event_id), 6) AS pct_rank
+FROM events""",
+)
+def a_percent_rank(spark, sf_dir):
+    """percentRank / rank-transform evaluator: SQL-standard
+    (rank−1)/(n−1) within each day partition."""
+    from solr_spark.functions import evaluators
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "__day", F.date_trunc("day", F.col("ts"))
+    )
+    out = evaluators.percent_rank(
+        ev, ["__day"], [F.asc("value"), F.asc("event_id")]
+    )
+    return out.select("event_id", F.round(F.col("pct_rank"), 6).alias("pct_rank"))
+
+
+@entry(
+    "a_describe",
+    """SELECT count(*) AS n,
+round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS mean,
+min(l_quantity) AS min, round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+round(quantile_cont(l_quantity, 0.75), 6) AS p75, max(l_quantity) AS max
+FROM lineitem""",
+)
+def a_describe(spark, sf_dir):
+    """describe evaluator: count / exact mean / min / interpolated
+    quartiles / max in one aggregation pass."""
+    from solr_spark.functions import evaluators
+
+    out = evaluators.describe(_t(spark, sf_dir, "lineitem"), "l_quantity", scale=2)
+    return out.select(
+        "n",
+        F.round("mean", 6).alias("mean"),
+        "min",
+        F.round("p25", 6).alias("p25"),
+        F.round("p50", 6).alias("p50"),
+        F.round("p75", 6).alias("p75"),
+        "max",
+    )
+
+
+@entry("a_ema", None)  # rows-only: the EMA recurrence is not closed-form SQL
+def a_ema(spark, sf_dir):
+    """expMovingAvg evaluator — per-day-partition array fold (verified
+    against pandas ewm(adjust=False) in tests/test_functions.py)."""
+    from solr_spark.functions import evaluators
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "__day", F.date_trunc("day", F.col("ts"))
+    )
+    out = evaluators.ema(
+        ev, ["__day"], [F.asc("ts"), F.asc("event_id")], "value", alpha=0.3
+    )
+    return out.select("event_id", F.round(F.col("ema"), 6).alias("ema"))
 
 
 @entry("u_incremental_index", bm25_oracle_sql("spark merge", k=10**9))
@@ -1363,6 +1547,96 @@ def w_rerank(spark, sf_dir):
         weight=2.0,
     )
     return out.select("o_orderkey", "rerank_score")
+
+
+@entry(
+    "w_ltr_linear",
+    """SELECT o_orderkey,
+round(CASE WHEN rn <= 10 THEN
+  (0.0 + 0.5 * o_totalprice)
+  + 100.0 * ((CAST(o_custkey % 100 AS DOUBLE) - 0.0) / 100.0)
+ELSE o_totalprice END, 6) AS ltr_score
+FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+      row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)""",
+)
+def w_ltr_linear(spark, sf_dir):
+    """{!ltr model=linear}: weighted sum of normalized features over the
+    rerank head (LinearModel.java:66-76 + LTRRescorer.java:149-235);
+    features = original score (identity) + a min-max-normalized field
+    value, both pure Catalyst expressions."""
+    from solr_spark.functions.ltr import Feature, LinearModel, ltr_rerank
+
+    df = _t(spark, sf_dir, "orders").withColumn("score", F.col("o_totalprice"))
+    model = LinearModel(
+        features=[
+            Feature("orig", F.col("score")),
+            Feature(
+                "custmod",
+                (F.col("o_custkey") % 100).cast("double"),
+                norm=("minmax", 0.0, 100.0),
+            ),
+        ],
+        weights={"orig": 0.5, "custmod": 100.0},
+    )
+    out = ltr_rerank(
+        df,
+        ["o_orderkey"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        rerank_docs=10,
+        model=model,
+    )
+    return out.select("o_orderkey", F.round("ltr_score", 6).alias("ltr_score"))
+
+
+@entry(
+    "w_ltr_trees",
+    """SELECT o_orderkey,
+CASE WHEN rn <= 10 THEN
+  (0.0 + 1.0 * (CASE WHEN CAST(o_custkey % 100 AS DOUBLE) <= 50.0 THEN 1.0
+                ELSE CASE WHEN o_totalprice <= 150000.0 THEN 2.0 ELSE 3.0 END END)
+       + 0.5 * (CASE WHEN o_totalprice <= 100000.0 THEN -1.0 ELSE 1.0 END))
+ELSE o_totalprice END AS ltr_score
+FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+      row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)""",
+)
+def w_ltr_trees(spark, sf_dir):
+    """{!ltr model=gbdt}: two-tree additive ensemble folded to nested CASE
+    WHEN (MultipleAdditiveTreesModel.java:60-140), evaluated only on the
+    rerank head — leaves and thresholds are constants, so both engines
+    compute identical doubles."""
+    from solr_spark.functions.ltr import Feature, TreeNode, TreesModel, ltr_rerank
+
+    df = _t(spark, sf_dir, "orders").withColumn("score", F.col("o_totalprice"))
+    feats = [
+        Feature("price", F.col("o_totalprice")),
+        Feature("custmod", (F.col("o_custkey") % 100).cast("double")),
+    ]
+    t1 = TreeNode(
+        feature="custmod",
+        threshold=50.0,
+        left=TreeNode(value=1.0),
+        right=TreeNode(
+            feature="price",
+            threshold=150000.0,
+            left=TreeNode(value=2.0),
+            right=TreeNode(value=3.0),
+        ),
+    )
+    t2 = TreeNode(
+        feature="price",
+        threshold=100000.0,
+        left=TreeNode(value=-1.0),
+        right=TreeNode(value=1.0),
+    )
+    model = TreesModel(features=feats, trees=[(1.0, t1), (0.5, t2)])
+    out = ltr_rerank(
+        df,
+        ["o_orderkey"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        rerank_docs=10,
+        model=model,
+    )
+    return out.select("o_orderkey", "ltr_score")
 
 
 @entry(

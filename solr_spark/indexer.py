@@ -75,6 +75,7 @@ class IndexMeta:
     bucket_docs: int = DEFAULT_BUCKET_DOCS
     docid_base: int = 0  # first docid of this segment (bucket-aligned)
     has_bigrams: bool = False  # adjacent-pair postings present (phrase path)
+    analyzer: str = "code"  # analysis.ANALYZERS key used at build time
     n_terms: int = 0
     postings_rows: int = 0
     postings_bytes: int = 0
@@ -126,7 +127,7 @@ class _DictSumParam(AccumulatorParam):
         return a
 
 
-def _analyze_partitions(stats_acc=None, bigrams: bool = False):
+def _analyze_partitions(stats_acc=None, bigrams: bool = False, term_transform=None):
     """mapInPandas closure: tokenize + hash one sorted partition, emitting
     union-typed rows. local_idx is the row ordinal within the partition.
 
@@ -155,7 +156,9 @@ def _analyze_partitions(stats_acc=None, bigrams: bool = False):
             ids = np.arange(local, local + len(pdf), dtype=np.int64)
             local += len(pdf)
             n_docs += len(pdf)
-            triples, doclens = term_frequencies(ids, pdf["content"], bigrams=bigrams)
+            triples, doclens = term_frequencies(
+                ids, pdf["content"], bigrams=bigrams, term_transform=term_transform
+            )
             sum_doclen += int(doclens["doclen"].sum())
             sha = pdf["content"].map(lambda s: hashlib.sha256((s or "").encode()).hexdigest())
             packed = (
@@ -301,6 +304,7 @@ def build_index(
     resume: bool = True,
     docid_base: int = 0,
     bigrams: bool = False,
+    analyzer: str = "code",
 ) -> IndexMeta:
     """Build the full index under ``out_dir``. Returns IndexMeta.
 
@@ -321,7 +325,13 @@ def build_index(
 
     P = num_partitions or spark.sparkContext.defaultParallelism
     stage_dir = os.path.join(out_dir, "_stage", "tokens")
-    meta = IndexMeta(out_dir=out_dir, bucket_docs=bucket_docs, has_bigrams=bigrams)
+    from .analysis import ANALYZERS
+
+    term_transform = ANALYZERS[analyzer]
+    meta = IndexMeta(
+        out_dir=out_dir, bucket_docs=bucket_docs, has_bigrams=bigrams,
+        analyzer=analyzer,
+    )
     cols = {c.lower() for c in docs.columns}
     lang_col = F.col("lang") if "lang" in cols else F.lit(None).cast("string")
 
@@ -340,7 +350,8 @@ def build_index(
             .withColumn("pid", F.spark_partition_id())
         )
         sorted_docs.mapInPandas(
-            _analyze_partitions(stats_acc, bigrams=bigrams), STAGE_SCHEMA
+            _analyze_partitions(stats_acc, bigrams=bigrams, term_transform=term_transform),
+            STAGE_SCHEMA,
         ).write.mode("overwrite").parquet(stage_dir)
     meta.stages["analyze"] = round(time.time() - t0, 3)
 

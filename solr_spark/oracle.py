@@ -42,20 +42,42 @@ def _toks(col: str = "text") -> str:
     return TOKS.format(col=col)
 
 
-def bm25_oracle_sql(q: str, k: int = 10, table: str = "documents") -> str:
+def bm25_oracle_sql(
+    q: str,
+    k: int = 10,
+    table: str = "documents",
+    toks_sql: str | None = None,
+    term_transform=None,
+) -> str:
     """Generate the DuckDB oracle for a lucene-lite query string over the
     ``documents`` view (doc_id, text, lang, source). Output columns:
     (doc_id bigint, score double) — score rounded to 6 dp; top-k by
-    (rounded score desc, source asc, doc_id asc)."""
+    (rounded score desc, source asc, doc_id asc).
+
+    ``toks_sql`` overrides the document token-list expression (e.g. a
+    stemmed analyzer chain) and ``term_transform`` applies the matching
+    per-term transform to the parsed query terms — the query/index
+    analyzer symmetry mirrored from engine.gate_search."""
     query: Query = parse(q)
+    if term_transform is not None:
+        from collections import Counter
+
+        for attr in ("optional", "required"):
+            c = Counter()
+            for t, n in getattr(query, attr).items():
+                c[term_transform(t)] += n
+            setattr(query, attr, c)
+        query.prohibited = {term_transform(t) for t in query.prohibited}
+        query.boosts = {term_transform(t): b for t, b in query.boosts.items()}
     terms = sorted(query.scoring)  # kernel accumulates in sorted-term order
     weights = query.scoring
     prohibited = sorted(query.prohibited)
     required = sorted(query.required)
+    tok_expr = toks_sql or _toks()
 
     ctes = [
-        f"tok AS (SELECT doc_id, unnest({_toks()}) AS term FROM {table})",
-        f"dl AS (SELECT doc_id, lang, source, len({_toks()}) AS doclen FROM {table})",
+        f"tok AS (SELECT doc_id, unnest({tok_expr}) AS term FROM {table})",
+        f"dl AS (SELECT doc_id, lang, source, len({tok_expr}) AS doclen FROM {table})",
         (
             "g AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
             "CAST(sum(doclen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl)"

@@ -1,7 +1,13 @@
 import numpy as np
 import pandas as pd
 
-from solr_spark.analysis import STOPWORDS, analyze_query, term_frequencies, tokenize_lists
+from solr_spark.analysis import (
+    STOPWORDS,
+    analyze_query,
+    s_stem,
+    term_frequencies,
+    tokenize_lists,
+)
 
 
 def test_tokenize_basic():
@@ -51,3 +57,30 @@ def test_bigram_frequencies():
     # stopwords removed BEFORE pairing: "the spark and window" -> spark window
     assert by[(1, "spark window")] == 1
     assert by[(0, "spark")] == 3  # unigrams unchanged
+
+
+def test_s_stem_rules():
+    # Harman 1991 three-rule S-stemmer + the length guard
+    assert s_stem("queries") == "query"
+    assert s_stem("bodies") == "body"
+    assert s_stem("eies") == "eies" and s_stem("aies") == "aies"
+    assert s_stem("merges") == "merge"
+    assert s_stem("windows") == "window"
+    assert s_stem("classes") == "classe"  # rule 2 drops one 's' only
+    assert s_stem("trees") == "trees"  # 'ees' exception
+    assert s_stem("goes") == "goes"  # 'oes' exception
+    assert s_stem("status") == "status"  # 'us' exception
+    assert s_stem("class") == "class"  # 'ss' exception
+    assert s_stem("is") == "is" and s_stem("as") == "as"  # length guard
+    assert s_stem("window") == "window"  # no suffix
+
+
+def test_term_frequencies_stem_transform_merges_tfs():
+    """The dictionary-level transform merges colliding stems' tfs and
+    leaves doclen untouched (doclen counts surviving tokens pre-stem)."""
+    ids = np.array([0], dtype=np.int64)
+    texts = pd.Series(["window windows merge merges merge"])
+    triples, dls = term_frequencies(ids, texts, term_transform=s_stem)
+    got = {r.term: r.tf for r in triples.itertuples()}
+    assert got == {"window": 2, "merge": 3}
+    assert dls["doclen"].tolist() == [5]
