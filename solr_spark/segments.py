@@ -136,6 +136,40 @@ def add_segment(
     return IndexView(segments=view.segments + [meta], delete_keys=view.delete_keys)
 
 
+def save_view(view: IndexView, out_dir: str, batch_ids: list[int] | None = None) -> None:
+    """Persist the segment manifest (the commit point of the incremental
+    lifecycle — the analog of Lucene's segments_N file). ``batch_ids``
+    records which streaming micro-batches produced which segment, making
+    foreachBatch replay idempotent (see streaming.stream_index)."""
+    import json
+
+    manifest = {
+        "segments": [m.out_dir for m in view.segments],
+        "delete_keys": [list(k) for k in view.delete_keys],
+        "batch_ids": batch_ids or [],
+    }
+    tmp = os.path.join(out_dir, "view_manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(out_dir, "view_manifest.json"))
+
+
+def load_view(out_dir: str) -> "tuple[IndexView, list[int]] | None":
+    """Load (view, batch_ids) from the manifest, or None if absent."""
+    import json
+
+    path = os.path.join(out_dir, "view_manifest.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        m = json.load(f)
+    view = IndexView(
+        segments=[IndexMeta.load(p) for p in m["segments"]],
+        delete_keys=[tuple(k) for k in m["delete_keys"]],
+    )
+    return view, list(m.get("batch_ids", []))
+
+
 def delete_by_keys(view: IndexView, keys: list[tuple]) -> IndexView:
     """Mark (repo, path, commit) keys deleted — the live-docs mask
     (deleteByQuery/deleteById in DirectUpdateHandler2.java:409; applied at

@@ -65,6 +65,59 @@ def stream_events(
     )
 
 
+def stream_index(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    **build_kw,
+):
+    """Continuous indexing: a file-source readStream drained with
+    trigger(availableNow) where every micro-batch flushes as one
+    immutable delta segment (segments.add_segment) — the streaming form
+    of the reference's addDoc → segment-flush → commit lifecycle
+    (DirectUpdateHandler2.java:309-409 + CommitTracker:105-146), with
+    Spark's checkpointing as the transaction log.
+
+    Idempotency: the segment manifest records which batch_ids have
+    flushed; a replayed foreachBatch (checkpoint not yet committed when
+    the driver died) is skipped, so a batch never double-indexes — the
+    same replay-dedup contract as the reference's tlog version checks
+    (UpdateLog.java:576-710).
+
+    Returns the committed IndexView (None if no data arrived)."""
+    import os
+
+    from ..segments import add_segment, load_view, open_base, save_view
+
+    os.makedirs(out_dir, exist_ok=True)
+    src = spark.readStream.schema(schema).parquet(source_dir)
+
+    def flush_batch(batch_df: DataFrame, batch_id: int) -> None:
+        state = load_view(out_dir)
+        view, done = state if state else (None, [])
+        if batch_id in done:
+            return  # replayed batch: already a committed segment
+        if view is None:
+            view = open_base(spark, batch_df, out_dir, **build_kw)
+        else:
+            # bucket_docs is pinned by the base segment; deltas inherit it
+            delta_kw = {k: v for k, v in build_kw.items() if k != "bucket_docs"}
+            view = add_segment(spark, view, batch_df, out_dir, **delta_kw)
+        save_view(view, out_dir, done + [batch_id])
+
+    q = (
+        src.writeStream.foreachBatch(flush_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()
+    state = load_view(out_dir)
+    return state[0] if state else None
+
+
 def run_stream_once(stream_df: DataFrame, checkpoint_dir: str, out_dir: str) -> None:
     """Drain all available input as micro-batches (trigger availableNow),
     committing each batch — the CommitTracker cadence

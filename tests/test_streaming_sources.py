@@ -126,3 +126,58 @@ def test_write_response(spark):
     assert [d["id"] for d in env["response"]["docs"]] == [1, 2]
     csv = write_response(df.orderBy("id"), wt="csv", rows=3)
     assert csv.splitlines()[0] == "id,score" and len(csv.splitlines()) == 4
+
+
+def test_stream_index_batches_equal_full_rebuild(spark, small_corpus, tmp_path):
+    """Structured-Streaming ingestion: micro-batches flushed as delta
+    segments through stream_index answer queries identically to a
+    from-scratch rebuild of the same corpus (the streaming form of the
+    addDoc -> segment flush -> commit lifecycle), and a second drain with
+    no new input adds no segments (replay idempotency via the manifest's
+    batch_id ledger)."""
+    from pyspark.sql import functions as F
+
+    from solr_spark.corpus import CORPUS_SCHEMA
+    from solr_spark.indexer import build_index
+    from solr_spark.kernel import search
+    from solr_spark.streaming import stream_index
+
+    docs = spark.read.parquet(small_corpus)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "segs")
+    ckpt = str(tmp_path / "ckpt")
+
+    cut = docs.select("repo").distinct().orderBy("repo").collect()
+    mid = cut[len(cut) // 2]["repo"]
+    docs.filter(F.col("repo") < mid).write.mode("append").parquet(src)
+    view = stream_index(
+        spark, src, CORPUS_SCHEMA, out, ckpt, bucket_docs=128, num_partitions=4
+    )
+    n_first = view.n_docs
+    assert len(view.segments) >= 1 and n_first > 0
+
+    # second wave of documents arrives; drain again
+    docs.filter(F.col("repo") >= mid).write.mode("append").parquet(src)
+    view = stream_index(
+        spark, src, CORPUS_SCHEMA, out, ckpt, bucket_docs=128, num_partitions=4
+    )
+    assert view.n_docs == docs.count() > n_first
+
+    full_dir = str(tmp_path / "full")
+    full = build_index(spark, docs, full_dir, bucket_docs=128, num_partitions=4)
+    assert view.n_docs == full.n_docs and view.avgdl == full.avgdl
+    for q in ["license", "spark window merge"]:
+        want = sorted(
+            round(r["score"], 9) for r in search(spark, full, q, k=full.n_docs).collect()
+        )
+        got = sorted(
+            round(r["score"], 9) for r in view.search(spark, q, k=view.n_docs).collect()
+        )
+        assert got == want, q
+
+    # no new input -> no new segments (and replay of committed batches skips)
+    n_segs = len(view.segments)
+    view = stream_index(
+        spark, src, CORPUS_SCHEMA, out, ckpt, bucket_docs=128, num_partitions=4
+    )
+    assert len(view.segments) == n_segs
