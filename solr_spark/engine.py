@@ -679,6 +679,48 @@ def gate_complexphrase(
     )
 
 
+def gate_suggest(
+    spark: SparkSession, sf_dir: str, prefix: str, k: int = 5
+) -> DataFrame:
+    """Suggester / terms component: prefix completion from the term
+    dictionary ranked by document frequency
+    (solr/core/src/java/org/apache/solr/handler/component/TermsComponent.java:1,
+    the suggest module's FreeTextLookup df-ranked analog). The terms
+    table is range-partitioned and sorted by term, so the prefix
+    predicate prunes to one file via row-group min/max — a dictionary
+    range scan, never a corpus pass."""
+    meta = ensure_index(spark, sf_dir)
+    terms = spark.read.parquet(meta.terms_path)
+    return (
+        terms.filter(F.col("term").startswith(prefix.lower()))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
+        .select("term", "df")
+    )
+
+
+def gate_spellcheck(
+    spark: SparkSession, sf_dir: str, word: str, max_edits: int = 2, k: int = 5
+) -> DataFrame:
+    """Spellcheck: correction candidates from the term dictionary within
+    ``max_edits`` classic Levenshtein, ranked (distance asc, df desc)
+    (solr/core/src/java/org/apache/solr/spelling/DirectSolrSpellChecker.java:1
+    — Lucene DirectSpellChecker over the live term dictionary; classic
+    edit distance is the documented deviation from its Damerau variant,
+    same as the fuzzy-query path). Distributed shape: one pruned scan of
+    the terms table (vocabulary-sized, not corpus-sized)."""
+    meta = ensure_index(spark, sf_dir)
+    terms = spark.read.parquet(meta.terms_path)
+    d = F.levenshtein(F.col("term"), F.lit(word.lower()))
+    return (
+        terms.withColumn("dist", d)
+        .filter(F.col("dist") <= max_edits)
+        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(k)
+        .select("term", "dist", "df")
+    )
+
+
 def gate_proximity(
     spark: SparkSession,
     sf_dir: str,

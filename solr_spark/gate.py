@@ -952,8 +952,9 @@ _PRIORITY = [
     "w_rerank", "w_ltr_linear", "w_ltr_trees",
     "a_frange", "a_geodist", "a_hll_approx",
     "a_percentile_rank", "a_facet2d",
-    # specialty parsers (complexphrase / surround proximity)
+    # specialty parsers + dictionary components
     "fts_complexphrase", "fts_proximity", "fts_proximity_un",
+    "fts_suggest", "fts_spellcheck",
     # stream evaluators (Lang.java family)
     "a_moving_avg", "a_corr_regress", "a_cumulative_sum", "a_diff_lag",
     "a_moving_median", "a_covariance", "a_percent_rank", "a_describe",
@@ -1230,6 +1231,33 @@ def a_diff_lag(spark, sf_dir):
         "event_id",
         F.round(F.coalesce(F.col("diff"), F.lit(0.0)), 6).alias("diff"),
     )
+
+
+_SUGGEST_SQL = f"""WITH tok AS (SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents),
+t AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+SELECT term, df FROM t WHERE term LIKE 'mer%'
+ORDER BY df DESC, term ASC LIMIT 5"""
+
+
+@entry("fts_suggest", _SUGGEST_SQL)
+def fts_suggest(spark, sf_dir):
+    from solr_spark.engine import gate_suggest
+
+    return gate_suggest(spark, sf_dir, "mer", k=5)
+
+
+_SPELL_SQL = f"""WITH tok AS (SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents),
+t AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+SELECT term, levenshtein(term, 'spqrk') AS dist, df FROM t
+WHERE levenshtein(term, 'spqrk') <= 2
+ORDER BY dist ASC, df DESC, term ASC LIMIT 5"""
+
+
+@entry("fts_spellcheck", _SPELL_SQL)
+def fts_spellcheck(spark, sf_dir):
+    from solr_spark.engine import gate_spellcheck
+
+    return gate_spellcheck(spark, sf_dir, "spqrk", max_edits=2, k=5)
 
 
 # complexphrase: wildcard-slot phrase "spark wind*" (ComplexPhraseQParserPlugin)
