@@ -679,6 +679,51 @@ def gate_complexphrase(
     )
 
 
+def gate_highlight(
+    spark: SparkSession,
+    sf_dir: str,
+    q: str,
+    k: int = 10,
+    frag_tokens: int = 7,
+    pre: str = "<em>",
+    post: str = "</em>",
+) -> DataFrame:
+    """Highlighting: one snippet per top-k hit, query terms wrapped in
+    pre/post tags (solr/core/src/java/org/apache/solr/highlight/
+    DefaultSolrHighlighter.java:1; UnifiedHighlighter passage logic).
+
+    Simplified contract (mirrored by the oracle): the snippet is a
+    ``frag_tokens``-token window of the ANALYZED token stream starting
+    two tokens before the first query-term hit — offset-free, so the
+    whole thing is pure Catalyst array algebra evaluated only on the k
+    winners (the reference also highlights only the returned page)."""
+    from .analysis import analyze_query
+    from .functions import textfn
+
+    terms = sorted(set(analyze_query(q)))
+    top = gate_search(spark, sf_dir, q, k)
+    src = _source_docs(spark, sf_dir).select("doc_id", "text")
+    joined = top.join(src, "doc_id")
+    toks = textfn.tokens(F.col("text"))
+    terms_arr = F.array(*[F.lit(t) for t in terms])
+    hits = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1))),
+        lambda i: F.array_contains(terms_arr, F.get(toks, i - F.lit(1))),
+    )
+    pos = F.get(hits, 0)  # first hit (1-based); null-safe out-of-bounds
+    start = F.greatest(F.lit(1), pos - F.lit(2))
+    window = F.slice(toks, start, frag_tokens)
+    hl = F.transform(
+        window,
+        lambda y: F.when(
+            F.array_contains(terms_arr, y), F.concat(F.lit(pre), y, F.lit(post))
+        ).otherwise(y),
+    )
+    return joined.select(
+        "doc_id", "score", F.concat_ws(" ", hl).alias("snippet")
+    )
+
+
 def gate_suggest(
     spark: SparkSession, sf_dir: str, prefix: str, k: int = 5
 ) -> DataFrame:

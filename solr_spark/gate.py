@@ -939,22 +939,26 @@ def s_media_features(spark, sf_dir):
 # tests/test_gate.py against the same oracles) follow.
 
 _PRIORITY = [
-    # LLM-data-pipeline ops (dedup / similarity / text analysis / media)
+    # LLM-data-pipeline ops (dedup / similarity / text analysis / media;
+    # t_token_stats / t_fingerprint spill — they hold round-1 green rows)
     "t_minhash_pairs", "t_jaccard_pairs", "t_simhash_pairs", "t_exact_dups",
-    "t_quality", "t_lang_id", "t_token_stats", "t_fingerprint",
+    "t_quality", "t_lang_id",
     "e_knn_brute", "e_knn_ivf", "e_near_dup",
     "s_media_features", "s_topic_incremental",
     # round-2 engine operators + previously-unevaluated entries
-    "fts_phrase", "fts_phrase_bigram", "fts_mixed_phrase", "fts_mlt",
+    # (fts_phrase_bigram / fts_proximity_un spill: same machinery and
+    # oracles as their in-window siblings, green in tests/test_gate.py)
+    "fts_phrase", "fts_mixed_phrase", "fts_mlt",
     "fts_edismax_mm", "fts_edismax_pf2",
     "fts_prefix_term", "fts_fuzzy", "fts_mixed_wildcard",
     "u_incremental_index", "u_atomic_update", "u_delete_by_key",
     "w_rerank", "w_ltr_linear", "w_ltr_trees",
     "a_frange", "a_geodist", "a_hll_approx",
     "a_percentile_rank", "a_facet2d",
-    # specialty parsers + dictionary components
-    "fts_complexphrase", "fts_proximity", "fts_proximity_un",
-    "fts_suggest", "fts_spellcheck",
+    # specialty parsers + dictionary + page components
+    "fts_complexphrase", "fts_proximity",
+    "fts_suggest", "fts_spellcheck", "fts_highlight",
+    "w_elevate", "a_facet_pivot",
     # stream evaluators (Lang.java family)
     "a_moving_avg", "a_corr_regress", "a_cumulative_sum", "a_diff_lag",
     "a_moving_median", "a_covariance", "a_percent_rank", "a_describe",
@@ -1230,6 +1234,85 @@ def a_diff_lag(spark, sf_dir):
     return out.select(
         "event_id",
         F.round(F.coalesce(F.col("diff"), F.lit(0.0)), 6).alias("diff"),
+    )
+
+
+def _highlight_oracle(q: str, k: int, frag: int = 7) -> str:
+    terms = sorted(set(analyze_query(q)))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""SELECT topk.doc_id AS doc_id, topk.score AS score,
+array_to_string(list_transform(
+  list_slice(s.t, greatest(1, s.pos - 2), greatest(1, s.pos - 2) + {frag - 1}),
+  y -> CASE WHEN y IN ({in_list}) THEN '<em>' || y || '</em>' ELSE y END), ' ') AS snippet
+FROM ({bm25_oracle_sql(q, k)}) topk
+JOIN (SELECT doc_id, t,
+        list_filter(generate_series(1, greatest(len(t), 1)), i -> t[i] IN ({in_list}))[1] AS pos
+      FROM (SELECT doc_id, {TOKS_SQL} AS t FROM documents)) s
+  ON s.doc_id = topk.doc_id"""
+
+
+@entry("fts_highlight", _highlight_oracle("spark merge", k=10))
+def fts_highlight(spark, sf_dir):
+    from solr_spark.engine import gate_highlight
+
+    return gate_highlight(spark, sf_dir, "spark merge", k=10)
+
+
+@entry(
+    "w_elevate",
+    """SELECT o_orderkey, CAST(rn AS INTEGER) AS pos FROM (
+  SELECT o_orderkey, row_number() OVER (ORDER BY
+    (CASE o_orderkey WHEN 5 THEN 0 WHEN 17 THEN 1 ELSE 2147483647 END),
+    o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 10""",
+)
+def w_elevate(spark, sf_dir):
+    """Query elevation: orderkeys 5 and 17 pinned to the top of the page
+    in that order, organic price ranking after
+    (QueryElevationComponent.java:1)."""
+    out = windowed.elevate(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        "o_orderkey",
+        [5, 17],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=10,
+    )
+    return out.select("o_orderkey", "pos")
+
+
+@entry(
+    "a_facet_pivot",
+    """WITH leaf AS (
+  SELECT l_returnflag, l_linestatus, CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+         count(*) AS metric
+  FROM lineitem GROUP BY 1, 2, 3),
+l1 AS (SELECT l_returnflag FROM (
+  SELECT l_returnflag, sum(metric) AS t FROM leaf GROUP BY 1)
+  ORDER BY t DESC, l_returnflag LIMIT 2),
+k1 AS (SELECT leaf.* FROM leaf JOIN l1 USING (l_returnflag)),
+l2 AS (SELECT l_returnflag, l_linestatus FROM (
+  SELECT l_returnflag, l_linestatus, sum(metric) AS t,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY sum(metric) DESC, l_linestatus) AS rn
+  FROM k1 GROUP BY 1, 2) WHERE rn <= 2),
+k2 AS (SELECT k1.* FROM k1 JOIN l2 USING (l_returnflag, l_linestatus)),
+l3 AS (SELECT l_returnflag, l_linestatus, ship_month FROM (
+  SELECT l_returnflag, l_linestatus, ship_month, sum(metric) AS t,
+         row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+                            ORDER BY sum(metric) DESC, ship_month) AS rn
+  FROM k2 GROUP BY 1, 2, 3) WHERE rn <= 3)
+SELECT k2.* FROM k2 JOIN l3 USING (l_returnflag, l_linestatus, ship_month)""",
+)
+def a_facet_pivot(spark, sf_dir):
+    """facet.pivot: 3-level nested top-N (returnflag 2 × linestatus 2 ×
+    ship month 3) — PivotFacetProcessor.java:1."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "ship_month", F.month("l_shipdate").cast("bigint")
+    )
+    return rollup.facet_pivot(
+        li,
+        ["l_returnflag", "l_linestatus", "ship_month"],
+        F.count(F.lit(1)),
+        [2, 2, 3],
     )
 
 

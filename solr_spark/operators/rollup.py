@@ -94,6 +94,45 @@ def facet2d(
     )
 
 
+def facet_pivot(
+    df: DataFrame, levels: list[str], metric: Column, limits: list[int]
+) -> DataFrame:
+    """facet.pivot: n-level nested buckets, top-N at every level
+    (handler/component/PivotFacetProcessor.java:1 — the classic pivot
+    facet; facet2d is the 2-level special case). Level ranks use the
+    bucket's TOTAL metric (desc, value asc tiebreak) within its parent.
+
+    Scale shape: one leaf aggregation over all level columns, then per
+    level a re-aggregated total + top-N selection — level 0 via
+    TakeOrdered (orderBy+limit, no global window), deeper levels via a
+    parent-partitioned window. Each surviving-bucket set is at most
+    prod(limits[:d]) rows → broadcast semi-joins."""
+    from pyspark.sql import Window
+
+    assert len(levels) == len(limits) and levels
+    leaf = df.groupBy(*levels).agg(metric.alias("metric"))
+    for d in range(len(levels)):
+        prefix = levels[: d + 1]
+        totals = leaf.groupBy(*prefix).agg(F.sum("metric").alias("__tot"))
+        if d == 0:
+            sel = (
+                totals.orderBy(F.desc("__tot"), F.asc(levels[0]))
+                .limit(limits[0])
+                .select(*prefix)
+            )
+        else:
+            w = Window.partitionBy(*levels[:d]).orderBy(
+                F.desc("__tot"), F.asc(levels[d])
+            )
+            sel = (
+                totals.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= limits[d])
+                .select(*prefix)
+            )
+        leaf = leaf.join(F.broadcast(sel), prefix, "left_semi")
+    return leaf
+
+
 def facet_range(
     df: DataFrame,
     field: str,

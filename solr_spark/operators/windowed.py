@@ -88,6 +88,40 @@ def group_top_n(df: DataFrame, group_field: str, order: list[Column], n: int) ->
     )
 
 
+def elevate(
+    df: DataFrame,
+    key_col: str,
+    elevated_keys: list,
+    order: list[Column],
+    k: int,
+) -> DataFrame:
+    """Query elevation: pin the configured docs to the top of the result
+    page, in their configured order, organic ranking after
+    (handler/component/QueryElevationComponent.java:1 — elevate.xml's
+    per-query doc pinning).
+
+    Composite sort = (elevation position if pinned else ∞, main order);
+    the page rank comes from the distributed partition-offset global_rank
+    (no unpartitioned window). Returns the top ``k`` rows with a 1-based
+    ``pos`` column."""
+    from .relational import global_rank
+
+    spark = df.sparkSession
+    key_type = df.schema[key_col].dataType.simpleString()
+    ev = spark.createDataFrame(
+        [(kk, i) for i, kk in enumerate(elevated_keys)],
+        f"{key_col} {key_type}, __elev_pos int",
+    )
+    j = df.join(F.broadcast(ev), key_col, "left")
+    sort_first = F.asc(F.coalesce(F.col("__elev_pos"), F.lit(2**31 - 1)))
+    ranked = global_rank(j, [sort_first, *order])
+    return (
+        ranked.filter(F.col("rank") <= k)
+        .withColumn("pos", F.col("rank").cast("int"))
+        .drop("rank", "__elev_pos")
+    )
+
+
 def rerank(
     df: DataFrame,
     key_cols: list[str],
