@@ -950,14 +950,19 @@ _PRIORITY = [
     # oracles as their in-window siblings, green in tests/test_gate.py)
     "fts_phrase", "fts_mixed_phrase", "fts_mlt",
     "fts_edismax_mm", "fts_edismax_pf2",
-    "fts_prefix_term", "fts_fuzzy", "fts_mixed_wildcard",
+    # fts_mixed_wildcard spills: fts_prefix_term/fts_fuzzy cover the
+    # dictionary expansion and fts_mixed_phrase the additive combination
+    "fts_prefix_term", "fts_fuzzy",
     "u_incremental_index", "u_atomic_update", "u_delete_by_key",
     "w_rerank", "w_ltr_linear", "w_ltr_trees",
-    "a_frange", "a_geodist", "a_hll_approx",
+    # a_hll_approx spills: its driver check is rows-only either way and
+    # a_unique_exact (round-1 green) is the exact counterpart
+    "a_frange", "a_geodist",
     "a_percentile_rank", "a_facet2d",
     # specialty parsers + dictionary + page components
     "fts_complexphrase", "fts_proximity",
     "fts_suggest", "fts_spellcheck", "fts_highlight",
+    "fts_maxscore", "a_igain",
     "w_elevate", "a_facet_pivot",
     # stream evaluators (Lang.java family)
     "a_moving_avg", "a_corr_regress", "a_cumulative_sum", "a_diff_lag",
@@ -1235,6 +1240,51 @@ def a_diff_lag(spark, sf_dir):
         "event_id",
         F.round(F.coalesce(F.col("diff"), F.lit(0.0)), 6).alias("diff"),
     )
+
+
+@entry("fts_maxscore", dismax_oracle_sql(["spark", "window", "merge"], 0.0, 10))
+def fts_maxscore(spark, sf_dir):
+    """{!maxscore}: lucene syntax where SHOULD clauses contribute the MAX
+    of their scores instead of the sum (MaxScoreQParser.java:1) — exactly
+    DisjunctionMax with tie=0 over the term clauses."""
+    return gate_dismax(spark, sf_dir, ["spark", "window", "merge"], tie=0.0, k=10)
+
+
+_ENTROPY_SQL = (
+    "CASE WHEN {p} <= 0.0 OR {p} >= 1.0 THEN 0.0 ELSE "
+    "(-1.0 * ({p}) * ln({p})) + (-1.0 * (1.0 - ({p})) * ln(1.0 - ({p}))) END"
+)
+
+
+def _igain_oracle() -> str:
+    hc = _ENTROPY_SQL.format(p="(p / n)")
+    hin = _ENTROPY_SQL.format(p="(x / df)")
+    hout = _ENTROPY_SQL.format(p="((p - x) / (n - df + 1.0))")
+    return f"""WITH tok AS (SELECT DISTINCT doc_id, unnest({TOKS_SQL}) AS term FROM documents),
+lab AS (SELECT doc_id, (lang = 'zh') AS pos FROM documents),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        CAST(count(CASE WHEN pos THEN 1 END) AS DOUBLE) AS p FROM lab),
+pt AS (SELECT term, CAST(count(*) AS DOUBLE) AS df,
+       CAST(count(CASE WHEN lab.pos THEN 1 END) AS DOUBLE) AS x
+       FROM tok JOIN lab USING (doc_id) GROUP BY term)
+SELECT term, CAST(df AS BIGINT) AS df,
+round(({hc}) - ((df / n) * ({hin}) + (1.0 - df / n) * ({hout})), 6) AS igain
+FROM pt CROSS JOIN tot
+ORDER BY round(({hc}) - ((df / n) * ({hin}) + (1.0 - df / n) * ({hout})), 6) DESC, term ASC
+LIMIT 10"""
+
+
+@entry("a_igain", _igain_oracle())
+def a_igain(spark, sf_dir):
+    """{!igain}: information-gain term selection for the lang='zh' class
+    (IGainTermsQParserPlugin.java:160-190 arithmetic, incl. its +1
+    not-contains denominator)."""
+    docs = _t(spark, sf_dir, "documents")
+    doc_terms = docs.select(
+        "doc_id", F.explode(F.array_distinct(textfn.tokens(F.col("text")))).alias("term")
+    )
+    labels = docs.select("doc_id", (F.col("lang") == "zh").alias("pos"))
+    return rollup.igain_terms(doc_terms, labels, "doc_id", "term", "pos", top_n=10)
 
 
 def _highlight_oracle(q: str, k: int, frag: int = 7) -> str:

@@ -94,6 +94,63 @@ def facet2d(
     )
 
 
+def _binary_entropy(p: Column) -> Column:
+    """H(p) = −p·ln p − (1−p)·ln(1−p), 0 at the endpoints (the guarded
+    form in IGainTermsQParserPlugin.java:210-213)."""
+    return F.when((p <= 0.0) | (p >= 1.0), F.lit(0.0)).otherwise(
+        (F.lit(-1.0) * p * F.log(p))
+        + (F.lit(-1.0) * (F.lit(1.0) - p) * F.log(F.lit(1.0) - p))
+    )
+
+
+def igain_terms(
+    doc_terms: DataFrame,
+    labels: DataFrame,
+    id_col: str,
+    term_col: str,
+    positive_col: str,
+    top_n: int,
+) -> DataFrame:
+    """{!igain}: per-term information gain for a binary class — the
+    text-classification feature selector
+    (core/.../search/IGainTermsQParserPlugin.java:160-190):
+
+      ig(t) = H(p_c) − [ df_t/N · H(x_t/df_t)
+                       + (1 − df_t/N) · H((P − x_t)/(N − df_t + 1)) ]
+
+    with N docs, P positive docs, df_t docs containing t, x_t positive
+    docs containing t (the reference's exact arithmetic, including its
+    +1 in the not-contains denominator). ``doc_terms`` is a DISTINCT
+    (id, term) frame; ``labels`` maps id → boolean class.
+
+    One shuffle on term; the label table joins broadcast; the global
+    totals are a one-row broadcast cross join."""
+    tot = labels.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.count(F.when(F.col(positive_col), 1)).cast("double").alias("__p"),
+    )
+    per_term = (
+        doc_terms.join(labels, id_col)
+        .groupBy(term_col)
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("__df"),
+            F.count(F.when(F.col(positive_col), 1)).cast("double").alias("__x"),
+        )
+    )
+    n, p = F.col("__n"), F.col("__p")
+    df_t, x = F.col("__df"), F.col("__x")
+    h_c = _binary_entropy(p / n)
+    h_in = _binary_entropy(x / df_t)
+    h_out = _binary_entropy((p - x) / (n - df_t + F.lit(1.0)))
+    ig = h_c - ((df_t / n) * h_in + (F.lit(1.0) - df_t / n) * h_out)
+    out = (
+        per_term.crossJoin(F.broadcast(tot))
+        .withColumn("igain", F.round(ig, 6))
+        .select(term_col, F.col("__df").cast("bigint").alias("df"), "igain")
+    )
+    return out.orderBy(F.desc("igain"), F.asc(term_col)).limit(top_n)
+
+
 def facet_pivot(
     df: DataFrame, levels: list[str], metric: Column, limits: list[int]
 ) -> DataFrame:
