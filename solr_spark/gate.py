@@ -953,7 +953,8 @@ _PRIORITY = [
     # fts_mixed_wildcard spills: fts_prefix_term/fts_fuzzy cover the
     # dictionary expansion and fts_mixed_phrase the additive combination
     "fts_prefix_term", "fts_fuzzy",
-    "u_incremental_index", "u_atomic_update", "u_delete_by_key",
+    # u_delete_by_key spills: trivial anti-join, round-1 pass* + pytest
+    "u_incremental_index", "u_atomic_update",
     "w_rerank", "w_ltr_linear", "w_ltr_trees",
     # a_hll_approx spills: its driver check is rows-only either way and
     # a_unique_exact (round-1 green) is the exact counterpart
@@ -963,9 +964,11 @@ _PRIORITY = [
     "fts_complexphrase", "fts_proximity",
     "fts_suggest", "fts_spellcheck", "fts_highlight",
     "fts_maxscore", "a_igain",
-    "w_elevate", "a_facet_pivot",
+    "w_elevate", "a_facet_pivot", "a_facet_query", "a_facet_heatmap",
     # stream evaluators (Lang.java family)
-    "a_moving_avg", "a_corr_regress", "a_cumulative_sum", "a_diff_lag",
+    # a_cumulative_sum spills: same decimal-exact window-sum machinery
+    # as a_moving_avg, green in tests/test_gate.py
+    "a_moving_avg", "a_corr_regress", "a_diff_lag",
     "a_moving_median", "a_covariance", "a_percent_rank", "a_describe",
     # range facet / block agg / synonyms / stemmed analyzer
     "a_facet_range", "a_unique_block", "fts_synonyms", "fts_stemmed",
@@ -1239,6 +1242,80 @@ def a_diff_lag(spark, sf_dir):
     return out.select(
         "event_id",
         F.round(F.coalesce(F.col("diff"), F.lit(0.0)), 6).alias("diff"),
+    )
+
+
+@entry(
+    "a_facet_query",
+    """SELECT 'big_orders' AS bucket, count(CASE WHEN o_totalprice > 200000.0 THEN 1 END) AS count FROM orders
+UNION ALL
+SELECT 'building_f', count(CASE WHEN o_orderstatus = 'F' AND o_orderpriority = '1-URGENT' THEN 1 END) FROM orders
+UNION ALL
+SELECT 'cheap_open', count(CASE WHEN o_orderstatus = 'O' AND o_totalprice < 20000.0 THEN 1 END) FROM orders""",
+)
+def a_facet_query(spark, sf_dir):
+    """facet.query buckets: three named predicates counted in one
+    aggregation pass (facet/FacetQuery.java)."""
+    return rollup.facet_queries(
+        _t(spark, sf_dir, "orders"),
+        {
+            "big_orders": F.col("o_totalprice") > 200000.0,
+            "building_f": (F.col("o_orderstatus") == "F")
+            & (F.col("o_orderpriority") == "1-URGENT"),
+            "cheap_open": (F.col("o_orderstatus") == "O")
+            & (F.col("o_totalprice") < 20000.0),
+        },
+    )
+
+
+@entry(
+    "a_facet_heatmap",
+    """SELECT CAST(floor(((CAST(c_custkey % 120 AS DOUBLE) - 60.0) - (-60.0)) / 12.0) AS INTEGER) AS row,
+CAST(floor(((CAST(c_custkey % 300 AS DOUBLE) - 150.0) - (-150.0)) / 30.0) AS INTEGER) AS col,
+count(*) AS count
+FROM customer
+WHERE (CAST(c_custkey % 120 AS DOUBLE) - 60.0) >= -60.0 AND (CAST(c_custkey % 120 AS DOUBLE) - 60.0) < 60.0
+  AND (CAST(c_custkey % 300 AS DOUBLE) - 150.0) >= -150.0 AND (CAST(c_custkey % 300 AS DOUBLE) - 150.0) < 150.0
+GROUP BY 1, 2""",
+)
+def a_facet_heatmap(spark, sf_dir):
+    """facet.heatmap: 10x10 grid-cell counts over the synthesized
+    customer coordinates (facet/FacetHeatmap.java)."""
+    lat = (F.col("c_custkey") % 120).cast("double") - F.lit(60.0)
+    lon = (F.col("c_custkey") % 300).cast("double") - F.lit(150.0)
+    return rollup.facet_heatmap(
+        _t(spark, sf_dir, "customer"), lat, lon, -60.0, 60.0, -150.0, 150.0, 10, 10
+    )
+
+
+@entry("t_classify", None)  # rows-only: iterative GD is not closed-form SQL
+def t_classify(spark, sf_dir):
+    """train()/classify() streams: logistic regression over tf-idf
+    features for the lang='zh' class — batch-GD variant (deterministic
+    at any parallelism; TextLogitStream.java:74-117 /
+    TextLogisticRegressionQParserPlugin.java:206-212). Separability and
+    loss-descent are pinned in tests/test_classify.py."""
+    from solr_spark.functions import classify as clf
+
+    docs = _t(spark, sf_dir, "documents")
+    doc_terms = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(textfn.tokens(F.col("text")))).alias("term"),
+    )
+    labels = docs.select("doc_id", (F.col("lang") == "zh").cast("int").alias("y"))
+    top = rollup.igain_terms(
+        doc_terms, labels.withColumn("pos", F.col("y") == 1), "doc_id", "term", "pos", 8
+    ).collect()
+    vocab = sorted(r["term"] for r in top)
+    df_map = {r["term"]: int(r["df"]) for r in top}
+    n_docs = docs.count()
+    feats = clf.tfidf_vectors(
+        doc_terms, "doc_id", "term", None, vocab, n_docs, df_map
+    ).join(labels, "doc_id")
+    w, _losses = clf.train_logreg(feats, "y", alpha=0.5, iterations=8)
+    out = clf.classify(feats, w)
+    return out.select(
+        "doc_id", F.round("probability", 4).alias("probability"), "prediction"
     )
 
 

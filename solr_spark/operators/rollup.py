@@ -94,6 +94,52 @@ def facet2d(
     )
 
 
+def facet_queries(df: DataFrame, queries: dict[str, Column]) -> DataFrame:
+    """facet.query buckets: one count per named arbitrary predicate
+    (facet/FacetQuery.java; classic facet.query param). All buckets
+    computed in ONE aggregation pass (conditional counts), not one scan
+    per query."""
+    aggs = [
+        F.count(F.when(cond, 1)).alias(name) for name, cond in sorted(queries.items())
+    ]
+    wide = df.agg(*aggs)
+    # long form (bucket, count): stack the one-row aggregate
+    pairs = ", ".join(f"'{n}', `{n}`" for n in sorted(queries))
+    return wide.selectExpr(
+        f"stack({len(queries)}, {pairs}) AS (bucket, count)"
+    )
+
+
+def facet_heatmap(
+    df: DataFrame,
+    lat: Column,
+    lon: Column,
+    min_lat: float,
+    max_lat: float,
+    min_lon: float,
+    max_lon: float,
+    rows: int,
+    cols: int,
+) -> DataFrame:
+    """facet.heatmap: 2-D spatial grid-cell counts over a bounding box
+    (facet/FacetHeatmap.java:1 — gridLevel cells counted per-shard then
+    merged; a plain two-key aggregation here). Returns
+    (row, col, count) for non-empty cells; points outside the box are
+    excluded (the reference clips to the heatmap region)."""
+    lat_ok = (lat >= F.lit(min_lat)) & (lat < F.lit(max_lat))
+    lon_ok = (lon >= F.lit(min_lon)) & (lon < F.lit(max_lon))
+    cell_h = (max_lat - min_lat) / rows
+    cell_w = (max_lon - min_lon) / cols
+    r = F.floor((lat - F.lit(min_lat)) / F.lit(cell_h)).cast("int")
+    c = F.floor((lon - F.lit(min_lon)) / F.lit(cell_w)).cast("int")
+    return (
+        df.filter(lat_ok & lon_ok)
+        .select(r.alias("row"), c.alias("col"))
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
 def _binary_entropy(p: Column) -> Column:
     """H(p) = −p·ln p − (1−p)·ln(1−p), 0 at the endpoints (the guarded
     form in IGainTermsQParserPlugin.java:210-213)."""
