@@ -785,6 +785,20 @@ def t_lang_id(spark, sf_dir):
 
 
 @entry(
+    "t_analyze",
+    f"SELECT doc_id, array_to_string({TOKS_SQL}, ' ') AS analyzed FROM documents",
+)
+def t_analyze(spark, sf_dir):
+    """analyze() stream evaluator: run the index analyzer chain over raw
+    text and return the token stream (solrj-streaming AnalyzeEvaluator;
+    the /analysis handler's core function)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.concat_ws(" ", textfn.tokens(F.col("text"))).alias("analyzed")
+    )
+
+
+@entry(
     "t_exact_dups",
     """SELECT md5(text) AS sig, min(doc_id) AS canonical_id, count(*) AS n_members
 FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
