@@ -116,7 +116,7 @@ def _multiterm_component(spark: SparkSession, meta: IndexMeta, mt) -> DataFrame:
 def gate_search(
     spark: SparkSession,
     sf_dir: str,
-    q: str,
+    q: "str | Query",
     k: int = 10,
     synonyms: dict[str, list[str]] | None = None,
     analyzer: str = "code",
@@ -139,7 +139,7 @@ def gate_search(
     from .qparser import expand_synonyms
 
     meta = ensure_index(spark, sf_dir, analyzer=analyzer)
-    query: Query = parse(q)
+    query: Query = parse(q) if isinstance(q, str) else q
     if synonyms:
         query = expand_synonyms(query, synonyms)
     transform = ANALYZERS[analyzer]

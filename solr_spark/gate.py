@@ -413,6 +413,38 @@ def j_graph_2hop(spark, sf_dir):
     return graph.graph_expand(edges, "src", "dst", roots, 2)
 
 
+@entry(
+    "j_graph_capped",
+    """WITH e AS (SELECT 'o' || CAST(l_orderkey AS VARCHAR) AS src, 'p' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem
+UNION ALL SELECT 'p' || CAST(l_partkey AS VARCHAR), 'o' || CAST(l_orderkey AS VARCHAR) FROM lineitem),
+deg AS (SELECT src, count(*) AS c FROM e GROUP BY src),
+hot AS (SELECT src AS node FROM deg WHERE c > 5),
+l0 AS (SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS node FROM lineitem WHERE l_suppkey = 1),
+f0 AS (SELECT node FROM l0 WHERE node NOT IN (SELECT node FROM hot)),
+l1 AS (SELECT DISTINCT e.dst AS node FROM e JOIN f0 ON e.src = f0.node
+       WHERE e.dst NOT IN (SELECT node FROM l0)),
+f1 AS (SELECT node FROM l1 WHERE node NOT IN (SELECT node FROM hot)),
+l2 AS (SELECT DISTINCT e.dst AS node FROM e JOIN f1 ON e.src = f1.node
+       WHERE e.dst NOT IN (SELECT node FROM l0) AND e.dst NOT IN (SELECT node FROM l1))
+SELECT node, 0 AS depth FROM l0
+UNION ALL SELECT node, 1 FROM l1
+UNION ALL SELECT node, 2 FROM l2""",
+)
+def j_graph_capped(spark, sf_dir):
+    """{!graphTerms maxDocFreq} supernode guard: the 2-hop walk of
+    j_graph_2hop but nodes with out-degree > 5 are never expanded — the
+    hub-node mitigation that keeps frontier size bounded at scale
+    (GraphTermsQParserPlugin.java:1)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = F.concat(F.lit("o"), F.col("l_orderkey").cast("string"))
+    p = F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+    edges = li.select(o.alias("src"), p.alias("dst")).unionByName(
+        li.select(p.alias("src"), o.alias("dst"))
+    )
+    roots = li.filter(F.col("l_suppkey") == 1).select(p.alias("src"))
+    return graph.graph_expand(edges, "src", "dst", roots, 2, max_fanout=5)
+
+
 # ===========================================================================
 # 4. Aggregations (SURVEY §2.5)
 
@@ -1257,6 +1289,23 @@ def a_diff_lag(spark, sf_dir):
         "event_id",
         F.round(F.coalesce(F.col("diff"), F.lit(0.0)), 6).alias("diff"),
     )
+
+
+_XMLQ = """<BooleanQuery>
+  <Clause occurs="must"><TermQuery>spark</TermQuery></Clause>
+  <Clause occurs="must"><TermQuery>merge</TermQuery></Clause>
+  <Clause occurs="mustnot"><TermQuery>vector</TermQuery></Clause>
+</BooleanQuery>"""
+
+
+@entry("fts_xmlquery", bm25_oracle_sql("+spark +merge -vector", k=10))
+def fts_xmlquery(spark, sf_dir):
+    """{!xmlparser}: the XML query syntax compiled to the same Query IR —
+    result must equal the equivalent lucene-syntax query, so the oracle
+    IS that query's BM25 SQL (XmlQParserPlugin.java:1)."""
+    from solr_spark.qparser import parse_xml_query
+
+    return gate_search(spark, sf_dir, parse_xml_query(_XMLQ), k=10)
 
 
 @entry(

@@ -28,18 +28,39 @@ def graph_expand(
     to_col: str,
     roots: DataFrame,
     max_depth: int,
+    max_fanout: int | None = None,
 ) -> DataFrame:
     """{!graph}: starting from ``roots`` (one column named like from_col),
     repeatedly follow from→to edges up to max_depth levels; return the
     reachable node set with the depth at which each node was first seen
     (GraphQuery.java:1 frontier loop).
+
+    ``max_fanout``: skip expanding nodes whose out-degree exceeds the
+    cap — the {!graphTerms maxDocFreq=N} supernode guard
+    (core/.../search/GraphTermsQParserPlugin.java:1: drop terms above a
+    docfreq ceiling so one hub node cannot explode the frontier). The
+    degree table is computed once (one aggregation over edges) and
+    semi-joined against every frontier — the 100-TB skew mitigation for
+    graph walks.
     """
     frontier = roots.select(F.col(from_col).alias("node")).dropDuplicates(["node"])
     seen = frontier.withColumn("depth", F.lit(0))
+    hot = None
+    if max_fanout is not None:
+        hot = (
+            edges.groupBy(from_col)
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .filter(F.col("__deg") > max_fanout)
+            .select(F.col(from_col).alias("node"))
+            .localCheckpoint(eager=True)
+        )
     for d in range(1, max_depth + 1):
+        expand_from = frontier
+        if hot is not None:
+            expand_from = frontier.join(hot, "node", "left_anti")
         nxt = (
             edges.join(
-                frontier.withColumnRenamed("node", from_col), from_col, "inner"
+                expand_from.withColumnRenamed("node", from_col), from_col, "inner"
             )
             .select(F.col(to_col).alias("node"))
             .dropDuplicates(["node"])

@@ -137,6 +137,72 @@ def calculate_mm(optional_clause_count: int, spec: str) -> int:
     return 1 if result < 1 else result
 
 
+def parse_xml_query(xml_str: str, filter_fields: tuple[str, ...] = FILTER_FIELDS) -> Query:
+    """{!xmlparser}: the XML query syntax mapped onto the same Query IR
+    (core/.../search/XmlQParserPlugin.java:1, which delegates to Lucene's
+    xml-queryparser CoreParser). Supported element subset — the shapes
+    the reference's own tests exercise:
+
+      <BooleanQuery>
+        <Clause occurs="must|should|mustnot"> <TermQuery>…</TermQuery> |
+                                              <PhraseQuery>…</PhraseQuery> </Clause>
+      </BooleanQuery>
+      <TermQuery boost="2.0" fieldName="text">token</TermQuery>  (top level)
+      <TermsFilter fieldName="lang">en de</TermsFilter>           (fq analog)
+
+    Unknown elements raise — failing loudly beats silently dropping a
+    clause (same stance as kernel.search's phrase guard)."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(xml_str)
+    out = Query()
+
+    def add_term_el(el, occurs: str) -> None:
+        boost = float(el.attrib.get("boost", 1.0))
+        fld = el.attrib.get("fieldName", "")
+        text = el.text or ""
+        if fld and fld.lower() in filter_fields and el.tag == "TermsFilter":
+            out.filters.setdefault(fld.lower(), []).extend(text.split())
+            return
+        for t in analyze_query(text):
+            if occurs == "must":
+                out.required[t] += 1
+            elif occurs == "mustnot":
+                out.prohibited.add(t)
+            else:
+                out.optional[t] += 1
+            if boost != 1.0:
+                out.boosts[t] = out.boosts.get(t, 1.0) * boost
+
+    def handle(el, occurs: str = "should") -> None:
+        if el.tag == "BooleanQuery":
+            for clause in el:
+                if clause.tag != "Clause":
+                    raise ValueError(f"unsupported element <{clause.tag}> in BooleanQuery")
+                occ = clause.attrib.get("occurs", "should")
+                kids = list(clause)
+                if len(kids) != 1:
+                    raise ValueError("Clause must wrap exactly one query element")
+                handle(kids[0], occ)
+        elif el.tag == "TermQuery":
+            add_term_el(el, occurs)
+        elif el.tag == "PhraseQuery":
+            toks = analyze_query(el.text or "")
+            if occurs == "mustnot":
+                raise ValueError("prohibited phrase clauses are unsupported")
+            if toks:
+                out.phrases.append(toks)
+        elif el.tag == "TermsFilter":
+            add_term_el(el, occurs)
+        elif el.tag == "MatchAllDocsQuery":
+            pass  # no scoring clause; filters (if any) still apply
+        else:
+            raise ValueError(f"unsupported query element <{el.tag}>")
+
+    handle(root)
+    return out
+
+
 def parse(q: str, filter_fields: tuple[str, ...] = FILTER_FIELDS) -> Query:
     out = Query()
 

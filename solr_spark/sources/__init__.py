@@ -29,6 +29,25 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def read_corpus(spark: SparkSession, source: str) -> DataFrame:
+    """Read the input corpus — the BASELINE.json 'Iceberg table of
+    source-code repositories' shape (repo, path, commit, lang, content).
+
+    ``source`` is either an Iceberg table identifier (``catalog.db.tbl``,
+    resolved through the session's configured Iceberg catalog) or a
+    parquet path (this sandbox, which ships no Iceberg runtime). Both
+    scans support the pushdown the engine relies on (predicate pushdown,
+    column pruning, partition pruning), so every downstream plan is
+    identical; on a cluster, point it at the Iceberg table and nothing
+    else changes."""
+    if os.path.exists(source) or source.endswith(".parquet"):
+        return spark.read.parquet(source)
+    try:
+        return spark.read.table(source)
+    except Exception:
+        return spark.read.format("iceberg").load(source)
+
+
 def read_json(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
     """JsonLoader analog (handler/loader/JsonLoader.java:1)."""
     r = spark.read

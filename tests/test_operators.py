@@ -181,3 +181,26 @@ def test_no_single_partition_exchange_in_rank_plans(spark):
     for name, d in plans.items():
         phys = d._jdf.queryExecution().executedPlan().toString()
         assert "SinglePartition" not in phys, f"{name} plan funnels one task"
+
+
+def test_graph_expand_max_fanout(spark):
+    """Supernode guard: the hub node 'h' (degree 3 > cap 2) is reached
+    but never expanded, so its neighbors stay unreachable."""
+    from solr_spark.operators.graph import graph_expand
+
+    edges = spark.createDataFrame(
+        [("r", "h"), ("h", "a"), ("h", "b"), ("h", "c"), ("r", "x"), ("x", "y")],
+        "src string, dst string",
+    )
+    roots = spark.createDataFrame([("r",)], "src string")
+    uncapped = {
+        (r["node"], r["depth"])
+        for r in graph_expand(edges, "src", "dst", roots, 2).collect()
+    }
+    assert ("a", 2) in uncapped and ("y", 2) in uncapped
+    capped = {
+        (r["node"], r["depth"])
+        for r in graph_expand(edges, "src", "dst", roots, 2, max_fanout=2).collect()
+    }
+    assert ("h", 1) in capped and ("y", 2) in capped  # reached, not expanded
+    assert not any(n in ("a", "b", "c") for n, _ in capped)

@@ -61,3 +61,32 @@ def test_calculate_mm():
     assert calculate_mm(2, "3<90%") == 2   # <= upper bound: all required
     assert calculate_mm(10, "3<50%") == 5  # > bound: percent applies
     assert calculate_mm(1, "-5") == 1      # floor at 1
+
+
+def test_parse_xml_query_boolean():
+    from solr_spark.qparser import parse_xml_query
+
+    q = parse_xml_query(
+        """<BooleanQuery>
+             <Clause occurs="must"><TermQuery>Spark</TermQuery></Clause>
+             <Clause occurs="should"><TermQuery boost="2.0">merge</TermQuery></Clause>
+             <Clause occurs="mustnot"><TermQuery>vector</TermQuery></Clause>
+             <Clause occurs="should"><PhraseQuery>hash join</PhraseQuery></Clause>
+           </BooleanQuery>"""
+    )
+    assert dict(q.required) == {"spark": 1}
+    assert dict(q.optional) == {"merge": 1}
+    assert q.prohibited == {"vector"}
+    assert q.boosts == {"merge": 2.0}
+    assert q.phrases == [["hash", "join"]]
+
+
+def test_parse_xml_query_terms_filter_and_errors():
+    import pytest
+
+    from solr_spark.qparser import parse_xml_query
+
+    q = parse_xml_query('<TermsFilter fieldName="lang">en de</TermsFilter>')
+    assert q.filters == {"lang": ["en", "de"]}
+    with pytest.raises(ValueError):
+        parse_xml_query("<SpanNearQuery>x</SpanNearQuery>")

@@ -181,3 +181,11 @@ def test_stream_index_batches_equal_full_rebuild(spark, small_corpus, tmp_path):
         spark, src, CORPUS_SCHEMA, out, ckpt, bucket_docs=128, num_partitions=4
     )
     assert len(view.segments) == n_segs
+
+
+def test_read_corpus_parquet_fallback(spark, small_corpus):
+    from solr_spark.sources import read_corpus
+
+    df = read_corpus(spark, small_corpus)
+    assert df.count() == 600
+    assert set(df.columns) >= {"repo", "path", "commit", "lang", "content"}
