@@ -114,6 +114,70 @@ class TreesModel:
         return total
 
 
+def _num(v) -> float:
+    """Model-store numerics arrive as numbers or Java-float strings
+    ('0.5f', '10.0f') — ManagedModelStore's parsed params."""
+    if isinstance(v, str):
+        return float(v.rstrip("fFdD"))
+    return float(v)
+
+
+def from_model_json(model_json: "str | dict", feature_exprs: dict[str, Column]):
+    """Load a model from the reference's model-store JSON format
+    (solr/modules/ltr/src/test-files/modelExamples/{linear-model,
+    multipleadditivetreesmodel}.json; parser analog
+    `modules/ltr/.../store/rest/ManagedModelStore.java`).
+
+    ``feature_exprs`` maps each feature name to its Column expression —
+    the stand-in for the feature store's query-derived features (feature
+    extraction is engine-side; the model file only names them).
+    Normalizer classes MinMaxNormalizer / StandardNormalizer /
+    IdentityNormalizer map onto Feature.norm."""
+    import json as _json
+
+    spec = _json.loads(model_json) if isinstance(model_json, str) else model_json
+    cls = spec["class"].rsplit(".", 1)[-1]
+    feats = []
+    for f in spec.get("features", []):
+        name = f["name"]
+        if name not in feature_exprs:
+            raise KeyError(f"no Column expression provided for feature {name!r}")
+        norm = ("identity",)
+        n = f.get("norm")
+        if n:
+            ncls = n["class"].rsplit(".", 1)[-1]
+            p = n.get("params", {})
+            if ncls == "MinMaxNormalizer":
+                norm = ("minmax", _num(p["min"]), _num(p["max"]))
+            elif ncls == "StandardNormalizer":
+                norm = ("standard", _num(p["avg"]), _num(p["std"]))
+            elif ncls != "IdentityNormalizer":
+                raise ValueError(f"unknown normalizer {ncls}")
+        feats.append(Feature(name, feature_exprs[name], norm=norm))
+    params = spec.get("params", {})
+    if cls == "LinearModel":
+        weights = {k: _num(v) for k, v in params.get("weights", {}).items()}
+        return LinearModel(features=feats, weights=weights)
+    if cls == "MultipleAdditiveTreesModel":
+
+        def node(d: dict) -> TreeNode:
+            if "value" in d:
+                return TreeNode(value=_num(d["value"]))
+            return TreeNode(
+                feature=d["feature"],
+                threshold=_num(d["threshold"]),
+                left=node(d["left"]),
+                right=node(d["right"]),
+            )
+
+        trees = [
+            (_num(t.get("weight", 1.0)), node(t["root"]))
+            for t in params.get("trees", [])
+        ]
+        return TreesModel(features=feats, trees=trees)
+    raise ValueError(f"unsupported model class {spec['class']!r}")
+
+
 def ltr_rerank(
     df: DataFrame,
     key_cols: list[str],

@@ -205,3 +205,66 @@ def test_vector_batch2(spark):
     assert row["n2"] == pytest.approx(5.0)
     assert row["u"] == pytest.approx([0.6, 0.8])
     assert row["s"] == [6.0, 8.0]
+
+
+def test_from_model_json_linear(spark):
+    """Parse the reference model-store linear format ('0.0f'-style floats,
+    MinMaxNormalizer params) and score with it."""
+    from solr_spark.functions.ltr import from_model_json
+
+    spec = {
+        "class": "org.apache.solr.ltr.model.LinearModel",
+        "name": "m",
+        "features": [
+            {"name": "a"},
+            {
+                "name": "b",
+                "norm": {
+                    "class": "org.apache.solr.ltr.norm.MinMaxNormalizer",
+                    "params": {"min": "0.0f", "max": "10.0f"},
+                },
+            },
+        ],
+        "params": {"weights": {"a": 2.0, "b": "1.0f"}},
+    }
+    model = from_model_json(spec, {"a": F.col("a"), "b": F.col("b")})
+    df = spark.createDataFrame([(3.0, 5.0)], "a double, b double")
+    got = df.select(model.score().alias("s")).collect()[0]["s"]
+    assert got == pytest.approx(2.0 * 3.0 + 1.0 * 0.5)
+
+
+def test_from_model_json_trees(spark):
+    from solr_spark.functions.ltr import from_model_json
+
+    spec = {
+        "class": "org.apache.solr.ltr.model.MultipleAdditiveTreesModel",
+        "features": [{"name": "f"}],
+        "params": {
+            "trees": [
+                {
+                    "weight": "1f",
+                    "root": {
+                        "feature": "f",
+                        "threshold": "0.5f",
+                        "left": {"value": "-100"},
+                        "right": {"value": "75"},
+                    },
+                },
+                {"weight": "2f", "root": {"value": "-10"}},
+            ]
+        },
+    }
+    model = from_model_json(spec, {"f": F.col("f")})
+    df = spark.createDataFrame([(0.0,), (1.0,)], "f double")
+    got = [r["s"] for r in df.select(model.score().alias("s")).collect()]
+    assert got == [-100.0 - 20.0, 75.0 - 20.0]
+
+
+def test_from_model_json_missing_feature_errors():
+    from solr_spark.functions.ltr import from_model_json
+
+    with pytest.raises(KeyError):
+        from_model_json(
+            {"class": "x.LinearModel", "features": [{"name": "nope"}], "params": {}},
+            {},
+        )
