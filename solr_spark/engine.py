@@ -393,6 +393,62 @@ def gate_incremental(
     )
 
 
+def gate_merge(
+    spark: SparkSession,
+    sf_dir: str,
+    q: str,
+    delete_doc_ids: tuple[int, ...] = (3, 7, 11),
+    split: int = 2500,
+    k: int | None = None,
+) -> DataFrame:
+    """Segment-merge check: base + delta segments with a delete mask,
+    merged into ONE segment (segments.merge_segments — the Lucene
+    TieredMergePolicy lifecycle step), then searched. After a merge the
+    deleted docs are gone from postings AND statistics, so the oracle is
+    the full-corpus BM25 SQL over documents MINUS the deleted ids."""
+    from .segments import add_segment, delete_by_keys, merge_segments, open_base
+
+    s0 = f"{split:08d}"
+    corpus = documents_as_corpus(spark, sf_dir)
+    key = hashlib.md5(
+        f"{ENGINE_VERSION}:merge:{os.path.abspath(sf_dir)}:{split}:{delete_doc_ids}:{_source_signature(sf_dir)}".encode()
+    ).hexdigest()[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), f"solr_spark_mrg_{key}")
+    merged_meta_path = os.path.join(out_dir, "merged", "meta.json")
+    if os.path.exists(merged_meta_path):
+        from .indexer import IndexMeta
+        from .segments import IndexView
+
+        merged = IndexView(segments=[IndexMeta.load(os.path.join(out_dir, "merged"))])
+    else:
+        view = open_base(
+            spark, corpus.filter(F.col("path") < s0), out_dir,
+            bucket_docs=512, resume=True,
+        )
+        view = add_segment(
+            spark, view, corpus.filter(F.col("path") >= s0), out_dir, resume=True
+        )
+        # delete keys follow the corpus mapping: repo=source, path=doc_id
+        victims = (
+            _source_docs(spark, sf_dir)
+            .filter(F.col("doc_id").isin(list(delete_doc_ids)))
+            .select("source", "doc_id")
+            .collect()
+        )
+        keys = [(r["source"], f"{int(r['doc_id']):08d}", "0") for r in victims]
+        view = delete_by_keys(view, keys)
+        merged = merge_segments(spark, view, os.path.join(out_dir, "merged"))
+    m = merged.segments[0]
+    res = merged.search(spark, parse(q), k=k or m.n_docs)
+    docs = spark.read.parquet(m.docs_path).select("docid", "path")
+    return (
+        res.join(docs, "docid")
+        .withColumn("doc_id", F.col("path").cast("bigint"))
+        .withColumn("score", F.round(F.col("score"), 6))
+        .select("doc_id", "score")
+    )
+
+
 def gate_edismax(
     spark: SparkSession,
     sf_dir: str,

@@ -1000,7 +1000,7 @@ _PRIORITY = [
     # dictionary expansion and fts_mixed_phrase the additive combination
     "fts_prefix_term", "fts_fuzzy",
     # u_delete_by_key spills: trivial anti-join, round-1 pass* + pytest
-    "u_incremental_index", "u_atomic_update",
+    "u_incremental_index", "u_merge_segments", "u_atomic_update",
     "w_rerank", "w_ltr_linear", "w_ltr_trees",
     # a_hll_approx spills: its driver check is rows-only either way and
     # a_unique_exact (round-1 green) is the exact counterpart
@@ -1012,9 +1012,9 @@ _PRIORITY = [
     "fts_maxscore", "a_igain",
     "w_elevate", "a_facet_pivot", "a_facet_query", "a_facet_heatmap",
     # stream evaluators (Lang.java family)
-    # a_cumulative_sum spills: same decimal-exact window-sum machinery
-    # as a_moving_avg, green in tests/test_gate.py
-    "a_moving_avg", "a_corr_regress", "a_diff_lag",
+    # a_cumulative_sum / a_diff_lag spill: same decimal-exact window
+    # machinery as a_moving_avg, green in tests/test_gate.py
+    "a_moving_avg", "a_corr_regress",
     "a_moving_median", "a_covariance", "a_percent_rank", "a_describe",
     # range facet / block agg / synonyms / stemmed analyzer
     "a_facet_range", "a_unique_block", "fts_synonyms", "fts_stemmed",
@@ -1689,6 +1689,24 @@ def a_ema(spark, sf_dir):
         ev, ["__day"], [F.asc("ts"), F.asc("event_id")], "value", alpha=0.3
     )
     return out.select("event_id", F.round(F.col("ema"), 6).alias("ema"))
+
+
+@entry(
+    "u_merge_segments",
+    bm25_oracle_sql(
+        "spark merge",
+        k=10**9,
+        table="(SELECT * FROM documents WHERE doc_id NOT IN (3, 7, 11)) AS live_docs",
+    ),
+)
+def u_merge_segments(spark, sf_dir):
+    """Segment merge reclaims deletes: base + delta + delete-mask merged
+    into one segment == the corpus minus the deleted docs (postings AND
+    statistics — Lucene merge semantics). Oracle = BM25 SQL over the
+    surviving documents."""
+    from solr_spark.engine import gate_merge
+
+    return gate_merge(spark, sf_dir, "spark merge", delete_doc_ids=(3, 7, 11))
 
 
 @entry("u_incremental_index", bm25_oracle_sql("spark merge", k=10**9))

@@ -136,6 +136,177 @@ def add_segment(
     return IndexView(segments=view.segments + [meta], delete_keys=view.delete_keys)
 
 
+def merge_segments(
+    spark: SparkSession, view: IndexView, out_dir: str, num_partitions: int | None = None
+) -> IndexView:
+    """Merge all segments (and reclaim deletes) into ONE new segment —
+    the background merge of the reference lifecycle
+    (update/DirectUpdateHandler2.java segment merging via Lucene
+    TieredMergePolicy; Lucene merge semantics: deleted docs disappear
+    from postings AND statistics once merged away).
+
+    Pure postings-level merge — content is never re-read or re-analyzed
+    (exactly like Lucene, which merges inverted files directly):
+
+      1. live docs = union of segment docs minus the delete mask;
+         new docid = dense ordinal of the (repo, path, commit) sort
+         (the same determinism contract as a fresh build)
+      2. postings decode → (term, old docid, tf, doclen) triples →
+         broadcast-free remap join on old docid → re-encode under the
+         new bucket layout (one range exchange on (term, bucket))
+      3. doc/bucket/term stats recomputed from the merged rows
+
+    The result is bit-identical to a from-scratch rebuild over the live
+    documents (tests/test_invariance.py pins this), at a fraction of the
+    cost: no tokenization, no content scan."""
+    import numpy as np
+    import pandas as pd
+
+    from .codec import decode_postings
+    from .indexer import (
+        POSTINGS_SCHEMA,
+        IndexMeta,
+        _encode_partition,
+        _rows_to_pdf,  # noqa: F401  (re-exported for test introspection)
+    )
+    from .operators.relational import global_rank
+
+    P = num_partitions or spark.sparkContext.defaultParallelism
+    bucket_docs = view.bucket_docs
+    os.makedirs(out_dir, exist_ok=True)
+
+    docs = spark.read.parquet(*[m.docs_path for m in view.segments])
+    if view.delete_keys:
+        dels = spark.createDataFrame(
+            view.delete_keys, "repo string, path string, commit string"
+        )
+        docs = docs.join(F.broadcast(dels), ["repo", "path", "commit"], "left_anti")
+
+    # 1. dense new docids in (repo, path, commit) order — the fresh-build
+    # docid contract, so merged == rebuilt exactly
+    ranked = global_rank(
+        docs.select("docid", "repo", "path", "commit", "lang", "sha256", "doclen"),
+        [F.asc("repo"), F.asc("path"), F.asc("commit")],
+    )
+    remap = ranked.select(
+        F.col("docid").alias("old_docid"),
+        (F.col("rank") - 1).alias("docid"),
+        "repo", "path", "commit", "lang", "sha256", "doclen",
+    )
+
+    new_docs = remap.select(
+        "docid",
+        F.expr(f"docid DIV {bucket_docs}").alias("bucket"),
+        "repo", "path", "commit", "lang", "sha256", "doclen",
+    )
+    docs_out = os.path.join(out_dir, "docs")
+    (
+        new_docs.repartitionByRange(max(P // 2, 1), "docid")
+        .sortWithinPartitions("docid")
+        .write.mode("overwrite")
+        .parquet(docs_out)
+    )
+    new_docs = spark.read.parquet(docs_out)
+    n_docs = new_docs.count()
+    sum_doclen = int(
+        new_docs.agg(F.sum("doclen").alias("s")).collect()[0]["s"] or 0
+    )
+
+    # 2. postings: decode old rows to triples, remap docids, re-encode
+    postings = spark.read.parquet(*[m.postings_path for m in view.segments])
+
+    def explode(batches):
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                base = int(r["bucket"]) * bucket_docs
+                d, tf = decode_postings(
+                    r["doc_bytes"], r["tf_bytes"], int(r["df"]), base
+                )
+                yield pd.DataFrame(
+                    {
+                        "term": r["term"],
+                        "old_docid": d,
+                        "tf": tf.astype(np.int64),
+                    }
+                )
+
+    triples = postings.mapInPandas(
+        explode, "term string, old_docid bigint, tf bigint"
+    )
+    remap_small = remap.select("old_docid", "docid", "doclen")
+    merged = (
+        triples.join(remap_small, "old_docid")  # deleted docids drop out here
+        .select(
+            "term",
+            "docid",
+            "tf",
+            "doclen",
+            F.expr(f"docid DIV {bucket_docs}").alias("bucket"),
+        )
+    )
+    post_out = os.path.join(out_dir, "postings")
+    (
+        merged.repartitionByRange(P, "term", "bucket")
+        .mapInPandas(_encode_partition(bucket_docs), POSTINGS_SCHEMA)
+        .write.mode("overwrite")
+        .parquet(post_out)
+    )
+    new_postings = spark.read.parquet(post_out)
+
+    # 3. stats tables (same layouts as indexer stages 2b/4)
+    bs_out = os.path.join(out_dir, "bucket_stats")
+    (
+        new_docs.groupBy("bucket")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("docid", "doclen", "repo", "lang"))
+            ).alias("a")
+        )
+        .select(
+            "bucket",
+            F.transform("a", lambda x: x["doclen"]).alias("doclens"),
+            F.transform("a", lambda x: x["repo"]).alias("repos"),
+            F.transform("a", lambda x: x["lang"]).alias("langs"),
+        )
+        .repartitionByRange(max(P // 4, 1), "bucket")
+        .sortWithinPartitions("bucket")
+        .write.mode("overwrite")
+        .parquet(bs_out)
+    )
+    terms_out = os.path.join(out_dir, "terms")
+    (
+        new_postings.groupBy("term")
+        .agg(
+            F.sum("df").alias("df"),
+            F.sum("cf").alias("cf"),
+            F.count("*").alias("n_buckets"),
+        )
+        .repartitionByRange(max(P // 4, 1), "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(terms_out)
+    )
+
+    meta = IndexMeta(
+        out_dir=out_dir,
+        n_docs=n_docs,
+        sum_doclen=sum_doclen,
+        avgdl=sum_doclen / n_docs if n_docs else 0.0,
+        bucket_docs=bucket_docs,
+        analyzer=view.segments[0].analyzer,
+        has_bigrams=all(m.has_bigrams for m in view.segments),
+    )
+    ts = spark.read.parquet(terms_out).agg(
+        F.count("*").alias("n_terms"), F.max("df").alias("max_df"),
+        F.avg("df").alias("mean_df"),
+    ).collect()[0]
+    meta.n_terms = int(ts["n_terms"] or 0)
+    meta.skew_max_df = int(ts["max_df"] or 0)
+    meta.skew_ratio = float(ts["max_df"] / ts["mean_df"]) if ts["mean_df"] else 0.0
+    meta.save()
+    return IndexView(segments=[meta])
+
+
 def save_view(view: IndexView, out_dir: str, batch_ids: list[int] | None = None) -> None:
     """Persist the segment manifest (the commit point of the incremental
     lifecycle — the analog of Lucene's segments_N file). ``batch_ids``

@@ -152,3 +152,75 @@ def test_incremental_segments_equal_full_rebuild(spark, small_corpus, tmp_path_f
     assert (fd["repo"], fd["path"]) in before and (fd["repo"], fd["path"]) not in after
     del before[(fd["repo"], fd["path"])]
     assert before == after  # statistics unchanged by the live-docs mask
+
+
+def test_merge_reclaims_deletes_equals_live_rebuild(spark, small_corpus, tmp_path_factory):
+    """Segment merge: base + delta + delete-mask merged into one segment
+    is BIT-IDENTICAL (docids, scores, doc table) to a from-scratch
+    rebuild over the surviving documents — Lucene merge semantics:
+    deleted docs leave postings AND statistics; and the merge never
+    touches content (pure postings-level remap + re-encode)."""
+    from pyspark.sql import functions as F
+
+    from solr_spark.indexer import build_index
+    from solr_spark.kernel import search
+    from solr_spark.segments import (
+        add_segment,
+        delete_by_keys,
+        merge_segments,
+        open_base,
+    )
+
+    docs = spark.read.parquet(small_corpus)
+    seg_dir = str(tmp_path_factory.mktemp("mrg") / "view")
+    cut = docs.select("repo").distinct().orderBy("repo").collect()
+    mid = cut[len(cut) // 2]["repo"]
+    view = open_base(
+        spark, docs.filter(F.col("repo") < mid), seg_dir,
+        bucket_docs=128, num_partitions=4,
+    )
+    view = add_segment(
+        spark, view, docs.filter(F.col("repo") >= mid), seg_dir, num_partitions=4
+    )
+    victims = (
+        spark.read.parquet(view.segments[0].docs_path)
+        .orderBy("docid").limit(7).select("repo", "path", "commit").collect()
+    )
+    keys = [(r["repo"], r["path"], r["commit"]) for r in victims]
+    view = delete_by_keys(view, keys)
+
+    merged = merge_segments(
+        spark, view, str(tmp_path_factory.mktemp("mrgout") / "seg"),
+        num_partitions=4,
+    )
+    m = merged.segments[0]
+
+    # fresh build over exactly the live documents
+    dels = spark.createDataFrame(keys, "repo string, path string, commit string")
+    live = docs.join(F.broadcast(dels), ["repo", "path", "commit"], "left_anti")
+    fresh_dir = str(tmp_path_factory.mktemp("mrgfresh") / "idx")
+    fresh = build_index(spark, live, fresh_dir, bucket_docs=128, num_partitions=4)
+
+    assert m.n_docs == fresh.n_docs and m.sum_doclen == fresh.sum_doclen
+    assert m.n_terms == fresh.n_terms
+
+    md = {
+        r["docid"]: (r["repo"], r["path"], r["sha256"], r["doclen"])
+        for r in spark.read.parquet(m.docs_path).collect()
+    }
+    fd = {
+        r["docid"]: (r["repo"], r["path"], r["sha256"], r["doclen"])
+        for r in spark.read.parquet(fresh.docs_path).collect()
+    }
+    assert md == fd
+
+    for q in ["license", "spark window merge", "+int +public"]:
+        want = [
+            (r["docid"], r["score"])
+            for r in search(spark, fresh, q, k=fresh.n_docs).collect()
+        ]
+        got = [
+            (r["docid"], r["score"])
+            for r in search(spark, m, q, k=m.n_docs).collect()
+        ]
+        assert got == want, q
