@@ -822,6 +822,40 @@ def gate_spellcheck(
     )
 
 
+def gate_spellcheck_collate(
+    spark: SparkSession, sf_dir: str, q: str, max_edits: int = 2, k: int = 10
+) -> DataFrame:
+    """spellcheck.collate: rewrite the query replacing every term absent
+    from the index with its best correction (min edit distance, then max
+    df — DirectSolrSpellChecker candidate ranking), then run the
+    collated query (handler/component/SpellCheckComponent.java:1
+    toNamedList collations). Per misspelled term exactly ONE corrected
+    row reaches the driver (bounded by query length, never a term
+    list)."""
+    from .analysis import analyze_query
+
+    meta = ensure_index(spark, sf_dir)
+    terms_df = spark.read.parquet(meta.terms_path)
+    qterms = analyze_query(q)
+    stats = terms_df.where(F.col("term").isin(sorted(set(qterms)))).collect()
+    present = {r["term"] for r in stats}
+    collated = []
+    for t in qterms:
+        if t in present:
+            collated.append(t)
+            continue
+        d = F.levenshtein(F.col("term"), F.lit(t))
+        best = (
+            terms_df.withColumn("dist", d)
+            .filter(F.col("dist") <= max_edits)
+            .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+            .limit(1)
+            .collect()
+        )
+        collated.append(best[0]["term"] if best else t)
+    return gate_search(spark, sf_dir, " ".join(collated), k=k)
+
+
 def gate_proximity(
     spark: SparkSession,
     sf_dir: str,

@@ -409,3 +409,60 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: i
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Connected components over a near-duplicate pair graph → duplicate
+    CLUSTERS with a canonical representative (the min id). Pairs is any
+    pair table this module produces (jaccard_pairs / minhash_lsh_pairs /
+    simhash_near_pairs / similarity.brute_force_pairs).
+
+    This is the step production dedup needs beyond pairwise output: keep
+    one doc per component, drop the rest. Algorithm: min-label
+    propagation to fixpoint — each iteration joins every node's current
+    label against its neighbors' and keeps the min (the standard
+    large-graph connected-components shape; converges in O(component
+    diameter) iterations, each one key-partitioned shuffle, lineage
+    truncated per round like graph_expand). Near-dup components are
+    star/clique-like, so 2-4 iterations in practice.
+
+    Returns (id, cluster_id, is_canonical) for every node that appears
+    in at least one pair; singleton docs never enter the pair table and
+    need no row (they are their own cluster by definition)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.groupBy("src")
+        .agg(F.least(F.min("dst"), F.first("src")).alias("label"))
+        .select(F.col("src").alias("id"), "label")
+    )
+    while True:
+        # neighbor labels: for each edge, the dst's current label
+        neigh = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        updated = (
+            labels.join(neigh.withColumnRenamed("src", "id"), "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                    "new_label"
+                ),
+                "label",
+            )
+        ).localCheckpoint(eager=True)
+        changed = updated.filter(F.col("new_label") < F.col("label")).count()
+        labels = updated.select("id", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select(
+        "id",
+        F.col("label").alias("cluster_id"),
+        (F.col("id") == F.col("label")).alias("is_canonical"),
+    )

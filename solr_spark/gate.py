@@ -884,6 +884,32 @@ def t_minhash_pairs(spark, sf_dir):
     )
 
 
+_CLUSTER_SQL = f"""WITH RECURSIVE
+p AS (SELECT id_a, id_b FROM ({_JACCARD_SQL}) AS jp),
+edges AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION SELECT id_b, id_a FROM p),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst)
+SELECT id, min(r) AS cluster_id, (id = min(r)) AS is_canonical
+FROM reach GROUP BY id"""
+
+
+@entry("t_dup_clusters", _CLUSTER_SQL)
+def t_dup_clusters(spark, sf_dir):
+    """Duplicate CLUSTERS: connected components over the MinHash-LSH
+    near-dup pair graph via distributed min-label propagation — the
+    keep-one-per-component step production dedup runs after pairwise
+    detection. Oracle: recursive-CTE transitive closure over the exact
+    Jaccard pair set (pair-set equality itself is t_minhash_pairs)."""
+    pairs = dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        num_hashes=64, bands=16, threshold=0.8,
+    )
+    return dedup.duplicate_clusters(pairs)
+
+
 @entry("t_simhash_pairs", None)  # rows-only: hash family not SQL-expressible
 def t_simhash_pairs(spark, sf_dir):
     return dedup.simhash_near_pairs(
@@ -988,7 +1014,7 @@ _PRIORITY = [
     # LLM-data-pipeline ops (dedup / similarity / text analysis / media;
     # t_token_stats / t_fingerprint spill — they hold round-1 green rows)
     "t_minhash_pairs", "t_jaccard_pairs", "t_simhash_pairs", "t_exact_dups",
-    "t_quality", "t_lang_id",
+    "t_dup_clusters", "t_quality", "t_lang_id",
     "e_knn_brute", "e_knn_ivf", "e_near_dup",
     "s_media_features", "s_topic_incremental",
     # round-2 engine operators + previously-unevaluated entries
@@ -1015,7 +1041,9 @@ _PRIORITY = [
     # a_cumulative_sum / a_diff_lag spill: same decimal-exact window
     # machinery as a_moving_avg, green in tests/test_gate.py
     "a_moving_avg", "a_corr_regress",
-    "a_moving_median", "a_covariance", "a_percent_rank", "a_describe",
+    # a_percent_rank spills: SQL-standard percent_rank in both engines,
+    # green in tests/test_gate.py
+    "a_moving_median", "a_covariance", "a_describe",
     # range facet / block agg / synonyms / stemmed analyzer
     "a_facet_range", "a_unique_block", "fts_synonyms", "fts_stemmed",
     # round-2-changed plans that must keep fresh driver evidence
@@ -1547,6 +1575,47 @@ def fts_complexphrase(spark, sf_dir):
     from solr_spark.engine import gate_complexphrase
 
     return gate_complexphrase(spark, sf_dir, "spark wind*", k=10)
+
+
+@entry("fts_collate", bm25_oracle_sql("spark merge", k=10))
+def fts_collate(spark, sf_dir):
+    """spellcheck.collate: q='spqrk merge' — 'spqrk' is absent from the
+    index, its best correction ('spark': dist 1, max df) replaces it and
+    the collated query runs; oracle = the corrected query's BM25 SQL
+    (SpellCheckComponent.java collations)."""
+    from solr_spark.engine import gate_spellcheck_collate
+
+    return gate_spellcheck_collate(spark, sf_dir, "spqrk merge", k=10)
+
+
+@entry(
+    "a_funcquery",
+    """SELECT o_orderkey,
+round(20.0 / (0.00001 * o_totalprice + 1.0), 6) AS boost,
+round(CASE WHEN o_totalprice >= 0.0 AND o_totalprice <= 50000.0 THEN 0.0
+      ELSE o_totalprice END, 6) AS mapped,
+round(1.0 + CAST(o_custkey AS DOUBLE) / greatest(o_totalprice, 1.0), 6) AS combo
+FROM orders""",
+)
+def a_funcquery(spark, sf_dir):
+    """Function-query registry surface (ValueSourceParser names → Column
+    builders): recip date-boost shape, range map, composed arithmetic —
+    all whole-stage-codegen'd."""
+    from solr_spark.functions.funcquery import REGISTRY, map_val, recip
+
+    price = F.col("o_totalprice")
+    combo = REGISTRY["sum"](
+        F.lit(1.0),
+        REGISTRY["div"](
+            F.col("o_custkey").cast("double"), REGISTRY["max"](price, F.lit(1.0))
+        ),
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(recip(price, 0.00001, 20.0, 1.0), 6).alias("boost"),
+        F.round(map_val(price, 0.0, 50000.0, 0.0), 6).alias("mapped"),
+        F.round(combo, 6).alias("combo"),
+    )
 
 
 _PROX_SQL_ORDERED = f"""WITH tk AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),

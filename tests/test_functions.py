@@ -192,3 +192,21 @@ def test_evaluator_zscore_and_windows(spark):
     assert cs[3] == 9.0 and cs[4] == 10.0
     d = {r["id"]: r["diff"] for r in ev.diff_lag(df, ["g"], [F.asc("id")], "v").collect()}
     assert d[2] == 2.0 and d[3] == 2.0 and d[1] is None
+
+
+def test_duplicate_clusters_multihop(spark):
+    """Chain a-b-c plus isolated pair (x,y): one 3-cluster via 2-hop
+    propagation, one 2-cluster; canonical = min id of each component."""
+    from solr_spark.functions.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(5, 2), (2, 9), (20, 30)], "id_a bigint, id_b bigint"
+    )
+    out = {
+        r["id"]: (r["cluster_id"], r["is_canonical"])
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert out == {
+        2: (2, True), 5: (2, False), 9: (2, False),
+        20: (20, True), 30: (20, False),
+    }
