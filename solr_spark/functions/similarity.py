@@ -94,7 +94,7 @@ def brute_force_pairs(
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs (id_a < id_b,
     rounded cosine >= threshold) — the correctness baseline the LSH
-    variant (embedding_near_dup_pairs) trades recall against. O(n^2)
+    variant (srp_near_dup_pairs) trades recall against. O(n^2)
     dot products but zero shuffle beyond the self-join."""
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
@@ -219,74 +219,92 @@ def ivf_topk(
     )
 
 
-def embedding_near_dup_pairs(
+def srp_near_dup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    threshold: float = 0.95,
-    n_buckets_planes: int = 8,
+    threshold: float = 0.9,
+    bands: int = 8,
+    bits_per_band: int = 8,
+    seed: int = 13,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via random-hyperplane LSH
-    buckets + exact verify. Planes are deterministic (xxhash64-seeded
-    signs on vector components is NOT a valid projection, so we use
-    component-subset sign buckets: sign of component j for j in the first
-    ``n_buckets_planes`` dims — a crude but deterministic SRP variant;
-    pairs with cosine >= threshold almost surely agree on most signs, and
-    each pair only needs to share ONE of the ``n_buckets_planes``
-    single-bit-dropped bucket keys). Exact cosine filter restores
-    precision."""
-    signs = corpus.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.transform(
-            F.slice(F.col(vec_col), 1, n_buckets_planes),
-            lambda x: (x > 0).cast("int"),
-        ).alias("bits"),
+    """Embedding-cosine near-duplicate pairs via signed-random-projection
+    LSH (Charikar 2002, "Similarity Estimation Techniques from Rounding
+    Algorithms" — public): bit p of a vector's signature is
+    sign(v · plane_p) for deterministic seeded Gaussian planes;
+    signatures band into ``bands`` buckets of ``bits_per_band`` bits
+    (the MinHash-LSH banding scheme applied to SRP bits), candidate
+    pairs share ≥1 (band, bucket), and an exact cosine filter restores
+    precision.
+
+    Recall math: P[bit agrees] = 1 − θ/π for angle θ; a pair at cosine c
+    survives with 1 − (1 − (1 − arccos(c)/π)^r)^b — at the defaults
+    (8×8) a 0.95-cosine pair is found with ~99% probability (validated
+    against the exact pair set in tests/test_functions.py). Tune r down
+    for lower thresholds.
+
+    Scale shape: the signature kernel is one numpy matmul per Arrow
+    batch (vectors never leave the executor), candidate generation is a
+    groupable self-join keyed (band, bucket) — identical plan family to
+    minhash_lsh_pairs, no all-pairs stage anywhere."""
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    first = corpus.select(vec_col).first()
+    if first is None:
+        return corpus.sparkSession.createDataFrame(
+            [], "id_a bigint, id_b bigint, cos_sim double"
+        )
+    dim = len(first[0])
+    n_planes = bands * bits_per_band
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    weights = (1 << np.arange(bits_per_band, dtype=np.int64))
+
+    src = corpus.select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("v")
     )
-    # bucket keys: full sign pattern with each single bit masked out →
-    # pairs within Hamming distance 1 of sign patterns collide somewhere
-    banded = signs.select(
-        "id",
-        "v",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_buckets_planes - 1)),
-                lambda i: F.struct(
-                    i.alias("drop"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.sequence(F.lit(0), F.lit(n_buckets_planes - 1)),
-                                lambda j: F.when(j == i, F.lit(-1)).otherwise(
-                                    F.element_at("bits", j + 1)
-                                ),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
+
+    def kern(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            bits = (V @ planes.T) > 0  # (n, bands*r)
+            buckets = bits.reshape(len(pdf), bands, bits_per_band) @ weights
+            ids = pdf["id"].to_numpy(np.int64)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(ids, bands),
+                    "band": np.tile(np.arange(bands, dtype=np.int32), len(pdf)),
+                    "bucket": buckets.reshape(-1).astype(np.int64),
+                }
             )
-        ).alias("bb"),
-    ).select("id", "v", "bb.drop", "bb.bucket")
-    a = banded.alias("a")
-    b = banded.alias("b")
+
+    sig = src.mapInPandas(kern, "id bigint, band int, bucket bigint")
+    a, b = sig.alias("a"), sig.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.drop") == F.col("b.drop"))
+            (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.v").alias("v_a"),
-            F.col("b.v").alias("v_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    va = src.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    vb = src.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
     return (
-        cand.withColumn("cos_sim", F.round(cosine("v_a", "v_b"), 6))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos_sim", F.round(cosine("v_a", "v_b"), 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+# round-1 name kept as an alias (the component-sign variant it named had
+# unvalidated recall and is superseded by the SRP implementation)
+embedding_near_dup_pairs = srp_near_dup_pairs

@@ -210,3 +210,38 @@ def test_duplicate_clusters_multihop(spark):
         2: (2, True), 5: (2, False), 9: (2, False),
         20: (20, True), 30: (20, False),
     }
+
+
+def test_srp_near_dup_recall_and_precision(spark):
+    """SRP-LSH vs exact brute force on a corpus with PLANTED near-dups
+    (base vectors + small-noise copies, cosine ~0.95-0.99): every
+    returned pair is exact-verified (precision 1.0 by construction) and
+    recall at cosine >= 0.9 meets the 8x8 banding-math bound (~99%).
+    The driver embeddings top out at cosine ~0.51, so they exercise only
+    the no-false-positive side."""
+    import numpy as np
+
+    from solr_spark.functions.similarity import brute_force_pairs, srp_near_dup_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((60, 64))
+    rows = []
+    vid = 0
+    for i, v in enumerate(base):
+        rows.append((vid, [float(x) for x in v])); vid += 1
+        if i % 2 == 0:  # plant a near-dup of half the vectors
+            nd = v + 0.12 * rng.standard_normal(64)
+            rows.append((vid, [float(x) for x in nd])); vid += 1
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in brute_force_pairs(emb, threshold=0.9, round_to=6).collect()
+    }
+    assert len(exact) >= 20  # the planted pairs are really there
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in srp_near_dup_pairs(emb, threshold=0.9).collect()
+    }
+    assert got <= exact  # exact verify: no false positives
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, (recall, len(exact))
