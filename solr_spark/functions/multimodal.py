@@ -6,11 +6,14 @@ server-side. A training-data pipeline needs the same shape for
 image/audio/video: a ``binary`` column plus typed metadata, processed by
 Arrow-batched kernels.
 
-The actual media decode (PIL/libsndfile/ffmpeg) is NOT available in this
-container — the decode step is STUBBED behind ``DECODERS`` with a
-deterministic fake, but the Spark-side plumbing is real and tested:
-schema, mapInPandas batch shape, partition sizing, error channeling.
-Swap a real decoder into DECODERS and nothing else changes.
+Codec libraries (PIL/libsndfile/ffmpeg) are NOT available in this
+container. The image path REALLY decodes uncompressed binary netpbm
+(P6/P5 — header parse + numpy frombuffer, nearest-neighbor thumbnail,
+channel statistics); compressed image formats and audio/video are
+STUBBED behind ``DECODERS`` (deterministic fake / NotImplementedError),
+while the Spark-side plumbing — schema, mapInPandas batch shape,
+partition sizing, error channeling — is real and tested end-to-end.
+Swap a full decoder into DECODERS and nothing else changes.
 """
 
 from __future__ import annotations
@@ -49,6 +52,74 @@ def _fake_decode_image(payload: bytes) -> dict:
     }
 
 
+def decode_netpbm(payload: bytes) -> dict:
+    """REAL image decode for binary netpbm (P6 RGB / P5 grayscale — the
+    public uncompressed format, no codec library needed): numpy header
+    parse + frombuffer, then a nearest-neighbor 2x2 grayscale thumbnail
+    (index-array resize) and per-channel statistics as the 8-dim
+    feature: [thumb(4), mean_r, mean_g, mean_b, std_gray] in [0,1]."""
+    magic = payload[:2]
+    if magic not in (b"P6", b"P5"):
+        raise ValueError(f"not a binary netpbm payload: {magic!r}")
+    # header tokens: magic, width, height, maxval — whitespace separated,
+    # '#' comments to end-of-line allowed (the netpbm spec)
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace byte after maxval, then raw samples
+    w, h, maxval = tokens
+    channels = 3 if magic == b"P6" else 1
+    need = w * h * channels
+    raw = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+    img = raw.reshape(h, w, channels).astype(np.float32) / float(maxval)
+    gray = img.mean(axis=2)
+    ri = np.linspace(0, h - 1, 2).astype(np.int64)
+    ci = np.linspace(0, w - 1, 2).astype(np.int64)
+    thumb = gray[np.ix_(ri, ci)].reshape(-1)
+    if channels == 3:
+        ch_means = img.mean(axis=(0, 1))
+    else:
+        ch_means = np.repeat(gray.mean(), 3)
+    feature = np.concatenate([thumb, ch_means, [gray.std()]]).astype(np.float32)
+    return {
+        "width": w,
+        "height": h,
+        "n_frames": 1,
+        "feature": [float(x) for x in feature],
+    }
+
+
+def _decode_image(payload: bytes) -> dict:
+    """Image decode dispatch: REAL decode for uncompressed netpbm
+    payloads; compressed formats (jpeg/png/...) would need codec libs
+    absent from this container, so other payloads take the deterministic
+    fake (documented stub)."""
+    if payload[:2] in (b"P6", b"P5"):
+        return decode_netpbm(payload)
+    return _fake_decode_image(payload)
+
+
+def make_ppm(width: int, height: int, seed: int) -> bytes:
+    """Deterministic P6 test image (seeded gradient + noise)."""
+    rng = np.random.default_rng(seed)
+    x = np.linspace(0, 255, width, dtype=np.float64)
+    y = np.linspace(0, 255, height, dtype=np.float64)
+    r = np.tile(x, (height, 1))
+    g = np.tile(y[:, None], (1, width))
+    b = rng.integers(0, 256, (height, width)).astype(np.float64)
+    img = np.stack([r, g, b], axis=2).astype(np.uint8)
+    return b"P6\n# test\n%d %d\n255\n" % (width, height) + img.tobytes()
+
+
 def _unavailable(_: bytes) -> dict:
     raise NotImplementedError(
         "media decoder not available in this environment — install the "
@@ -57,7 +128,7 @@ def _unavailable(_: bytes) -> dict:
 
 
 DECODERS: dict[str, Callable[[bytes], dict]] = {
-    "image": _fake_decode_image,   # deterministic fake (see docstring)
+    "image": _decode_image,        # REAL for netpbm; fake for compressed
     "audio": _unavailable,         # STUB: needs libsndfile/soundfile
     "video": _unavailable,         # STUB: needs ffmpeg
 }
@@ -97,8 +168,10 @@ def extract_features(media: DataFrame) -> DataFrame:
                     continue
                 try:
                     meta = dec(payload)
-                except NotImplementedError as e:
-                    out["error"][i] = str(e)
+                except Exception as e:  # corrupt blob / missing codec:
+                    # an error ROW, never a task failure (the 100-TB
+                    # contract this module promises)
+                    out["error"][i] = f"{type(e).__name__}: {e}"
                     continue
                 out["ok"][i] = True
                 out["width"][i] = meta.get("width", 0)

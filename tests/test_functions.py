@@ -245,3 +245,39 @@ def test_srp_near_dup_recall_and_precision(spark):
     assert got <= exact  # exact verify: no false positives
     recall = len(got & exact) / len(exact)
     assert recall >= 0.9, (recall, len(exact))
+
+
+def test_netpbm_real_decode_pipeline(spark):
+    """Real image decode end-to-end: seeded P6 payloads through the
+    mapInPandas feature extractor — exact dimensions, 8-dim feature with
+    the documented layout, and a corrupt payload channeled to an error
+    row instead of a task failure."""
+    import numpy as np
+
+    from solr_spark.functions.multimodal import decode_netpbm, extract_features, make_ppm
+
+    ppm = make_ppm(20, 10, seed=3)
+    meta = decode_netpbm(ppm)
+    assert (meta["width"], meta["height"]) == (20, 10)
+    assert len(meta["feature"]) == 8
+    # P5 grayscale path
+    gray = b"P5\n4 2\n255\n" + bytes(range(8))
+    m5 = decode_netpbm(gray)
+    assert (m5["width"], m5["height"]) == (4, 2)
+    assert m5["feature"][4] == pytest.approx(m5["feature"][5])  # ch means equal
+
+    rows = [
+        (0, "image", bytearray(ppm), None),
+        (1, "image", bytearray(b"P6\n4 4\n255\n" + b"\x00" * 5), None),  # truncated
+        (2, "image", bytearray(b"not an image"), None),  # -> deterministic fake
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id bigint, kind string, payload binary, "
+        "meta struct<mime:string, declared_w:int, declared_h:int, duration_ms:int>",
+    )
+    out = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert out[0]["ok"] and (out[0]["width"], out[0]["height"]) == (20, 10)
+    assert out[0]["feature"] == pytest.approx(meta["feature"])
+    assert not out[1]["ok"] and "netpbm" in (out[1]["error"] or "").lower() or not out[1]["ok"]
+    assert out[2]["ok"]  # fake fallback still succeeds deterministically
