@@ -61,6 +61,25 @@ SCALAR = {
     "not": lambda a: ~a,
 }
 
+# third batch — the remaining common one/two-arg math evaluators
+# (Lang.java scalar family), all straight builtin mappings
+SCALAR.update(
+    {
+        "atan2": F.atan2,
+        "hypot": F.hypot,
+        "expm1": F.expm1,
+        "log1p": F.log1p,
+        "sgn": F.signum,
+        "degrees": F.degrees,
+        "radians": F.radians,
+        "cbrt": F.cbrt,
+        "factorial": F.factorial,
+        "greatest": F.greatest,
+        "least": F.least,
+    }
+)
+
+
 # vector (array-column) evaluators — the reference's list-valued family
 VECTOR = {
     "length": F.size,
@@ -108,6 +127,23 @@ VECTOR.update(
             a, lambda v: v / F.sqrt(VECTOR["dotProduct"](a, a))
         ),
         "norm2": lambda a: F.sqrt(VECTOR["dotProduct"](a, a)),
+    }
+)
+
+# element-wise vector arithmetic (ebeAdd/ebeSubtract/ebeMultiply/ebeDivide)
+# and generators (zeros/ones/sequence) — the reference's matrix-math family
+VECTOR.update(
+    {
+        "ebeAdd": lambda a, b: F.zip_with(a, b, lambda x, y: x + y),
+        "ebeSubtract": lambda a, b: F.zip_with(a, b, lambda x, y: x - y),
+        "ebeMultiply": lambda a, b: F.zip_with(a, b, lambda x, y: x * y),
+        "ebeDivide": lambda a, b: F.zip_with(a, b, lambda x, y: x / y),
+        "zeros": lambda n: F.array_repeat(F.lit(0.0), n),
+        "ones": lambda n: F.array_repeat(F.lit(1.0), n),
+        "sequence": lambda start, stop, by: F.transform(
+            F.sequence(start, stop, by), lambda x: x.cast("double")
+        ),
+        "copyOfRange": lambda a, lo, hi: F.slice(a, lo + 1, hi - lo),
     }
 )
 

@@ -120,6 +120,69 @@ def make_ppm(width: int, height: int, seed: int) -> bytes:
     return b"P6\n# test\n%d %d\n255\n" % (width, height) + img.tobytes()
 
 
+def decode_wav(payload: bytes) -> dict:
+    """REAL audio decode for PCM WAV (RIFF) via the stdlib ``wave``
+    module + numpy — no codec library required. Feature vector:
+    [duration_s, rms, zero-crossing rate, peak] over the mono mix;
+    n_frames carries the sample count, width/height stay 0 for audio."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_ch = w.getnchannels()
+        width = w.getsampwidth()
+        rate = w.getframerate()
+        n = w.getnframes()
+        raw = w.readframes(n)
+    if width == 2:
+        x = np.frombuffer(raw, dtype=np.int16).astype(np.float64) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {width}")
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).mean(axis=1)
+    dur = len(x) / rate if rate else 0.0
+    rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0
+    peak = float(np.abs(x).max()) if len(x) else 0.0
+    return {
+        "width": 0,
+        "height": 0,
+        "n_frames": int(n),
+        "feature": [float(dur), rms, zcr, peak],
+    }
+
+
+def _decode_audio(payload: bytes) -> dict:
+    """Audio dispatch: REAL decode for RIFF/WAV PCM; compressed codecs
+    (mp3/ogg/flac) need libraries absent from this container."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    raise NotImplementedError(
+        "only PCM WAV decodes without codec libraries — install "
+        "libsndfile/soundfile and register it in multimodal.DECODERS"
+    )
+
+
+def make_wav(seconds: float, freq: float, rate: int = 8000, seed: int = 0) -> bytes:
+    """Deterministic PCM WAV test clip (sine + seeded noise)."""
+    import io
+    import wave
+
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(seconds * rate)) / rate
+    x = 0.5 * np.sin(2 * np.pi * freq * t) + 0.01 * rng.standard_normal(len(t))
+    pcm = (np.clip(x, -1, 1) * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
 def _unavailable(_: bytes) -> dict:
     raise NotImplementedError(
         "media decoder not available in this environment — install the "
@@ -129,7 +192,7 @@ def _unavailable(_: bytes) -> dict:
 
 DECODERS: dict[str, Callable[[bytes], dict]] = {
     "image": _decode_image,        # REAL for netpbm; fake for compressed
-    "audio": _unavailable,         # STUB: needs libsndfile/soundfile
+    "audio": _decode_audio,        # REAL for PCM WAV; stub for compressed
     "video": _unavailable,         # STUB: needs ffmpeg
 }
 

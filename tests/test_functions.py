@@ -140,7 +140,9 @@ def test_multimodal_stub_errors_channelled(spark, docs):
     media = multimodal.synthesize_media(docs.limit(2), "id", "text", kind="audio")
     feats = multimodal.extract_features(media).collect()
     assert all(not r["ok"] for r in feats)
-    assert all("decoder not available" in r["error"] for r in feats)
+    # text payloads are not PCM WAV: the audio dispatch channels its
+    # missing-codec NotImplementedError into the error column
+    assert all("PCM WAV" in r["error"] for r in feats)
     assert all(r["sha256"] is not None for r in feats)  # hashing still ran
 
 
@@ -281,3 +283,32 @@ def test_netpbm_real_decode_pipeline(spark):
     assert out[0]["feature"] == pytest.approx(meta["feature"])
     assert not out[1]["ok"] and "netpbm" in (out[1]["error"] or "").lower() or not out[1]["ok"]
     assert out[2]["ok"]  # fake fallback still succeeds deterministically
+
+
+def test_wav_real_decode_pipeline(spark):
+    """Real PCM WAV decode end-to-end: duration/rms/zcr features from the
+    stdlib wave path; a non-WAV audio payload channels to an error row."""
+    from solr_spark.functions.multimodal import decode_wav, extract_features, make_wav
+
+    clip = make_wav(0.5, freq=440.0, rate=8000, seed=1)
+    meta = decode_wav(clip)
+    assert meta["n_frames"] == 4000
+    dur, rms, zcr, peak = meta["feature"]
+    assert dur == pytest.approx(0.5)
+    assert rms == pytest.approx(0.5 / 2**0.5, rel=0.05)  # sine rms = A/sqrt(2)
+    assert zcr == pytest.approx(2 * 440.0 / 8000, rel=0.1)  # 2 crossings/cycle
+    assert 0.4 < peak <= 1.0
+
+    rows = [
+        (0, "audio", bytearray(clip), None),
+        (1, "audio", bytearray(b"ID3\x04mp3-ish"), None),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id bigint, kind string, payload binary, "
+        "meta struct<mime:string, declared_w:int, declared_h:int, duration_ms:int>",
+    )
+    out = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert out[0]["ok"] and out[0]["n_frames"] == 4000
+    assert out[0]["feature"] == pytest.approx(meta["feature"])
+    assert not out[1]["ok"] and "WAV" in out[1]["error"]

@@ -268,3 +268,30 @@ def test_from_model_json_missing_feature_errors():
             {"class": "x.LinearModel", "features": [{"name": "nope"}], "params": {}},
             {},
         )
+
+
+def test_scalar_vector_batch3(spark):
+    from solr_spark.functions.evaluators import SCALAR, VECTOR
+
+    df = spark.createDataFrame(
+        [(3.0, 4.0, [1.0, 2.0], [10.0, 20.0])],
+        "x double, y double, a array<double>, b array<double>",
+    )
+    row = df.select(
+        SCALAR["hypot"](F.col("x"), F.col("y")).alias("h"),
+        SCALAR["atan2"](F.col("y"), F.col("x")).alias("at"),
+        SCALAR["sgn"](F.lit(-7.0)).alias("sg"),
+        VECTOR["ebeAdd"](F.col("a"), F.col("b")).alias("add"),
+        VECTOR["ebeMultiply"](F.col("a"), F.col("b")).alias("mul"),
+        VECTOR["zeros"](3).alias("z"),
+        VECTOR["sequence"](F.lit(1), F.lit(3), F.lit(1)).alias("seq"),
+    ).collect()[0]
+    import math
+
+    assert row["h"] == pytest.approx(5.0)
+    assert row["at"] == pytest.approx(math.atan2(4.0, 3.0))
+    assert row["sg"] == -1.0
+    assert row["add"] == [11.0, 22.0]
+    assert row["mul"] == [10.0, 40.0]
+    assert row["z"] == [0.0, 0.0, 0.0]
+    assert row["seq"] == [1.0, 2.0, 3.0]
