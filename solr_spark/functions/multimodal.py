@@ -183,6 +183,69 @@ def make_wav(seconds: float, freq: float, rate: int = 8000, seed: int = 0) -> by
     return buf.getvalue()
 
 
+FRAME_SAMPLE_EVERY = 2  # video frame-sampling stride (decode every Nth)
+
+
+def _ppm_size(payload: bytes, pos: int) -> tuple[int, int]:
+    """(frame_end, header_end) offsets of the P6 frame starting at pos."""
+    p, tokens = pos + 2, []
+    while len(tokens) < 3:
+        while payload[p : p + 1].isspace():
+            p += 1
+        if payload[p : p + 1] == b"#":
+            while payload[p : p + 1] != b"\n":
+                p += 1
+            continue
+        s = p
+        while p < len(payload) and not payload[p : p + 1].isspace():
+            p += 1
+        tokens.append(int(payload[s:p]))
+    p += 1
+    w, h, _ = tokens
+    return p + w * h * 3, p
+
+
+def decode_ppm_stream(payload: bytes, sample_every: int = FRAME_SAMPLE_EVERY) -> dict:
+    """REAL video decode for an uncompressed concatenated-P6 frame stream
+    (the MJPEG-without-compression shape): walk the frame headers to
+    count ALL frames, but DECODE only every ``sample_every``-th — the
+    frame-sampling pattern a training pipeline applies to video (decode
+    cost scales with sampled frames, not stream length). Feature = the
+    element-wise mean of the sampled frames' image features; width/height
+    from the first frame."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a concatenated-P6 stream")
+    pos, idx = 0, 0
+    feats, w0, h0 = [], 0, 0
+    while pos < len(payload) and payload[pos : pos + 2] == b"P6":
+        end, _hdr = _ppm_size(payload, pos)
+        if idx % sample_every == 0:
+            m = decode_netpbm(payload[pos:end])
+            feats.append(m["feature"])
+            if idx == 0:
+                w0, h0 = m["width"], m["height"]
+        pos, idx = end, idx + 1
+    mean_feat = np.mean(np.asarray(feats, dtype=np.float64), axis=0)
+    return {
+        "width": w0,
+        "height": h0,
+        "n_frames": idx,
+        "feature": [float(x) for x in mean_feat],
+    }
+
+
+def _decode_video(payload: bytes) -> dict:
+    """Video dispatch: REAL frame-sampled decode for uncompressed
+    concatenated-P6 streams; compressed containers need ffmpeg."""
+    if payload[:2] == b"P6":
+        return decode_ppm_stream(payload)
+    raise NotImplementedError(
+        "only uncompressed concatenated-P6 streams decode without codec "
+        "libraries — install ffmpeg bindings and register them in "
+        "multimodal.DECODERS"
+    )
+
+
 def _unavailable(_: bytes) -> dict:
     raise NotImplementedError(
         "media decoder not available in this environment — install the "
@@ -193,7 +256,7 @@ def _unavailable(_: bytes) -> dict:
 DECODERS: dict[str, Callable[[bytes], dict]] = {
     "image": _decode_image,        # REAL for netpbm; fake for compressed
     "audio": _decode_audio,        # REAL for PCM WAV; stub for compressed
-    "video": _unavailable,         # STUB: needs ffmpeg
+    "video": _decode_video,        # REAL frame-sampling for P6 streams; stub otherwise
 }
 
 

@@ -312,3 +312,36 @@ def test_wav_real_decode_pipeline(spark):
     assert out[0]["ok"] and out[0]["n_frames"] == 4000
     assert out[0]["feature"] == pytest.approx(meta["feature"])
     assert not out[1]["ok"] and "WAV" in out[1]["error"]
+
+
+def test_video_frame_sampling(spark):
+    """Concatenated-P6 stream: ALL frames counted, only every 2nd
+    decoded; feature = mean over sampled frames; non-P6 video payloads
+    channel to error rows."""
+    import numpy as np
+
+    from solr_spark.functions.multimodal import (
+        decode_netpbm,
+        decode_ppm_stream,
+        extract_features,
+        make_ppm,
+    )
+
+    frames = [make_ppm(8, 6, seed=s) for s in range(5)]
+    stream = b"".join(frames)
+    meta = decode_ppm_stream(stream, sample_every=2)
+    assert meta["n_frames"] == 5
+    assert (meta["width"], meta["height"]) == (8, 6)
+    sampled = [decode_netpbm(frames[i])["feature"] for i in (0, 2, 4)]
+    assert meta["feature"] == pytest.approx(
+        np.mean(np.asarray(sampled), axis=0).tolist()
+    )
+
+    media = spark.createDataFrame(
+        [(0, "video", bytearray(stream), None), (1, "video", bytearray(b"\x00mp4"), None)],
+        "media_id bigint, kind string, payload binary, "
+        "meta struct<mime:string, declared_w:int, declared_h:int, duration_ms:int>",
+    )
+    out = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert out[0]["ok"] and out[0]["n_frames"] == 5
+    assert not out[1]["ok"] and "P6" in out[1]["error"]
