@@ -38,6 +38,28 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("bigint")
 
 
+# BPE-style pretokenizer regex (the GPT-2 pattern's ASCII core —
+# contraction suffixes, space-prefixed letter/digit runs, punctuation
+# runs, whitespace runs). ASCII classes keep Java-regex (Spark) and RE2
+# (DuckDB) tokenization identical; no lookahead so both engines accept it.
+BPE_REGEX = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def bpe_pretokens(text: Column) -> Column:
+    """BPE-ish pretokenization (the LLM-pipeline token-budget estimator):
+    the GPT-2 pretokenizer split, minus actual merge ranks — counts of
+    these pretokens upper-bound real BPE token counts within a small
+    factor, which is what corpus token accounting needs."""
+    return F.regexp_extract_all(text, F.lit(BPE_REGEX), 0)
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Pretoken count excluding pure-whitespace matches."""
+    return F.size(
+        F.filter(bpe_pretokens(text), lambda t: ~t.rlike(r"^\s+$"))
+    ).cast("bigint")
+
+
 def whitespace_token_count(text: Column) -> Column:
     """Raw whitespace token count — the cheap pre-filter count pipelines
     use before full analysis."""

@@ -831,6 +831,21 @@ def t_analyze(spark, sf_dir):
 
 
 @entry(
+    "t_bpe_tokens",
+    f"""SELECT doc_id,
+len(list_filter(regexp_extract_all(text, '{textfn.BPE_REGEX.replace("'", "''")}'),
+    x -> NOT regexp_matches(x, '^\\s+$'))) AS n_bpe
+FROM documents""",
+)
+def t_bpe_tokens(spark, sf_dir):
+    """BPE-ish pretoken counting (the LLM token-budget estimator) — the
+    GPT-2 pretokenizer split, identical regex semantics in Java regex
+    and RE2 so both engines count the same pretokens."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", textfn.bpe_token_count(F.col("text")).alias("n_bpe"))
+
+
+@entry(
     "t_exact_dups",
     """SELECT md5(text) AS sig, min(doc_id) AS canonical_id, count(*) AS n_members
 FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
