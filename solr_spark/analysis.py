@@ -88,6 +88,16 @@ def term_frequencies(
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    if bigrams and term_transform is not None:
+        # the bigram branch pairs RAW tokens; a dictionary-level transform
+        # would stem only the space-joined pair string (s_stem("merged
+        # windows") → "merged window", not "merge window"), leaving bigram
+        # keys no query can construct — fail loudly until per-token
+        # pre-pair stemming is implemented
+        raise ValueError(
+            "bigrams=True cannot be combined with a term_transform "
+            "analyzer (pair keys would be inconsistently stemmed)"
+        )
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     n_docs = doc_ids.size
     arr = pa.Array.from_pandas(texts.fillna(""))

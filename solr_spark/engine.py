@@ -86,6 +86,37 @@ def _with_doc_id(spark: SparkSession, meta: IndexMeta, res: DataFrame) -> DataFr
     )
 
 
+def _copy_query(q: Query) -> Query:
+    """Deep-enough copy so gate_search never mutates a caller's Query
+    (it strips phrases/multiterm, remaps filters and may stem counters)."""
+    from collections import Counter
+
+    return Query(
+        optional=Counter(q.optional),
+        required=Counter(q.required),
+        prohibited=set(q.prohibited),
+        filters={k: list(v) for k, v in q.filters.items()},
+        boosts=dict(q.boosts),
+        phrases=[list(p) for p in q.phrases],
+        multiterm=list(q.multiterm),
+    )
+
+
+def _like_pattern(pat: str) -> str:
+    """Wildcard query pattern → SQL LIKE pattern with LITERAL '%'/'_'
+    escaped (backslash is Spark's default LIKE escape). '_' is a legal
+    token character in this engine's analysis contract ([a-z0-9_]+), so
+    an unescaped translation would silently treat snake_case underscores
+    as single-char wildcards."""
+    return (
+        pat.replace("\\", "\\\\")
+        .replace("%", "\\%")
+        .replace("_", "\\_")
+        .replace("*", "%")
+        .replace("?", "_")
+    )
+
+
 def _multiterm_component(spark: SparkSession, meta: IndexMeta, mt) -> DataFrame:
     """One prefix/wildcard/fuzzy clause: expand against the term
     dictionary (sorted terms table — a prefix predicate is a pushed-down
@@ -100,7 +131,7 @@ def _multiterm_component(spark: SparkSession, meta: IndexMeta, mt) -> DataFrame:
     if mt.kind == "prefix":
         pred = F.col("term").startswith(mt.pattern[:-1])
     elif mt.kind == "wildcard":
-        pred = F.col("term").like(mt.pattern.replace("*", "%").replace("?", "_"))
+        pred = F.col("term").like(_like_pattern(mt.pattern))
     else:  # fuzzy: classic Levenshtein (documented deviation from
         # Lucene's Damerau-Levenshtein, see qparser.MultiTermClause)
         pred = F.levenshtein(F.col("term"), F.lit(mt.pattern)) <= mt.max_edits
@@ -139,7 +170,7 @@ def gate_search(
     from .qparser import expand_synonyms
 
     meta = ensure_index(spark, sf_dir, analyzer=analyzer)
-    query: Query = parse(q) if isinstance(q, str) else q
+    query: Query = parse(q) if isinstance(q, str) else _copy_query(q)
     if synonyms:
         query = expand_synonyms(query, synonyms)
     transform = ANALYZERS[analyzer]
@@ -147,6 +178,21 @@ def gate_search(
         # query terms go through the same per-term analyzer transform the
         # index dictionary did (the query/index analyzer symmetry the
         # reference enforces per field type)
+        if query.multiterm:
+            # a wildcard/fuzzy PATTERN cannot be stemmed meaningfully —
+            # failing loudly beats silently matching nothing against the
+            # stemmed dictionary
+            raise ValueError(
+                "multi-term clauses (prefix/wildcard/fuzzy) are not "
+                "supported with a non-default analyzer"
+            )
+        if query.phrases:
+            # the two-phase phrase verify re-analyzes CONTENT with the
+            # default chain; stemmed phrase terms would never match it
+            raise ValueError(
+                "phrase clauses are not supported with a non-default "
+                "analyzer (the content-verify chain is unstemmed)"
+            )
         for attr in ("optional", "required"):
             src_counter = getattr(query, attr)
             stemmed = Counter()
@@ -692,7 +738,7 @@ def gate_complexphrase(
         # all-wildcard phrase: candidates = docs matching the first slot's
         # dictionary expansion (still index-pruned, no full scan)
         terms_df = spark.read.parquet(meta.terms_path)
-        pat = slots[0].replace("*", "%").replace("?", "_")
+        pat = _like_pattern(slots[0])
         rows = postings_rows(spark, meta, terms_df.filter(F.col("term").like(pat)).select("term"))
         cand = rows.select("docid").dropDuplicates(["docid"])
 
@@ -712,7 +758,7 @@ def gate_complexphrase(
     def slot_pred(i, j, slot):
         el = F.element_at(toks, i + F.lit(j))
         if "*" in slot or "?" in slot:
-            return el.like(slot.replace("*", "%").replace("?", "_"))
+            return el.like(_like_pattern(slot))
         return el == F.lit(slot)
 
     def pos_ok(i):
@@ -834,25 +880,35 @@ def gate_spellcheck_collate(
     list)."""
     from .analysis import analyze_query
 
+    from pyspark.sql import Window
+
     meta = ensure_index(spark, sf_dir)
     terms_df = spark.read.parquet(meta.terms_path)
     qterms = analyze_query(q)
     stats = terms_df.where(F.col("term").isin(sorted(set(qterms)))).collect()
     present = {r["term"] for r in stats}
-    collated = []
-    for t in qterms:
-        if t in present:
-            collated.append(t)
-            continue
-        d = F.levenshtein(F.col("term"), F.lit(t))
+    missing = sorted({t for t in qterms if t not in present})
+    corrections: dict[str, str] = {}
+    if missing:
+        # ONE vocabulary-sized job corrects every misspelled term: the
+        # tiny missing list broadcasts against the terms table, per-term
+        # best by (dist asc, df desc, term asc)
+        miss_df = spark.createDataFrame([(m,) for m in missing], "miss string")
+        scored = terms_df.join(
+            F.broadcast(miss_df),
+            F.levenshtein(F.col("term"), F.col("miss")) <= max_edits,
+        ).withColumn("dist", F.levenshtein(F.col("term"), F.col("miss")))
+        w = Window.partitionBy("miss").orderBy(
+            F.asc("dist"), F.desc("df"), F.asc("term")
+        )
         best = (
-            terms_df.withColumn("dist", d)
-            .filter(F.col("dist") <= max_edits)
-            .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
-            .limit(1)
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("miss", "term")
             .collect()
         )
-        collated.append(best[0]["term"] if best else t)
+        corrections = {r["miss"]: r["term"] for r in best}
+    collated = [corrections.get(t, t) for t in qterms]
     return gate_search(spark, sf_dir, " ".join(collated), k=k)
 
 

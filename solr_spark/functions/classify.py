@@ -53,6 +53,10 @@ def tfidf_vectors(
     pairs = (
         doc_terms.join(vocab_df, term_col)
         .select(id_col, "__pos", (tf * F.col("__idf")).alias("__v"))
+        # duplicate (id, term) rows sum their contributions (tf semantics)
+        # BEFORE the map build — map_from_entries throws on duplicate keys
+        .groupBy(id_col, "__pos")
+        .agg(F.sum("__v").alias("__v"))
         .groupBy(id_col)
         .agg(F.map_from_entries(F.collect_list(F.struct("__pos", "__v"))).alias("__m"))
     )

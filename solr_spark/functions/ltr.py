@@ -101,10 +101,15 @@ class TreesModel:
     def _fold(self, node: TreeNode, cols: dict[str, Column]) -> Column:
         if node.is_leaf:
             return F.lit(float(node.value))
-        fcol = cols[node.feature]
-        return F.when(
-            fcol <= F.lit(float(node.threshold)), self._fold(node.left, cols)
-        ).otherwise(self._fold(node.right, cols))
+        fcol = cols[node.feature].cast("double")
+        # missing (NULL) and NaN route LEFT — the reference's <=-left
+        # convention (MultipleAdditiveTreesModel RegressionTreeNode)
+        go_left = (
+            fcol.isNull() | F.isnan(fcol) | (fcol <= F.lit(float(node.threshold)))
+        )
+        return F.when(go_left, self._fold(node.left, cols)).otherwise(
+            self._fold(node.right, cols)
+        )
 
     def score(self) -> Column:
         cols = {f.name: f.normalized() for f in self.features}
@@ -187,12 +192,16 @@ def ltr_rerank(
     out_col: str = "ltr_score",
 ) -> DataFrame:
     """Re-score the top ``rerank_docs`` of the main ranking with ``model``;
-    the tail keeps the original ``score`` column (LTRRescorer.java:149-235
-    — identical plan shape to windowed.rerank: TakeOrdered head, model
-    Column on the head only, broadcast anti-join tail)."""
-    head = df.orderBy(*main_order).limit(rerank_docs)
-    head_scored = head.withColumn(out_col, model.score().cast("double"))
-    tail = df.join(
-        F.broadcast(head.select(*key_cols)), key_cols, "left_anti"
-    ).withColumn(out_col, F.col("score").cast("double"))
-    return head_scored.unionByName(tail)
+    the tail keeps the original ``score`` column (LTRRescorer.java:149-235)
+    — the shared windowed.rescore_head plan: TakeOrdered head, model
+    Column on the head only, broadcast anti-join tail."""
+    from ..operators.windowed import rescore_head
+
+    return rescore_head(
+        df.withColumn("score", F.col("score").cast("double")),
+        key_cols,
+        main_order,
+        rerank_docs,
+        model.score().cast("double"),
+        out_col,
+    )

@@ -77,6 +77,11 @@ def decode_netpbm(payload: bytes) -> dict:
         tokens.append(int(payload[start:pos]))
     pos += 1  # single whitespace byte after maxval, then raw samples
     w, h, maxval = tokens
+    if not (0 < maxval <= 255):
+        # 2-byte-per-sample netpbm (maxval > 255) would silently decode
+        # as garbage under a uint8 read; raise like decode_wav does for
+        # unsupported sample widths
+        raise ValueError(f"unsupported netpbm maxval {maxval} (need 1..255)")
     channels = 3 if magic == b"P6" else 1
     need = w * h * channels
     raw = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)

@@ -253,8 +253,9 @@ def srp_near_dup_pairs(
 
     first = corpus.select(vec_col).first()
     if first is None:
+        id_t = corpus.schema[id_col].dataType.simpleString()
         return corpus.sparkSession.createDataFrame(
-            [], "id_a bigint, id_b bigint, cos_sim double"
+            [], f"id_a {id_t}, id_b {id_t}, cos_sim double"
         )
     dim = len(first[0])
     n_planes = bands * bits_per_band
@@ -262,9 +263,9 @@ def srp_near_dup_pairs(
     planes = rng.standard_normal((n_planes, dim))
     weights = (1 << np.arange(bits_per_band, dtype=np.int64))
 
-    src = corpus.select(
-        F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("v")
-    )
+    # preserve the caller's id type (string UUIDs are as valid as ints)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    src = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
 
     def kern(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
@@ -273,7 +274,7 @@ def srp_near_dup_pairs(
             V = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
             bits = (V @ planes.T) > 0  # (n, bands*r)
             buckets = bits.reshape(len(pdf), bands, bits_per_band) @ weights
-            ids = pdf["id"].to_numpy(np.int64)
+            ids = pdf["id"].to_numpy()
             yield pd.DataFrame(
                 {
                     "id": np.repeat(ids, bands),
@@ -282,7 +283,7 @@ def srp_near_dup_pairs(
                 }
             )
 
-    sig = src.mapInPandas(kern, "id bigint, band int, bucket bigint")
+    sig = src.mapInPandas(kern, f"id {id_type}, band int, bucket bigint")
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
         a.join(

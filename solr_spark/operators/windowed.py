@@ -122,6 +122,28 @@ def elevate(
     )
 
 
+def rescore_head(
+    df: DataFrame,
+    key_cols: list[str],
+    main_order: list[Column],
+    n: int,
+    head_score: Column,
+    out_col: str,
+) -> DataFrame:
+    """Shared head-rescore plan (rerank and LTR both ride it): the head
+    is TakeOrdered (per-partition heaps of size ``n``, no global window),
+    ``head_score`` evaluates only on those ``n`` rows, and the tail is a
+    broadcast anti-join against the tiny head key set keeping the
+    original ``score`` — the full table is never globally sorted through
+    one task."""
+    head = df.orderBy(*main_order).limit(n)
+    head_scored = head.withColumn(out_col, head_score)
+    tail = df.join(
+        F.broadcast(head.select(*key_cols)), key_cols, "left_anti"
+    ).withColumn(out_col, F.col("score"))
+    return head_scored.unionByName(tail)
+
+
 def rerank(
     df: DataFrame,
     key_cols: list[str],
@@ -136,18 +158,12 @@ def rerank(
 
     df must carry a ``score`` column (the main query score); ``key_cols``
     uniquely identify a row (the uniqueKey — same requirement as the
-    reference's docid-keyed ReRankCollector).
-
-    Scale shape: the head is TakeOrdered (per-partition heaps of size
-    rerank_docs, no global window), rescoring touches only those
-    rerank_docs rows, and the tail is a broadcast anti-join against the
-    tiny head key set — the full table is never globally sorted through
-    one task."""
-    head = df.orderBy(*main_order).limit(rerank_docs)
-    head_scored = head.withColumn(
-        "rerank_score", F.col("score") + F.lit(weight) * rescore
+    reference's docid-keyed ReRankCollector). Plan shape: rescore_head."""
+    return rescore_head(
+        df,
+        key_cols,
+        main_order,
+        rerank_docs,
+        F.col("score") + F.lit(weight) * rescore,
+        "rerank_score",
     )
-    tail = df.join(
-        F.broadcast(head.select(*key_cols)), key_cols, "left_anti"
-    ).withColumn("rerank_score", F.col("score"))
-    return head_scored.unionByName(tail)

@@ -295,3 +295,58 @@ def test_scalar_vector_batch3(spark):
     assert row["mul"] == [10.0, 40.0]
     assert row["z"] == [0.0, 0.0, 0.0]
     assert row["seq"] == [1.0, 2.0, 3.0]
+
+
+def test_trees_model_null_nan_route_left(spark):
+    """Missing (NULL) and NaN feature values take the LEFT branch — the
+    reference's <=-left convention."""
+    from solr_spark.functions.ltr import Feature, TreeNode, TreesModel
+
+    tree = TreeNode(
+        feature="f", threshold=1.0,
+        left=TreeNode(value=-5.0), right=TreeNode(value=5.0),
+    )
+    model = TreesModel(features=[Feature("f", F.col("f"))], trees=[(1.0, tree)])
+    df = spark.createDataFrame(
+        [(None,), (float("nan"),), (0.5,), (2.0,)], "f double"
+    )
+    got = [r["s"] for r in df.select(model.score().alias("s")).collect()]
+    assert got == [-5.0, -5.0, -5.0, 5.0]
+
+
+def test_complexphrase_literal_underscore(spark, span_docs, tmp_path_factory):
+    """Literal '_' in a wildcard slot must NOT act as a single-char
+    wildcard (snake_case identifiers are ordinary tokens)."""
+    d = tmp_path_factory.mktemp("uscore") / "sf"
+    d.mkdir()
+    rows = [
+        (0, "call get_value now", "en", "s0", 18),
+        (1, "call getXvalue now", "en", "s0", 18),
+        (2, "call get_value_impl now", "en", "s0", 23),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    from solr_spark.engine import gate_complexphrase
+
+    got = sorted(
+        r["doc_id"]
+        for r in gate_complexphrase(spark, str(d), "call get_value*", k=10).collect()
+    )
+    # matches get_value and get_value_impl; getXvalue must NOT match
+    assert got == [0, 2]
+
+
+def test_gate_search_does_not_mutate_query(spark, span_docs):
+    from solr_spark.engine import gate_search
+    from solr_spark.qparser import parse
+
+    q = parse('"spark window" merge lang:en')
+    before = (dict(q.optional), [list(p) for p in q.phrases], dict(q.filters))
+    gate_search(spark, span_docs, q, k=5).collect()
+    after = (dict(q.optional), [list(p) for p in q.phrases], dict(q.filters))
+    assert before == after
+    # and a second run over the same object returns the same rows
+    a = gate_search(spark, span_docs, q, k=5).collect()
+    b = gate_search(spark, span_docs, q, k=5).collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
