@@ -99,6 +99,7 @@ def _copy_query(q: Query) -> Query:
         boosts=dict(q.boosts),
         phrases=[list(p) for p in q.phrases],
         multiterm=list(q.multiterm),
+        required_groups=[list(g) for g in q.required_groups],
     )
 
 
@@ -117,7 +118,9 @@ def _like_pattern(pat: str) -> str:
     )
 
 
-def _multiterm_component(spark: SparkSession, meta: IndexMeta, mt) -> DataFrame:
+def _multiterm_component(
+    spark: SparkSession, meta: IndexMeta, mt, filters: dict | None = None
+) -> DataFrame:
     """One prefix/wildcard/fuzzy clause: expand against the term
     dictionary (sorted terms table — a prefix predicate is a pushed-down
     range scan), decode the expanded terms' postings, emit each matching
@@ -137,11 +140,14 @@ def _multiterm_component(spark: SparkSession, meta: IndexMeta, mt) -> DataFrame:
         pred = F.levenshtein(F.col("term"), F.lit(mt.pattern)) <= mt.max_edits
     expanded = terms_df.filter(pred).select("term")
     rows = postings_rows(spark, meta, expanded)
-    return (
-        rows.select("docid")
-        .dropDuplicates(["docid"])
-        .withColumn("score", F.lit(float(mt.boost)))
-    )
+    out = rows.select("docid").dropDuplicates(["docid"])
+    if filters:
+        fdocs = spark.read.parquet(meta.docs_path).select("docid", *sorted(filters))
+        out = out.join(fdocs, "docid")
+        for f_name, vals in sorted(filters.items()):
+            out = out.filter(F.col(f_name).isin(list(vals)))
+        out = out.select("docid")
+    return out.withColumn("score", F.lit(float(mt.boost)))
 
 
 def gate_search(
@@ -201,6 +207,9 @@ def gate_search(
             setattr(query, attr, stemmed)
         query.prohibited = {transform(t) for t in query.prohibited}
         query.boosts = {transform(t): b for t, b in query.boosts.items()}
+        query.required_groups = [
+            sorted({transform(t) for t in g}) for g in query.required_groups
+        ]
     if "source" in query.filters:  # source column is mapped onto repo
         query.filters.setdefault("repo", []).extend(query.filters.pop("source"))
     phrases, query.phrases = query.phrases, []
@@ -212,7 +221,7 @@ def gate_search(
         comp = _phrase_component(spark, meta, sf_dir, toks, dict(query.filters))
         parts.append(comp.select("docid", F.col("p_score").alias("score")))
     for mt in mterms:
-        parts.append(_multiterm_component(spark, meta, mt))
+        parts.append(_multiterm_component(spark, meta, mt, dict(query.filters)))
     if not parts:
         return spark.createDataFrame([], "doc_id bigint, score double")
     res = parts[0]
@@ -230,6 +239,22 @@ def gate_search(
                 ).alias("score"),
             )
         )
+    # Lucene BooleanQuery semantics across components:
+    #  - MUST clauses define the admissible domain: phrase/multiterm
+    #    SHOULD clauses may only add score to docs the term kernel kept
+    #  - MUST_NOT excludes a doc from the WHOLE query, including docs
+    #    reached only through phrase/multiterm clauses
+    if (query.required or query.required_groups) and query.scoring and len(parts) > 1:
+        res = res.join(parts[0].select("docid"), "docid", "left_semi")
+    if query.prohibited:
+        from .kernel import postings_rows
+
+        proh = (
+            postings_rows(spark, meta, sorted(query.prohibited))
+            .select("docid")
+            .dropDuplicates(["docid"])
+        )
+        res = res.join(proh, "docid", "left_anti")
     out = _with_doc_id(spark, meta, res).withColumn(
         "score", F.round(F.col("score"), 6)
     )
@@ -299,22 +324,19 @@ def _phrase_component(
     L = len(terms)
     use_bigrams = bool(getattr(meta, "has_bigrams", False)) and L >= 2
     docs = spark.read.parquet(meta.docs_path).select("docid", "path", "doclen")
+    # NOTE: the phrase df (BM25 idf input) is computed over ALL matching
+    # docs BEFORE fq filters apply — fq never changes scoring statistics
+    # (the reference's filter-vs-score separation; the term kernel's idf
+    # is likewise global). Filters restrict only the emitted rows.
     if use_bigrams and L == 2:
         # zero content re-read: bigram postings ARE the phrase stats
         rows = postings_rows(spark, meta, [f"{terms[0]} {terms[1]}"])
-        joined = rows.select("docid", F.col("tf").alias("phrase_tf")).join(
-            docs, "docid"
+        matched = (
+            rows.select("docid", F.col("tf").alias("phrase_tf"))
+            .join(docs, "docid")
+            .withColumn("doc_id", F.col("path").cast("bigint"))
+            .select("docid", "doc_id", "phrase_tf", "doclen")
         )
-        if filters:
-            fdocs = spark.read.parquet(meta.docs_path).select(
-                "docid", *sorted(filters)
-            )
-            joined = joined.join(fdocs, "docid")
-            for f_name, vals in sorted(filters.items()):
-                joined = joined.filter(F.col(f_name).isin(list(vals)))
-        matched = joined.withColumn(
-            "doc_id", F.col("path").cast("bigint")
-        ).select("docid", "doc_id", "phrase_tf", "doclen")
     else:
         if use_bigrams:
             # candidates: docs containing every adjacent bigram
@@ -323,7 +345,7 @@ def _phrase_component(
             )
         else:
             clause = Counter(terms)
-        q = Query(required=clause, filters=dict(filters or {}))
+        q = Query(required=clause)  # unfiltered: df must be filter-free
         cand = search(spark, meta, q, k=meta.n_docs).select("docid")
         src = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
             "doc_id", "text"
@@ -347,6 +369,12 @@ def _phrase_component(
             .select("docid", "doc_id", "phrase_tf", "doclen")
         )
     dfp = matched.agg(F.count(F.lit(1)).cast("double").alias("df_p"))
+    if filters:
+        fdocs = spark.read.parquet(meta.docs_path).select("docid", *sorted(filters))
+        matched = matched.join(fdocs, "docid")
+        for f_name, vals in sorted(filters.items()):
+            matched = matched.filter(F.col(f_name).isin(list(vals)))
+        matched = matched.select("docid", "doc_id", "phrase_tf", "doclen")
     n = float(meta.n_docs)
     avgdl = meta.avgdl
     tf_d = F.col("phrase_tf").cast("double")
@@ -540,7 +568,14 @@ def gate_edismax(
     mm_n = calculate_mm(len(clauses), mm)
     uniq = sorted(set(clauses))
     contribs = term_contributions(spark, meta, uniq)
+    # pivot column names are the raw term values — namespace them so a
+    # query containing tokens like 'repo'/'doclen'/'docid' cannot collide
+    # with the docs-table columns joined below (AMBIGUOUS_REFERENCE)
+    tcol_name = {t: f"__t_{i}" for i, t in enumerate(uniq)}
     wide = contribs.groupBy("docid").pivot("term", uniq).agg(F.first("contrib"))
+    wide = wide.select(
+        "docid", *[F.col(f"`{t}`").alias(tcol_name[t]) for t in uniq]
+    )
     docs = spark.read.parquet(meta.docs_path).select("docid", "repo", "doclen")
     n = float(meta.n_docs)
     use_source = qf_source != 0.0
@@ -565,7 +600,7 @@ def gate_edismax(
     total = None
     matched_count = None
     for t in clauses:  # query order; duplicate terms are separate clauses
-        tcol = F.coalesce(F.col(f"`{t}`"), F.lit(0.0))
+        tcol = F.coalesce(F.col(tcol_name[t]), F.lit(0.0))
         a = F.lit(float(qf_text)) * tcol
         if use_source and t in src_idf:
             s = F.when(F.col("repo") == t, F.lit(src_idf[t])).otherwise(F.lit(0.0))
@@ -574,7 +609,7 @@ def gate_edismax(
         b = F.lit(float(qf_source)) * s
         mx = F.greatest(a, b)
         clause = mx + F.lit(float(tie)) * ((a + b) - mx)
-        m = F.col(f"`{t}`").isNotNull()
+        m = F.col(tcol_name[t]).isNotNull()
         if use_source and t in src_idf:
             m = m | (F.col("repo") == t)
         total = clause if total is None else total + clause

@@ -155,11 +155,15 @@ def _dec(c: Column | str, scale: int = 4, width: int = 18) -> Column:
 
 def exact_moments(x: Column | str, y: Column | str, scale: int = 4) -> list[Column]:
     """The six exact moments behind corr/cov/regression — decimal-cast
-    sums (exact for fixed-point inputs), emitted as doubles. Width 19:
-    int128-backed in DuckDB (width-18 decimals are int64 and overflow in
-    the Σxy/Σx² products), and the product width 38 still fits both
-    engines' caps."""
-    xd, yd = _dec(x, scale, 19), _dec(y, scale, 19)
+    sums (exact for fixed-point inputs), emitted as doubles.
+
+    Spark side uses width 18: an 18x18 product is decimal(37, 2*scale),
+    UNDER Spark's 38-precision cap, so the product stays exact (width 19
+    would make a precision-39 product that Spark silently rounds to
+    scale 7 — divergence from the oracle for >3-decimal inputs). The
+    DuckDB oracles keep DECIMAL(19,4): their 38-precision product is
+    also exact, and both sides emit the same double."""
+    xd, yd = _dec(x, scale, 18), _dec(y, scale, 18)
     return [
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum(xd).cast("double").alias("sx"),

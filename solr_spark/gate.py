@@ -1916,6 +1916,66 @@ def fts_edismax_pf2(spark, sf_dir):
     )
 
 
+@entry("fts_synonyms_required", bm25_oracle_sql("merge join", k=10))
+def fts_synonyms_required(spark, sf_dir):
+    """Synonyms of a REQUIRED clause OR inside the MUST group
+    (SynonymQuery in a MUST BooleanClause): q='+merge' with merge→join
+    must match docs containing EITHER variant and score both — exactly
+    the all-optional 'merge join' disjunction, which is the oracle."""
+    return gate_search(spark, sf_dir, "+merge", k=10, synonyms={"merge": ["join"]})
+
+
+# '+merge "spark window"': the phrase SHOULD clause may only add score to
+# docs satisfying the MUST term — same CTEs as the all-optional mixed
+# oracle, WHERE restricted to the required clause
+_MIXED_MUST_SQL = _MIXED_PHRASE_SQL.replace(
+    "WHERE m0.doc_id IS NOT NULL OR pm.doc_id IS NOT NULL",
+    "WHERE m0.doc_id IS NOT NULL",
+)
+
+
+@entry("fts_mixed_must", _MIXED_MUST_SQL)
+def fts_mixed_must(spark, sf_dir):
+    """BooleanQuery MUST + phrase SHOULD: '+merge \"spark window\"' —
+    docs matching only the phrase are NOT admitted (Lucene MUST
+    semantics across sub-clauses)."""
+    return gate_search(spark, sf_dir, '+merge "spark window"', k=10)
+
+
+_PHRASE_NOT_SQL = "SELECT doc_id, score FROM (" + _PHRASE_SQL.replace(
+    "FROM m JOIN dl d USING (doc_id) CROSS JOIN g\n",
+    "FROM m JOIN dl d USING (doc_id) CROSS JOIN g\n"
+    "WHERE NOT EXISTS (SELECT 1 FROM tk WHERE tk.doc_id = m.doc_id "
+    "AND list_contains(tk.t, 'merge'))\n",
+) + ") AS x"
+
+
+@entry("fts_phrase_not", _PHRASE_NOT_SQL)
+def fts_phrase_not(spark, sf_dir):
+    """MUST_NOT applies to phrase-only queries too: '\"spark window\"
+    -merge' excludes docs containing the prohibited term even though no
+    scoring term clause exists (the phrase df stays global — prohibition,
+    like fq, never changes scoring statistics)."""
+    return gate_search(spark, sf_dir, '"spark window" -merge', k=10)
+
+
+_PHRASE_FQ_SQL = "SELECT doc_id, score FROM (" + _PHRASE_SQL.replace(
+    "FROM m JOIN dl d USING (doc_id) CROSS JOIN g\n",
+    "FROM m JOIN dl d USING (doc_id) CROSS JOIN g\n"
+    "WHERE EXISTS (SELECT 1 FROM documents doc "
+    "WHERE doc.doc_id = m.doc_id AND doc.lang = 'en')\n",
+) + ") AS x"
+
+
+@entry("fts_phrase_filtered", _PHRASE_FQ_SQL)
+def fts_phrase_filtered(spark, sf_dir):
+    """fq + phrase: 'lang:en \"spark window\"' — the filter restricts
+    the rows but the phrase df (idf input) is computed over ALL matching
+    docs, so scores are identical with or without the filter (fq never
+    affects scoring statistics)."""
+    return gate_search(spark, sf_dir, 'lang:en "spark window"', k=10)
+
+
 @entry("fts_mixed_phrase", _MIXED_PHRASE_SQL)
 def fts_mixed_phrase(spark, sf_dir):
     """BooleanQuery with a PhraseQuery sub-clause: '"spark window" merge'

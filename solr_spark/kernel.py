@@ -53,16 +53,28 @@ def _bucket_kernel(
     k: int,
     prune: bool,
     packed: bool = False,
+    required_groups: list[list[str]] | None = None,
 ):
     """Build the per-bucket cogrouped scoring function (pure numpy inside).
 
     ``packed``: the docs side is the bucket_stats table (one row per
     bucket, doclen/filter columns as position-indexed arrays) instead of
-    per-row doc stats — see indexer stage 2b."""
+    per-row doc stats — see indexer stage 2b.
+
+    ``required_groups``: MUST groups (each = "match >= 1 of these
+    terms") — the SynonymQuery-in-MUST shape. When present, the matching
+    mask requires every group satisfied; the conjunction prune path is
+    disabled upstream for non-singleton groups."""
     scoring_terms = sorted(weights)          # fixed order -> deterministic fp sums
     req_set = set(required)
     n_req = len(req_set)
     proh_set = set(prohibited)
+    groups = required_groups or []
+    # term -> indices of the groups it can satisfy
+    term_groups: dict[str, list[int]] = {}
+    for gi, g in enumerate(groups):
+        for t in g:
+            term_groups.setdefault(t, []).append(gi)
 
     def kern(post_pdf: pd.DataFrame, docs_pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"docid": np.array([], np.int64), "score": np.array([], np.float64)})
@@ -104,6 +116,7 @@ def _bucket_kernel(
         scores = np.zeros(B, dtype=np.float64)
         matched = np.zeros(B, dtype=bool)
         req_count = np.zeros(B, dtype=np.int16)
+        grp_hit = np.zeros((B, len(groups)), dtype=bool) if groups else None
 
         if prune and n_req == 0 and len(scoring_terms) == 1:
             t = scoring_terms[0]
@@ -129,8 +142,13 @@ def _bucket_kernel(
                 matched[loc] = True
                 if t in req_set:
                     req_count[loc] += 1
+                if grp_hit is not None:
+                    for gi in term_groups.get(t, ()):
+                        grp_hit[loc, gi] = True
 
-        if n_req:
+        if grp_hit is not None:
+            mask = alive & matched & grp_hit.all(axis=1)
+        elif n_req:
             mask = alive & (req_count == n_req)
         else:
             mask = alive & matched
@@ -322,9 +340,16 @@ def search(
         return empty
     stats = terms_df.where(F.col("term").isin(all_terms)).collect()
     df_map = {r["term"]: int(r["df"]) for r in stats}
-    for t in query.required:
-        if df_map.get(t, 0) == 0:
-            return empty
+    groups = [list(g) for g in (query.required_groups or [])]
+    if groups:
+        # a MUST group dies only if EVERY alternative is absent
+        for g in groups:
+            if all(df_map.get(t, 0) == 0 for t in g):
+                return empty
+    else:
+        for t in query.required:
+            if df_map.get(t, 0) == 0:
+                return empty
     present = [t for t in weights if df_map.get(t, 0) > 0]
     if not present:
         return empty
@@ -352,7 +377,12 @@ def search(
     kern = _bucket_kernel(
         idfs, weights, sorted(query.required), sorted(query.prohibited),
         {f: list(v) for f, v in query.filters.items()},
-        meta.avgdl, meta.bucket_docs, k, prune, packed=use_packed,
+        meta.avgdl, meta.bucket_docs, k,
+        # the conjunction-prune path assumes plain AND over required
+        # terms; MUST groups need the general matching mask
+        prune and not groups,
+        packed=use_packed,
+        required_groups=groups or None,
     )
     scored = (
         postings.groupby("bucket")

@@ -133,7 +133,11 @@ def global_rank(
             local += len(pdf)
             yield pdf
 
-    return part.mapInPandas(kern, out_schema)
+    out = part.mapInPandas(kern, out_schema)
+    # hand the persisted run to callers that can release it after their
+    # final materialization (nth_by_rank does; long pipelines should too)
+    out._solr_spark_cached = part
+    return out
 
 
 def nth_by_rank(df: DataFrame, order: list[Column], ranks: list[int], value_col: str) -> DataFrame:
@@ -142,9 +146,15 @@ def nth_by_rank(df: DataFrame, order: list[Column], ranks: list[int], value_col:
     percentile path (facet/PercentileAgg.java's t-digest is the sketch
     analog; this is the exact one). Returns (rank, value)."""
     ranked = global_rank(df, order, rank_col="__grank")
-    return (
+    rows = (
         ranked.filter(F.col("__grank").isin([int(r) for r in ranks]))
         .select(F.col("__grank").alias("rank"), F.col(value_col).alias("value"))
+        .collect()  # len(ranks) rows — driver-side by construction
+    )
+    ranked._solr_spark_cached.unpersist()  # release the sorted run
+    return df.sparkSession.createDataFrame(
+        [(int(r["rank"]), r["value"]) for r in rows],
+        f"rank bigint, value {df.schema[value_col].dataType.simpleString()}",
     )
 
 

@@ -135,8 +135,14 @@ def rescore_head(
     ``head_score`` evaluates only on those ``n`` rows, and the tail is a
     broadcast anti-join against the tiny head key set keeping the
     original ``score`` — the full table is never globally sorted through
-    one task."""
-    head = df.orderBy(*main_order).limit(n)
+    one task.
+
+    ``key_cols`` are appended to the sort so head selection is a TOTAL
+    order: the head expression is evaluated twice (rescore + anti-join)
+    and two TakeOrdered runs may pick different tied rows under a
+    partial order — a row would then duplicate or vanish."""
+    total_order = [*main_order, *[F.asc(c) for c in key_cols]]
+    head = df.orderBy(*total_order).limit(n)
     head_scored = head.withColumn(out_col, head_score)
     tail = df.join(
         F.broadcast(head.select(*key_cols)), key_cols, "left_anti"

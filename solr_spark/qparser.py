@@ -63,6 +63,11 @@ class Query:
     boosts: dict = field(default_factory=dict)           # term -> float boost
     phrases: list = field(default_factory=list)          # [list[str] token seqs]
     multiterm: list = field(default_factory=list)        # [MultiTermClause]
+    # MUST groups: each inner list is "doc must match >= 1 of these terms"
+    # (a required clause whose synonyms ORed in — Lucene SynonymQuery
+    # inside a MUST clause). Empty => every `required` key is its own
+    # singleton group (the plain conjunction).
+    required_groups: list = field(default_factory=list)
 
     @property
     def scoring(self) -> Counter:
@@ -92,15 +97,33 @@ def expand_synonyms(query: Query, synonyms: dict[str, list[str]]) -> Query:
         phrases=[list(p) for p in query.phrases],
         multiterm=list(query.multiterm),
     )
-    for bucket_name in ("optional", "required"):
-        src = getattr(query, bucket_name)
-        dst = getattr(out, bucket_name)
-        for t, cnt in src.items():
-            for s in synonyms.get(t, ()):
-                for tok in analyze_query(s):
-                    dst[tok] += cnt
-                    if t in out.boosts:
-                        out.boosts[tok] = out.boosts.get(tok, 1.0) * out.boosts[t]
+    for t, cnt in query.optional.items():
+        for s in synonyms.get(t, ()):
+            for tok in analyze_query(s):
+                out.optional[tok] += cnt
+                if t in out.boosts:
+                    out.boosts[tok] = out.boosts.get(tok, 1.0) * out.boosts[t]
+    # a REQUIRED term's synonyms must OR with the original INSIDE the
+    # MUST clause (SynonymQuery in a BooleanClause.MUST) — adding them to
+    # `required` would demand every variant. The synonyms join the
+    # scoring stream as optional clauses and the MUST constraint becomes
+    # a required_group over {term, *synonyms}.
+    groups = [list(g) for g in (query.required_groups or [[t] for t in query.required])]
+    for t, cnt in query.required.items():
+        syns = []
+        for s in synonyms.get(t, ()):
+            syns.extend(analyze_query(s))
+        if not syns:
+            continue
+        for tok in syns:
+            out.optional[tok] += cnt
+            if t in out.boosts:
+                out.boosts[tok] = out.boosts.get(tok, 1.0) * out.boosts[t]
+        for g in groups:
+            if t in g:
+                g.extend(tok for tok in syns if tok not in g)
+    if any(len(g) > 1 for g in groups):
+        out.required_groups = groups
     return out
 
 
@@ -236,7 +259,15 @@ def parse(q: str, filter_fields: tuple[str, ...] = FILTER_FIELDS) -> Query:
         # analysis would eat the operators). Optional clauses only; the
         # engine expands them against the term dictionary.
         low = tok.lower()
-        if prefix == "" and ("*" in low or "?" in low):
+        if "*" in low or "?" in low:
+            if prefix:
+                # '+spar*' / '-spar*': silently tokenizing to the bare
+                # stem would match the wrong docs — fail loudly until
+                # required/prohibited multi-term groups are implemented
+                raise ValueError(
+                    f"required/prohibited multi-term clause {prefix}{low!r} "
+                    "is unsupported (SHOULD-only wildcard/prefix queries)"
+                )
             kind = (
                 "prefix"
                 if low.endswith("*") and "*" not in low[:-1] and "?" not in low
@@ -245,7 +276,12 @@ def parse(q: str, filter_fields: tuple[str, ...] = FILTER_FIELDS) -> Query:
             out.multiterm.append(MultiTermClause(kind, low, 0, boost))
             continue
         fz = _FUZZY_RE.match(low)
-        if prefix == "" and fz:
+        if fz:
+            if prefix:
+                raise ValueError(
+                    f"required/prohibited fuzzy clause {prefix}{low!r} is "
+                    "unsupported (SHOULD-only fuzzy queries)"
+                )
             edits = int(fz.group(2)) if fz.group(2) else 2
             out.multiterm.append(MultiTermClause("fuzzy", fz.group(1), edits, boost))
             continue
