@@ -127,7 +127,12 @@ class _DictSumParam(AccumulatorParam):
         return a
 
 
-def _analyze_partitions(stats_acc=None, bigrams: bool = False, term_transform=None):
+def _analyze_partitions(
+    stats_acc=None,
+    bigrams: bool = False,
+    term_transform=None,
+    id_cols: tuple[str, ...] = ("repo", "path", "commit"),
+):
     """mapInPandas closure: tokenize + hash one sorted partition, emitting
     union-typed rows. local_idx is the row ordinal within the partition.
 
@@ -161,13 +166,22 @@ def _analyze_partitions(stats_acc=None, bigrams: bool = False, term_transform=No
             )
             sum_doclen += int(doclens["doclen"].sum())
             sha = pdf["content"].map(lambda s: hashlib.sha256((s or "").encode()).hexdigest())
-            packed = (
-                pdf["repo"].astype(str)
-                + _META_SEP + pdf["path"].astype(str)
-                + _META_SEP + pdf["commit"].astype(str)
-                + _META_SEP + pdf["lang"].fillna("").astype(str)
-                + _META_SEP + sha
-            )
+            meta_cols = [pdf[c].astype(str) for c in id_cols] + [
+                pdf["lang"].fillna("").astype(str)
+            ]
+            for c, series in zip([*id_cols, "lang"], meta_cols):
+                # the packed metadata row is positional — a separator
+                # byte inside a value would silently shift every
+                # downstream column, so fail the task loudly instead
+                if series.str.contains(_META_SEP, regex=False).any():
+                    raise ValueError(
+                        f"column {c!r} contains the reserved \x01 "
+                        "metadata separator"
+                    )
+            packed = meta_cols[0]
+            for series in meta_cols[1:]:
+                packed = packed + _META_SEP + series
+            packed = packed + _META_SEP + sha
             yield pd.DataFrame(
                 {
                     "kind": np.int8(0),
@@ -275,6 +289,52 @@ def _rows_to_pdf(rows: list) -> pd.DataFrame:
     )
 
 
+def write_bucket_stats(docs_df: DataFrame, out_path: str, P: int,
+                       first_id_col: str = "repo") -> None:
+    """Stage 2b writer: one row per docid bucket with doclen/id/lang as
+    position-indexed arrays (shared by build_index and segment merge so
+    the layout cannot desynchronize)."""
+    (
+        docs_df.groupBy("bucket")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "docid", "doclen", F.col(first_id_col).alias("repo"), "lang"
+                    )
+                )
+            ).alias("a")
+        )
+        .select(
+            "bucket",
+            F.transform("a", lambda x: x["doclen"]).alias("doclens"),
+            F.transform("a", lambda x: x["repo"]).alias("repos"),
+            F.transform("a", lambda x: x["lang"]).alias("langs"),
+        )
+        .repartitionByRange(max(P // 4, 1), "bucket")
+        .sortWithinPartitions("bucket")
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+
+
+def write_term_stats(postings_df: DataFrame, out_path: str, P: int) -> None:
+    """Stage 4 writer: global (df, cf, n_buckets) per term, range-sorted
+    (shared by build_index and segment merge)."""
+    (
+        postings_df.groupBy("term")
+        .agg(
+            F.sum("df").alias("df"),
+            F.sum("cf").alias("cf"),
+            F.count("*").alias("n_buckets"),
+        )
+        .repartitionByRange(max(P // 4, 1), "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+
+
 def _done(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
@@ -350,7 +410,12 @@ def build_index(
             .withColumn("pid", F.spark_partition_id())
         )
         sorted_docs.mapInPandas(
-            _analyze_partitions(stats_acc, bigrams=bigrams, term_transform=term_transform),
+            _analyze_partitions(
+                stats_acc,
+                bigrams=bigrams,
+                term_transform=term_transform,
+                id_cols=tuple(id_cols),
+            ),
             STAGE_SCHEMA,
         ).write.mode("overwrite").parquet(stage_dir)
     meta.stages["analyze"] = round(time.time() - t0, 3)
@@ -409,6 +474,8 @@ def build_index(
     docs_out = os.path.join(out_dir, "docs")
     if not (resume and _done(docs_out)):
         meta_parts = F.split(F.col("term"), _META_SEP)
+        n_ids = len(id_cols)
+        id_out = [meta_parts.getItem(i).alias(c) for i, c in enumerate(id_cols)]
         (
             stage.where(F.col("kind") == 0)
             .join(offs_df, "pid")
@@ -417,11 +484,9 @@ def build_index(
             .select(
                 "docid",
                 "bucket",
-                meta_parts.getItem(0).alias("repo"),
-                meta_parts.getItem(1).alias("path"),
-                meta_parts.getItem(2).alias("commit"),
-                meta_parts.getItem(3).alias("lang"),
-                meta_parts.getItem(4).alias("sha256"),
+                *id_out,
+                meta_parts.getItem(n_ids).alias("lang"),
+                meta_parts.getItem(n_ids + 1).alias("sha256"),
                 "doclen",
             )
             # range layout on docid: each output file covers a contiguous
@@ -445,24 +510,8 @@ def build_index(
     t0 = time.time()
     bs_out = os.path.join(out_dir, "bucket_stats")
     if not (resume and _done(bs_out)):
-        docs_df = spark.read.parquet(docs_out)
-        (
-            docs_df.groupBy("bucket")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("docid", "doclen", "repo", "lang"))
-                ).alias("a")
-            )
-            .select(
-                "bucket",
-                F.transform("a", lambda x: x["doclen"]).alias("doclens"),
-                F.transform("a", lambda x: x["repo"]).alias("repos"),
-                F.transform("a", lambda x: x["lang"]).alias("langs"),
-            )
-            .repartitionByRange(max(P // 4, 1), "bucket")
-            .sortWithinPartitions("bucket")
-            .write.mode("overwrite")
-            .parquet(bs_out)
+        write_bucket_stats(
+            spark.read.parquet(docs_out), bs_out, P, first_id_col=id_cols[0]
         )
     meta.stages["bucket_stats"] = round(time.time() - t0, 3)
 
@@ -504,18 +553,7 @@ def build_index(
     t0 = time.time()
     terms_out = os.path.join(out_dir, "terms")
     if not (resume and _done(terms_out)):
-        (
-            postings.groupBy("term")
-            .agg(
-                F.sum("df").alias("df"),
-                F.sum("cf").alias("cf"),
-                F.count("*").alias("n_buckets"),
-            )
-            .repartitionByRange(max(P // 4, 1), "term")
-            .sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .parquet(terms_out)
-        )
+        write_term_stats(postings, terms_out, P)
     meta.stages["term_stats"] = round(time.time() - t0, 3)
 
     # ---- stage 5: meta + lineage -------------------------------------------

@@ -182,7 +182,11 @@ def _score_single_pruned(r, t, idfs, weights, avgdl, base, dl, alive, scores, ma
     heap_scores: list[float] = []
     decoded = 0
     for bi in order:
-        if len(heap_scores) >= k and bounds[bi] <= heap_scores[k - 1]:
+        # strict <: a block bound EQUAL to the kth score may hold an
+        # equal-score doc with a smaller docid, which wins the
+        # (score desc, docid asc) tie — skipping it would break the
+        # pruned == unpruned exactness contract
+        if len(heap_scores) >= k and bounds[bi] < heap_scores[k - 1]:
             break
         keep[:] = False
         keep[bi] = True
@@ -300,9 +304,13 @@ def search(
     prune: bool = True,
     with_fields: bool = False,
     _frames: tuple | None = None,
+    _count_only: bool = False,
 ) -> DataFrame:
     """Top-k BM25 search. Returns DataFrame(docid, score) ordered by
-    (score desc, docid asc), limited to k; with_fields joins doc columns."""
+    (score desc, docid asc), limited to k; with_fields joins doc columns.
+    ``_count_only`` (hit_count's path) returns the scored matches
+    UNSORTED and UNLIMITED — a distributed count() without funneling
+    every match through a global TakeOrdered."""
     query = parse(q) if isinstance(q, str) else q
     if query.multiterm:
         raise ValueError(
@@ -319,7 +327,13 @@ def search(
             "engine.gate_search (mixed) or engine.gate_phrase (pure phrase)"
         )
     weights = dict(query.scoring)
-    empty = spark.createDataFrame([], RESULT_SCHEMA)
+
+    def _empty():
+        e = spark.createDataFrame([], RESULT_SCHEMA)
+        if with_fields:
+            docs_full = docs_df.drop("bucket", "doclen")
+            e = e.join(docs_full, "docid", "left")
+        return e
     if _frames:
         terms_df, postings_df, docs_df = _frames[0], _frames[1], _frames[2]
         bstats_df = _frames[3] if len(_frames) > 3 else None
@@ -337,7 +351,7 @@ def search(
 
     all_terms = sorted(set(weights) | query.prohibited)
     if not weights:
-        return empty
+        return _empty()
     stats = terms_df.where(F.col("term").isin(all_terms)).collect()
     df_map = {r["term"]: int(r["df"]) for r in stats}
     groups = [list(g) for g in (query.required_groups or [])]
@@ -345,14 +359,14 @@ def search(
         # a MUST group dies only if EVERY alternative is absent
         for g in groups:
             if all(df_map.get(t, 0) == 0 for t in g):
-                return empty
+                return _empty()
     else:
         for t in query.required:
             if df_map.get(t, 0) == 0:
-                return empty
+                return _empty()
     present = [t for t in weights if df_map.get(t, 0) > 0]
     if not present:
-        return empty
+        return _empty()
     # clause weight = multiplicity x boost (SolrQueryParser term^boost)
     weights = {t: weights[t] * query.boosts.get(t, 1.0) for t in present}
     idfs = {t: float(idf_fn(df_map[t], meta.n_docs)) for t in present}
@@ -369,6 +383,16 @@ def search(
         # per touched bucket, not one row per doc (indexer stage 2b)
         doc_stats = bstats_df.join(F.broadcast(buckets), "bucket", "left_semi")
     else:
+        available = set(docs_df.columns)
+        unknown = sorted(set(query.filters) - available)
+        if unknown:
+            # e.g. 'source': a gate-table alias the engine layer remaps
+            # onto 'repo' — fail with the valid field list instead of an
+            # opaque AnalysisException from the select below
+            raise ValueError(
+                f"unknown filter field(s) {unknown}; docs table columns: "
+                f"{sorted(available)}"
+            )
         doc_cols = ["docid", "bucket", "doclen"] + sorted(query.filters)
         doc_stats = docs_df.select(*doc_cols).join(
             F.broadcast(buckets), "bucket", "left_semi"
@@ -389,6 +413,8 @@ def search(
         .cogroup(doc_stats.groupby("bucket"))
         .applyInPandas(kern, RESULT_SCHEMA)
     )
+    if _count_only:
+        return scored
     out = scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
     if with_fields:
         docs_full = docs_df.drop("bucket", "doclen")
@@ -435,11 +461,27 @@ def hit_count(
     if min_exact_count is not None:
         n = len(search(spark, meta, query, k=min_exact_count).collect())
         return (n, "EQ" if n < min_exact_count else "GTE")
-    n = search(spark, meta, query, k=meta.n_docs).count()
+    # exact count: aggregate the scored matches, no global sort/limit
+    n = search(spark, meta, query, k=meta.n_docs, _count_only=True).count()
     return (n, "EQ")
 
 
 POSTING_ROWS_SCHEMA = "term string, docid bigint, tf bigint"
+
+
+def decode_posting_frame(postings_df: DataFrame, bucket_docs: int) -> DataFrame:
+    """Decode an arbitrary postings DataFrame back into (term, docid, tf)
+    rows — the shared numpy varint explode used by the function-query
+    surface AND the segment merge (one decode loop, never copies)."""
+
+    def explode(batches):
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                base = int(r["bucket"]) * bucket_docs
+                d, tf = decode_postings(r["doc_bytes"], r["tf_bytes"], int(r["df"]), base)
+                yield pd.DataFrame({"term": r["term"], "docid": d, "tf": tf})
+
+    return postings_df.mapInPandas(explode, POSTING_ROWS_SCHEMA)
 
 
 def postings_rows(
@@ -457,20 +499,12 @@ def postings_rows(
     DataFrame of terms (broadcast semi-join) — the DataFrame form keeps
     dictionary-driven expansions (prefix/wildcard/fuzzy) fully
     distributed, no term list ever reaching the driver."""
-
-    def explode(batches):
-        for pdf in batches:
-            for _, r in pdf.iterrows():
-                base = int(r["bucket"]) * meta.bucket_docs
-                d, tf = decode_postings(r["doc_bytes"], r["tf_bytes"], int(r["df"]), base)
-                yield pd.DataFrame({"term": r["term"], "docid": d, "tf": tf})
-
     postings = spark.read.parquet(meta.postings_path)
     if isinstance(terms, DataFrame):
         postings = postings.join(F.broadcast(terms.select("term")), "term", "left_semi")
     else:
         postings = postings.where(F.col("term").isin(terms))
-    return postings.mapInPandas(explode, POSTING_ROWS_SCHEMA)
+    return decode_posting_frame(postings, meta.bucket_docs)
 
 
 def term_contributions(spark: SparkSession, meta: IndexMeta, terms: list[str]) -> DataFrame:

@@ -125,6 +125,12 @@ def add_segment(
     (DirectUpdateHandler2.addDoc -> flush). The new segment's docids start
     at the next bucket boundary, so buckets never straddle segments."""
     seg_id = len(view.segments)
+    base = view.segments[0]
+    # deltas inherit the base segment's analysis config — a delta built
+    # with a different analyzer/bigram setting would be silently
+    # inconsistent with the shared dictionary
+    kw.setdefault("analyzer", base.analyzer)
+    kw.setdefault("bigrams", base.has_bigrams)
     meta = build_index(
         spark,
         new_docs,
@@ -159,16 +165,14 @@ def merge_segments(
     The result is bit-identical to a from-scratch rebuild over the live
     documents (tests/test_invariance.py pins this), at a fraction of the
     cost: no tokenization, no content scan."""
-    import numpy as np
-    import pandas as pd
-
-    from .codec import decode_postings
     from .indexer import (
         POSTINGS_SCHEMA,
         IndexMeta,
         _encode_partition,
-        _rows_to_pdf,  # noqa: F401  (re-exported for test introspection)
+        write_bucket_stats,
+        write_term_stats,
     )
+    from .kernel import decode_posting_frame
     from .operators.relational import global_rank
 
     P = num_partitions or spark.sparkContext.defaultParallelism
@@ -213,25 +217,11 @@ def merge_segments(
     )
 
     # 2. postings: decode old rows to triples, remap docids, re-encode
+    # (decode_posting_frame is the same kernel the function-query surface
+    # uses — one decode loop shared across the codebase)
     postings = spark.read.parquet(*[m.postings_path for m in view.segments])
-
-    def explode(batches):
-        for pdf in batches:
-            for _, r in pdf.iterrows():
-                base = int(r["bucket"]) * bucket_docs
-                d, tf = decode_postings(
-                    r["doc_bytes"], r["tf_bytes"], int(r["df"]), base
-                )
-                yield pd.DataFrame(
-                    {
-                        "term": r["term"],
-                        "old_docid": d,
-                        "tf": tf.astype(np.int64),
-                    }
-                )
-
-    triples = postings.mapInPandas(
-        explode, "term string, old_docid bigint, tf bigint"
+    triples = decode_posting_frame(postings, bucket_docs).withColumnRenamed(
+        "docid", "old_docid"
     )
     remap_small = remap.select("old_docid", "docid", "doclen")
     merged = (
@@ -253,39 +243,16 @@ def merge_segments(
     )
     new_postings = spark.read.parquet(post_out)
 
-    # 3. stats tables (same layouts as indexer stages 2b/4)
+    # the ranked run's cache served both the docs write and the postings
+    # remap join — release it before the (cheap) stats passes
+    ranked._solr_spark_cached.unpersist()
+
+    # 3. stats tables — the SAME writers build_index uses (stages 2b/4),
+    # so the layouts cannot desynchronize
     bs_out = os.path.join(out_dir, "bucket_stats")
-    (
-        new_docs.groupBy("bucket")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("docid", "doclen", "repo", "lang"))
-            ).alias("a")
-        )
-        .select(
-            "bucket",
-            F.transform("a", lambda x: x["doclen"]).alias("doclens"),
-            F.transform("a", lambda x: x["repo"]).alias("repos"),
-            F.transform("a", lambda x: x["lang"]).alias("langs"),
-        )
-        .repartitionByRange(max(P // 4, 1), "bucket")
-        .sortWithinPartitions("bucket")
-        .write.mode("overwrite")
-        .parquet(bs_out)
-    )
+    write_bucket_stats(new_docs, bs_out, P)
     terms_out = os.path.join(out_dir, "terms")
-    (
-        new_postings.groupBy("term")
-        .agg(
-            F.sum("df").alias("df"),
-            F.sum("cf").alias("cf"),
-            F.count("*").alias("n_buckets"),
-        )
-        .repartitionByRange(max(P // 4, 1), "term")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .parquet(terms_out)
-    )
+    write_term_stats(new_postings, terms_out, P)
 
     meta = IndexMeta(
         out_dir=out_dir,

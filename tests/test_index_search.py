@@ -162,3 +162,80 @@ def test_synonym_expansion_equals_disjunction(spark, small_index):
     assert [(r["docid"], r["score"]) for r in got] == [
         (r["docid"], r["score"]) for r in want
     ]
+
+
+def test_wand_prune_exact_on_score_ties(spark, tmp_path):
+    """The strict-< skip condition: a later block whose bound EQUALS the
+    kth score can hold an equal-score SMALLER-docid doc that wins the
+    (score desc, docid asc) tie. Construct one bucket with >BLOCK_SIZE
+    postings where a high-bound block decodes first and the low blocks
+    tie its tail scores — pruned must equal unpruned exactly."""
+    from solr_spark.indexer import build_index
+    from solr_spark.kernel import search
+
+    # 300 docs in ONE bucket (bucket_docs=512): doc 150 has tf=2 (block 1
+    # gets the highest bound and decodes first); every other doc scores
+    # identically (tf=1, doclen 2)
+    rows = []
+    for i in range(300):
+        text = "spark spark" if i == 150 else "spark x"
+        rows.append(("r", f"f{i:05d}", "0", "en", text))
+    docs = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    meta = build_index(
+        spark, docs, str(tmp_path / "tieidx"), bucket_docs=512, num_partitions=1
+    )
+    for k in (2, 5, 130):
+        pruned = [
+            (r["docid"], r["score"])
+            for r in search(spark, meta, "spark", k=k, prune=True).collect()
+        ]
+        unpruned = [
+            (r["docid"], r["score"])
+            for r in search(spark, meta, "spark", k=k, prune=False).collect()
+        ]
+        assert pruned == unpruned, k
+        # the tie must be broken toward the LOWEST docids
+        assert pruned[-1][0] < 150 or k > 150 or pruned[0][0] == 150
+
+
+def test_build_index_custom_id_cols(spark, tmp_path):
+    """The documented id_cols contract: a (project, file, rev) key builds
+    and searches; docs table carries the caller's column names."""
+    from solr_spark.indexer import build_index
+    from solr_spark.kernel import search
+
+    rows = [(f"p{i % 2}", f"f{i}", f"v{i}", "en", "spark merge data") for i in range(50)]
+    docs = spark.createDataFrame(
+        rows, "project string, file string, rev string, lang string, content string"
+    )
+    meta = build_index(
+        spark, docs, str(tmp_path / "cid"),
+        id_cols=("project", "file", "rev"), bucket_docs=32, num_partitions=2,
+    )
+    assert meta.n_docs == 50
+    dcols = set(spark.read.parquet(meta.docs_path).columns)
+    assert {"project", "file", "rev", "lang", "sha256"} <= dcols
+    assert search(spark, meta, "spark", k=5).count() == 5
+
+
+def test_separator_in_id_fails_loudly(spark, tmp_path):
+    from solr_spark.indexer import build_index
+
+    docs = spark.createDataFrame(
+        [("r", "bad\x01path", "0", "en", "text here")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    with pytest.raises(Exception, match="separator"):
+        build_index(spark, docs, str(tmp_path / "sep"), num_partitions=1)
+
+
+def test_unknown_filter_field_raises(spark, small_index):
+    from solr_spark.kernel import search
+    from solr_spark.qparser import Query
+    from collections import Counter
+
+    q = Query(optional=Counter({"license": 1}), filters={"source": ["x"]})
+    with pytest.raises(ValueError, match="unknown filter field"):
+        search(spark, small_index, q, k=5).collect()

@@ -224,3 +224,21 @@ def test_merge_reclaims_deletes_equals_live_rebuild(spark, small_corpus, tmp_pat
             for r in search(spark, m, q, k=m.n_docs).collect()
         ]
         assert got == want, q
+
+
+def test_add_segment_inherits_analyzer_and_bigrams(spark, small_corpus, tmp_path):
+    from pyspark.sql import functions as F
+
+    from solr_spark.segments import add_segment, open_base
+
+    docs = spark.read.parquet(small_corpus)
+    view = open_base(
+        spark, docs.filter(F.col("path") < "src/d8"), str(tmp_path / "v"),
+        bucket_docs=128, num_partitions=2, analyzer="code_stem", bigrams=False,
+    )
+    view = add_segment(
+        spark, view, docs.filter(F.col("path") >= "src/d8"), str(tmp_path / "v"),
+        num_partitions=2,
+    )
+    assert view.segments[1].analyzer == "code_stem"
+    assert view.segments[1].has_bigrams == view.segments[0].has_bigrams
