@@ -79,6 +79,8 @@ def shortest_path_frontier(
 ) -> int | None:
     """shortestPath() length via level-synchronous BFS
     (ShortestPathStream.java). Returns hop count or None."""
+    if src == dst:
+        return 0
     spark = edges.sparkSession
     frontier = spark.createDataFrame([(src,)], f"{from_col} string").select(
         F.col(from_col).cast(edges.schema[from_col].dataType).alias("node")

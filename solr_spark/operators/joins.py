@@ -94,22 +94,28 @@ def block_join_parents(
     score_mode: str = "avg",
 ) -> DataFrame:
     """{!parent which=...}: map child matches → parent docs, with
-    ScoreMode avg/max/total/none over child scores
+    ScoreMode avg/max/total/min/none over child scores
     (BlockJoinParentQParser.java:1, facet/BlockJoin.java:1).
 
     The reference uses contiguous doc blocks; the relational equivalent
     is child groupBy(parent_key) + join — same result, shuffle on the
     parent key."""
     hits = children.filter(child_filter)
-    if score_col is None:
+    if score_col is None or score_mode == "none":
         keys = hits.select(parent_key).dropDuplicates([parent_key])
         return parents.join(keys, parent_key, "left_semi")
-    agg = {
+    aggs = {
         "avg": F.avg(score_col),
         "max": F.max(score_col),
         "total": F.sum(score_col),
         "min": F.min(score_col),
-    }[score_mode].alias("child_score")
+    }
+    if score_mode not in aggs:
+        raise ValueError(
+            f"unknown score_mode {score_mode!r}; one of "
+            f"{sorted(aggs) + ['none']}"
+        )
+    agg = aggs[score_mode].alias("child_score")
     scores = hits.groupBy(parent_key).agg(agg)
     return parents.join(scores, parent_key, "inner")
 

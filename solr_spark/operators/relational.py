@@ -184,15 +184,11 @@ def merge_sorted(dfs: list[DataFrame], sort: list[Column]) -> DataFrame:
 
 def page(df: DataFrame, sort: list[Column], start: int, rows: int) -> DataFrame:
     """start/rows offset paging (SolrIndexSearcher.java:1537 getDocListC
-    computes the superset). Deep paging degrades identically here: the
-    plan is top-(start+rows) then a driver-side slice, so prefer
-    cursor_page() for deep walks — same advice as the reference."""
-    w = Window.orderBy(*sort)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter((F.col("__rn") > start) & (F.col("__rn") <= start + rows))
-        .drop("__rn")
-    )
+    computes the superset). Plan: TakeOrdered over start+rows then an
+    offset — per-partition heaps, no unpartitioned window funneling the
+    whole table through one task. Deep paging degrades with start just
+    like the reference; prefer cursor_page() for deep walks."""
+    return df.orderBy(*sort).offset(start).limit(rows)
 
 
 def cursor_page(
@@ -209,10 +205,20 @@ def cursor_page(
     sort_cols: [(col, ascending)], must be a total order (the reference
     enforces uniqueKey as final tiebreak). after: last sort-key tuple of
     the previous page, or None for page 1.
+
+    Sort-key columns must be NON-NULL: a NULL in the totem would null the
+    keyset predicate and silently lose every later page, so a null totem
+    value raises instead (the reference requires the uniqueKey + sort
+    fields present for cursorMark for the same reason).
     """
     order = [F.col(c).asc() if asc else F.col(c).desc() for c, asc in sort_cols]
     out = df
     if after is not None:
+        if any(v is None for v in after):
+            raise ValueError(
+                f"cursor totem {after!r} contains NULL — cursorMark sort "
+                "keys must be non-null columns"
+            )
         # lexicographic "row > totem" unrolled into OR-of-ANDs
         pred = F.lit(False)
         for i in range(len(sort_cols)):

@@ -77,7 +77,12 @@ def facet2d(
     """facet2D(): two-level buckets, top-N per level
     (Facet2DStream.java:1). x-level rank is by the x bucket's TOTAL metric
     (desc, then x asc — the stream's bucketSorts default), y-level rank by
-    the (x,y) cell metric within each surviving x. The x top-N is a tiny
+    the (x,y) cell metric within each surviving x.
+
+    ``metric`` must be ADDITIVE (count/sum): the parent rank is the SUM
+    of the child cells, which equals the bucket total only for additive
+    aggregates — avg/min/max/countDistinct would rank parents wrongly
+    (same restriction in facet_pivot). The x top-N is a tiny
     aggregate (one row per distinct x) → broadcast semi-join, no global
     window over the cell table."""
     from pyspark.sql import Window
@@ -99,15 +104,23 @@ def facet_queries(df: DataFrame, queries: dict[str, Column]) -> DataFrame:
     (facet/FacetQuery.java; classic facet.query param). All buckets
     computed in ONE aggregation pass (conditional counts), not one scan
     per query."""
+    if not queries:
+        return df.sparkSession.createDataFrame([], "bucket string, count bigint")
     aggs = [
-        F.count(F.when(cond, 1)).alias(name) for name, cond in sorted(queries.items())
+        F.count(F.when(cond, 1)).alias(f"__q{i}")
+        for i, (_name, cond) in enumerate(sorted(queries.items()))
     ]
     wide = df.agg(*aggs)
-    # long form (bucket, count): stack the one-row aggregate
-    pairs = ", ".join(f"'{n}', `{n}`" for n in sorted(queries))
-    return wide.selectExpr(
-        f"stack({len(queries)}, {pairs}) AS (bucket, count)"
-    )
+    # long form (bucket, count) via a union of literal-named projections —
+    # bucket names never enter SQL text, so quotes/backticks are safe
+    parts = [
+        wide.select(F.lit(name).alias("bucket"), F.col(f"__q{i}").alias("count"))
+        for i, name in enumerate(sorted(queries))
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def facet_heatmap(
@@ -204,6 +217,9 @@ def facet_pivot(
     (handler/component/PivotFacetProcessor.java:1 — the classic pivot
     facet; facet2d is the 2-level special case). Level ranks use the
     bucket's TOTAL metric (desc, value asc tiebreak) within its parent.
+
+    ``metric`` must be ADDITIVE (count/sum) — level totals are sums of
+    leaf cells (see facet2d's contract note).
 
     Scale shape: one leaf aggregation over all level columns, then per
     level a re-aggregated total + top-N selection — level 0 via

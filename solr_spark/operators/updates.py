@@ -33,12 +33,29 @@ def atomic_update(
       'set'          — replace value (null update = keep old, matching
                        Solr's 'set null removes field' nuance is left to
                        the caller via an explicit sentinel)
-      'inc'          — numeric increment
-      'add'          — append to array field
-      'add-distinct' — append if absent
+      'inc'          — numeric increment (a NULL base counts as 0 —
+                       Solr creates the missing field)
+      'add'          — append to array field (NULL base = empty array)
+      'add-distinct' — append if absent (NULL base = empty array)
       'remove'       — remove matching values from array field
+
+    ``updates`` must carry at most ONE row per key (the reference applies
+    queued updates sequentially; a fanned-out join would duplicate base
+    rows) — validated with one tiny aggregation over the updates frame.
     """
     upd_cols = {c: f"__u_{c}" for c in ops}
+    dup = (
+        updates.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"updates frame has multiple rows for key {dup[0][key]!r}; "
+            "collapse queued updates to one row per key first"
+        )
     u = updates.select(
         key, *[F.col(c).alias(a) for c, a in upd_cols.items()]
     )
@@ -46,19 +63,24 @@ def atomic_update(
     for c, op in ops.items():
         uc = F.col(upd_cols[c])
         old = F.col(c)
+        # a NULL base field is "missing" — ops CREATE it, matching
+        # AtomicUpdateDocumentMerger (a null-propagating expression would
+        # silently drop the update instead)
+        empty_arr = F.array().cast(f"array<{updates.schema[c].dataType.simpleString()}>")
+        old_arr = F.coalesce(old, empty_arr)
         if op == "set":
             new = F.coalesce(uc, old)
         elif op == "inc":
-            new = F.when(uc.isNotNull(), old + uc).otherwise(old)
+            new = F.when(uc.isNotNull(), F.coalesce(old, F.lit(0)) + uc).otherwise(old)
         elif op == "add":
-            new = F.when(uc.isNotNull(), F.concat(old, F.array(uc))).otherwise(old)
+            new = F.when(uc.isNotNull(), F.concat(old_arr, F.array(uc))).otherwise(old)
         elif op == "add-distinct":
             new = F.when(
-                uc.isNotNull() & ~F.array_contains(old, uc),
-                F.concat(old, F.array(uc)),
+                uc.isNotNull() & ~F.coalesce(F.array_contains(old_arr, uc), F.lit(False)),
+                F.concat(old_arr, F.array(uc)),
             ).otherwise(old)
         elif op == "remove":
-            new = F.when(uc.isNotNull(), F.array_remove(old, uc)).otherwise(old)
+            new = F.when(uc.isNotNull(), F.array_remove(old_arr, uc)).otherwise(old)
         else:
             raise ValueError(f"unknown atomic op {op!r}")
         out = out.withColumn(c, new)

@@ -59,6 +59,12 @@ def bm25_oracle_sql(
     per-term transform to the parsed query terms — the query/index
     analyzer symmetry mirrored from engine.gate_search."""
     query: Query = parse(q)
+    if query.phrases or query.multiterm or query.required_groups:
+        raise ValueError(
+            "bm25_oracle_sql handles plain term queries only — phrase/"
+            "multiterm/grouped clauses need their dedicated oracle "
+            "builders (silently dropping them would generate a wrong oracle)"
+        )
     if term_transform is not None:
         from collections import Counter
 

@@ -102,19 +102,19 @@ def read_xml_updates(spark: SparkSession, path: str) -> DataFrame:
 def read_cat(spark: SparkSession, path: str, max_lines: int | None = None) -> DataFrame:
     """cat() analog (solrj-streaming/.../io/stream/CatStream.java): emit
     (file, line_number, line) rows for files under ``path``. Line numbers
-    are per-file ordinals (CatStream's crawl emits in file order)."""
-    from pyspark.sql import Window
-
+    are exact per-file ordinals: each file is read WHOLE (wholetext) and
+    split with posexplode, so numbering never depends on how Spark packs
+    file splits into partitions (monotonically_increasing_id only orders
+    within a partition — a multi-split file would misnumber). cat() is a
+    debugging/ingest stream over modest files; one task holds one file."""
     out = (
-        spark.read.text(path)
+        spark.read.text(path, wholetext=True)
         .withColumn("file", F.input_file_name())
-        .withColumn(
-            "line_number",
-            F.row_number().over(
-                Window.partitionBy("file").orderBy(F.monotonically_increasing_id())
-            ),
+        .select(
+            "file",
+            F.posexplode(F.split(F.col("value"), "\n")).alias("__p", "line"),
         )
-        .withColumnRenamed("value", "line")
+        .withColumn("line_number", (F.col("__p") + 1).cast("int"))
         .select("file", "line_number", "line")
     )
     return out.filter(F.col("line_number") <= max_lines) if max_lines else out

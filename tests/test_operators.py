@@ -204,3 +204,98 @@ def test_graph_expand_max_fanout(spark):
     }
     assert ("h", 1) in capped and ("y", 2) in capped  # reached, not expanded
     assert not any(n in ("a", "b", "c") for n, _ in capped)
+
+
+def test_atomic_update_null_base_fields(spark):
+    """Ops CREATE missing (NULL) fields instead of null-propagating —
+    AtomicUpdateDocumentMerger semantics."""
+    from solr_spark.operators.updates import atomic_update
+
+    base = spark.createDataFrame(
+        [(1, None, None), (2, 5.0, ["a"])],
+        "id bigint, n double, tags array<string>",
+    )
+    upd = spark.createDataFrame(
+        [(1, 2.0, "x"), (2, 1.0, "a")], "id bigint, n double, tags string"
+    )
+    out = {
+        r["id"]: r
+        for r in atomic_update(base, upd, "id", {"n": "inc", "tags": "add-distinct"}).collect()
+    }
+    assert out[1]["n"] == 2.0  # NULL base counts as 0
+    assert out[1]["tags"] == ["x"]  # NULL base = empty array
+    assert out[2]["n"] == 6.0
+    assert out[2]["tags"] == ["a"]  # distinct: no duplicate append
+
+
+def test_atomic_update_duplicate_keys_raise(spark):
+    import pytest
+
+    from solr_spark.operators.updates import atomic_update
+
+    base = spark.createDataFrame([(1, 0.0)], "id bigint, n double")
+    upd = spark.createDataFrame([(1, 1.0), (1, 2.0)], "id bigint, n double")
+    with pytest.raises(ValueError, match="multiple rows"):
+        atomic_update(base, upd, "id", {"n": "inc"})
+
+
+def test_block_join_score_mode_none(spark):
+    from pyspark.sql import functions as F
+
+    from solr_spark.operators.joins import block_join_parents
+
+    parents = spark.createDataFrame([(1,), (2,)], "pid bigint")
+    children = spark.createDataFrame(
+        [(1, 5.0), (1, 7.0)], "pid bigint, s double"
+    )
+    out = block_join_parents(
+        parents, children, "pid", F.col("s") > 0,
+        score_col=F.col("s"), score_mode="none",
+    ).collect()
+    assert [r["pid"] for r in out] == [1]
+    assert "child_score" not in out[0].asDict()
+
+
+def test_cursor_page_null_totem_raises(spark):
+    import pytest
+
+    from solr_spark.operators.relational import cursor_page
+
+    df = spark.createDataFrame([(1, None)], "id bigint, ts timestamp")
+    with pytest.raises(ValueError, match="NULL"):
+        cursor_page(df, [("ts", True), ("id", True)], (None, 1), 10)
+
+
+def test_page_no_single_partition_window(spark):
+    from pyspark.sql import functions as F
+
+    from solr_spark.operators.relational import page
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "v bigint")
+    out = page(df, [F.asc("v")], start=10, rows=5)
+    assert [r["v"] for r in out.collect()] == [10, 11, 12, 13, 14]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # TakeOrdered+offset, no window funnel
+
+
+def test_facet_queries_edge_cases(spark):
+    from pyspark.sql import functions as F
+
+    from solr_spark.operators.rollup import facet_queries
+
+    df = spark.createDataFrame([(1,), (2,), (3,)], "v bigint")
+    assert facet_queries(df, {}).count() == 0
+    out = {
+        r["bucket"]: r["count"]
+        for r in facet_queries(
+            df, {"bob's `odd`": F.col("v") % 2 == 1, "big": F.col("v") > 2}
+        ).collect()
+    }
+    assert out == {"bob's `odd`": 2, "big": 1}
+
+
+def test_shortest_path_trivial(spark):
+    from solr_spark.operators.graph import shortest_path_frontier
+
+    edges = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    assert shortest_path_frontier(edges, "src", "dst", "a", "a", 5) == 0

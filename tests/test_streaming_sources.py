@@ -189,3 +189,11 @@ def test_read_corpus_parquet_fallback(spark, small_corpus):
     df = read_corpus(spark, small_corpus)
     assert df.count() == 600
     assert set(df.columns) >= {"repo", "path", "commit", "lang", "content"}
+
+
+def test_read_cat_multiline_order(spark, tmp_path):
+    f = tmp_path / "lines.txt"
+    f.write_text("\n".join(f"line{i}" for i in range(50)))
+    out = sources.read_cat(spark, str(tmp_path)).orderBy("line_number").collect()
+    assert [r["line"] for r in out[:3]] == ["line0", "line1", "line2"]
+    assert out[49]["line_number"] == 50 and out[49]["line"] == "line49"
