@@ -24,7 +24,6 @@ SQL-equivalent form (DuckDB/Spark SQL):
 from __future__ import annotations
 
 import re
-from itertools import chain
 
 import numpy as np
 import pandas as pd

@@ -32,8 +32,6 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .textfn import tokens
-
 SHINGLE_ROWS_SCHEMA = "id bigint, shingle string"
 
 
@@ -157,6 +155,7 @@ def jaccard_pairs(
     from pyspark import StorageLevel
 
     inv = shingle_rows(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    cached = inv  # released by callers via result._solr_spark_cached
     if max_shingle_df == "auto":
         n_docs = df.count()
         max_shingle_df = max(64, n_docs // 1000)
@@ -174,9 +173,11 @@ def jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return (
-        inter.join(F.broadcast(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a")), "id_a")
-        .join(F.broadcast(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b")), "id_b")
+    out = (
+        # sizes is one row per DOC — never force-broadcast an
+        # O(n_docs) table (AQE still broadcasts when it is actually small)
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
         .withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6),
@@ -184,6 +185,10 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # pipelines calling this repeatedly should release the persisted
+    # shingle run after materializing: out._solr_spark_cached.unpersist()
+    out._solr_spark_cached = cached
+    return out
 
 
 def jaccard_dropped_shingles(
@@ -236,6 +241,11 @@ def minhash_lsh_pairs(
     """
     from pyspark import StorageLevel
 
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes} "
+            "(num_hashes = bands x rows_per_band)"
+        )
     r = num_hashes // bands
     # the shingle table feeds the signature agg, the candidate verify and
     # the size agg — persist it once instead of re-running the Arrow
@@ -244,6 +254,7 @@ def minhash_lsh_pairs(
     inv = shingle_rows(df, id_col, text_col, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    cached = inv  # released by callers via result._solr_spark_cached
     sig = inv.groupBy("id").agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
@@ -279,6 +290,7 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     if not verify:
+        cand._solr_spark_cached = cached
         return cand
     # exact verify restricted to candidate ids: inverted-index
     # intersection counts (same math as jaccard_pairs / the SQL oracle)
@@ -296,7 +308,7 @@ def minhash_lsh_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return (
+    out = (
         cand.join(inter, ["id_a", "id_b"], "inner")
         .join(F.broadcast(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a")), "id_a")
         .join(F.broadcast(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b")), "id_b")
@@ -307,6 +319,9 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # release with out._solr_spark_cached.unpersist() after materializing
+    out._solr_spark_cached = cached
+    return out
 
 
 _SIMHASH_SCHEMA = "id bigint, simhash bigint"
@@ -328,7 +343,11 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     src = df.select(
         F.col(id_col).cast("bigint").alias("id"),
         tokens(F.col(text_col)).alias("toks"),
-    )
+    # token-less docs (null/whitespace/stopword-only text) carry no
+    # signal and would all collapse to simhash=0 — every pair of them a
+    # false hamming-0 "duplicate" and one quadratic hot bucket. Exclude
+    # them, matching the jaccard/minhash pipelines.
+    ).filter(F.size("toks") > 0)
     inst = src.select("id", F.explode("toks").alias("term")).withColumn(
         "h", F.xxhash64(F.col("term"))
     )

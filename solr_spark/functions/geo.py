@@ -20,8 +20,12 @@ EARTH_RADIUS_KM = 6371.0087714  # mean Earth radius, same constant as Solr's
 def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
     """Great-circle distance in km (geodist()/hsin function query).
 
-    Shape: 2*R*asin(sqrt(sin^2(dphi/2) + cos(phi1)*cos(phi2)*sin^2(dlmb/2)))
-    evaluated left-to-right — mirror this exactly in oracle SQL."""
+    Shape: 2*R*asin(least(1, sqrt(sin^2(dphi/2) +
+    cos(phi1)*cos(phi2)*sin^2(dlmb/2)))) evaluated left-to-right — mirror
+    this exactly in oracle SQL. The least(1, …) clamp matters: for
+    near-antipodal points double rounding pushes the radicand a few ulps
+    above 1 and an unclamped asin returns NaN (the reference clamps the
+    same way — Lucene SloppyMath.haversinMeters' min(1, sqrt(h)))."""
     phi1, phi2 = F.radians(lat1), F.radians(lat2)
     dphi = F.radians(lat2 - lat1)
     dlmb = F.radians(lon2 - lon1)
@@ -29,14 +33,14 @@ def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Colu
         F.sin(dphi / 2) * F.sin(dphi / 2)
         + F.cos(phi1) * F.cos(phi2) * F.sin(dlmb / 2) * F.sin(dlmb / 2)
     )
-    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.least(F.lit(1.0), F.sqrt(a)))
 
 
 HAVERSINE_SQL = (
-    "2.0 * {R} * asin(sqrt("
+    "2.0 * {R} * asin(least(1.0, sqrt("
     "sin(radians({lat2} - {lat1}) / 2) * sin(radians({lat2} - {lat1}) / 2)"
     " + cos(radians({lat1})) * cos(radians({lat2}))"
-    " * sin(radians({lon2} - {lon1}) / 2) * sin(radians({lon2} - {lon1}) / 2)))"
+    " * sin(radians({lon2} - {lon1}) / 2) * sin(radians({lon2} - {lon1}) / 2))))"
 )
 
 

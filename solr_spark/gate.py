@@ -20,9 +20,7 @@ Float discipline (so order-insensitive value hashes match exactly):
 
 from __future__ import annotations
 
-import os
-
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .analysis import SPLIT_REGEX_SQL, STOPWORDS_SQL, analyze_query
@@ -847,11 +845,25 @@ def t_bpe_tokens(spark, sf_dir):
 
 @entry(
     "t_exact_dups",
-    """SELECT md5(text) AS sig, min(doc_id) AS canonical_id, count(*) AS n_members
-FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
+    """WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 5)
+SELECT md5(text) AS sig, min(doc_id) AS canonical_id, count(*) AS n_members
+FROM aug GROUP BY md5(text) HAVING count(*) > 1""",
 )
 def t_exact_dups(spark, sf_dir):
-    out = dedup.exact_duplicates(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    """Exact dedup over the documents table AUGMENTED with 5 planted
+    copies (doc_id + 1e6): the raw table holds zero exact duplicates at
+    the gate's scale, which would make this an empty-vs-empty comparison
+    — the planted rows give the grouping/canonical/count logic real
+    differential evidence."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = d.unionByName(
+        d.filter(F.col("doc_id") < 5).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(1000000)
+        )
+    )
+    out = dedup.exact_duplicates(aug, "doc_id", "text")
     return out.select("sig", "canonical_id", "n_members")
 
 

@@ -345,3 +345,43 @@ def test_video_frame_sampling(spark):
     out = {r["media_id"]: r for r in extract_features(media).collect()}
     assert out[0]["ok"] and out[0]["n_frames"] == 5
     assert not out[1]["ok"] and "P6" in out[1]["error"]
+
+
+def test_haversine_antipodal_no_nan(spark):
+    """Near-antipodal points: the least(1, sqrt(a)) clamp keeps asin in
+    domain — unclamped double rounding yields NaN ~6% of the time."""
+    import math
+
+    from solr_spark.functions.geo import haversine_km
+
+    lat1, lon1 = 61.898547014673326, 97.00206862884804
+    df = spark.createDataFrame([(lat1, lon1, -lat1, lon1 - 180.0)],
+                               "a double, b double, c double, d double")
+    got = df.select(
+        haversine_km(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("km")
+    ).collect()[0]["km"]
+    assert not math.isnan(got)
+    assert got == pytest.approx(2 * 6371.0087714 * math.pi / 2, rel=0.01)
+
+
+def test_simhash_excludes_tokenless_docs(spark):
+    """Empty/stopword-only docs carry no signal: they must NOT collapse
+    into a hamming-0 mega-cluster."""
+    from solr_spark.functions.dedup import simhash_near_pairs
+
+    rows = [(0, ""), (1, "the and of"), (2, None), (3, "real content here"),
+            (4, "real content here")]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             simhash_near_pairs(df, "id", "text", max_hamming=3).collect()}
+    assert pairs == {(3, 4)}  # only the genuine near-dup pair
+
+
+def test_minhash_bands_validation(spark):
+    import pytest
+
+    from solr_spark.functions.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame([(0, "a b c d")], "id bigint, text string")
+    with pytest.raises(ValueError, match="must divide"):
+        minhash_lsh_pairs(df, "id", "text", num_hashes=64, bands=12)
