@@ -38,6 +38,7 @@ def atomic_update(
       'add'          — append to array field (NULL base = empty array)
       'add-distinct' — append if absent (NULL base = empty array)
       'remove'       — remove matching values from array field
+      'removeregex'  — remove array values matching the update's regex
 
     ``updates`` must carry at most ONE row per key (the reference applies
     queued updates sequentially; a fanned-out join would duplicate base
@@ -81,6 +82,11 @@ def atomic_update(
             ).otherwise(old)
         elif op == "remove":
             new = F.when(uc.isNotNull(), F.array_remove(old_arr, uc)).otherwise(old)
+        elif op == "removeregex":
+            new = F.when(
+                uc.isNotNull(),
+                F.filter(old_arr, lambda v: ~F.regexp_like(v, uc)),
+            ).otherwise(old)
         else:
             raise ValueError(f"unknown atomic op {op!r}")
         out = out.withColumn(c, new)

@@ -299,3 +299,14 @@ def test_shortest_path_trivial(spark):
 
     edges = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
     assert shortest_path_frontier(edges, "src", "dst", "a", "a", 5) == 0
+
+
+def test_atomic_update_removeregex(spark):
+    from solr_spark.operators.updates import atomic_update
+
+    base = spark.createDataFrame(
+        [(1, ["alpha", "beta1", "beta2", "gamma"])], "id bigint, tags array<string>"
+    )
+    upd = spark.createDataFrame([(1, "^beta[0-9]$")], "id bigint, tags string")
+    out = atomic_update(base, upd, "id", {"tags": "removeregex"}).collect()[0]
+    assert out["tags"] == ["alpha", "gamma"]
