@@ -288,12 +288,17 @@ class Searcher:
             if self.bucket_stats is not None:
                 self.bucket_stats = self.bucket_stats.cache()
                 self.bucket_stats.count()
+        # driver-side df cache for QUERY terms only (bounded by the terms
+        # actually queried, never the vocabulary) — the term-dictionary-
+        # in-heap part of SolrIndexSearcher; absent terms cache df=0
+        self._df_cache: dict[str, int] = {}
 
     def search(self, q: str | Query, k: int = 10, prune: bool = True,
                with_fields: bool = False) -> DataFrame:
         return search(self.spark, self.meta, q, k, prune, with_fields,
                       _frames=(self.terms, self.postings, self.docs,
-                               self.bucket_stats))
+                               self.bucket_stats),
+                      _df_cache=self._df_cache)
 
 
 def search(
@@ -305,6 +310,7 @@ def search(
     with_fields: bool = False,
     _frames: tuple | None = None,
     _count_only: bool = False,
+    _df_cache: dict | None = None,
 ) -> DataFrame:
     """Top-k BM25 search. Returns DataFrame(docid, score) ordered by
     (score desc, docid asc), limited to k; with_fields joins doc columns.
@@ -352,8 +358,17 @@ def search(
     all_terms = sorted(set(weights) | query.prohibited)
     if not weights:
         return _empty()
-    stats = terms_df.where(F.col("term").isin(all_terms)).collect()
-    df_map = {r["term"]: int(r["df"]) for r in stats}
+    if _df_cache is not None:
+        missing = [t for t in all_terms if t not in _df_cache]
+        if missing:
+            stats = terms_df.where(F.col("term").isin(missing)).collect()
+            fetched = {r["term"]: int(r["df"]) for r in stats}
+            for t in missing:
+                _df_cache[t] = fetched.get(t, 0)  # absent term: df=0
+        df_map = {t: _df_cache[t] for t in all_terms}
+    else:
+        stats = terms_df.where(F.col("term").isin(all_terms)).collect()
+        df_map = {r["term"]: int(r["df"]) for r in stats}
     groups = [list(g) for g in (query.required_groups or [])]
     if groups:
         # a MUST group dies only if EVERY alternative is absent
