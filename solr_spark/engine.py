@@ -61,14 +61,22 @@ def ensure_index(
     bucket_docs: int = 512,
     bigrams: bool = False,
     analyzer: str = "code",
+    positions: bool = False,
 ) -> IndexMeta:
     """Build (or reuse, via the indexer's resume manifest) the index for
-    one sf_dir under a content-addressed temp location."""
+    one sf_dir under a content-addressed temp location. ``positions=True``
+    additionally builds the positional-postings table (positions.py) in a
+    SEPARATE cache dir, so position-free indexes keep exercising the
+    two-phase content-verify paths unchanged."""
     key = hashlib.md5(
-        f"{ENGINE_VERSION}:{os.path.abspath(sf_dir)}:{bucket_docs}:{bigrams}:{analyzer}:{_source_signature(sf_dir)}".encode()
+        (
+            f"{ENGINE_VERSION}:{os.path.abspath(sf_dir)}:{bucket_docs}:"
+            f"{bigrams}:{analyzer}:{_source_signature(sf_dir)}"
+            + (":pos" if positions else "")
+        ).encode()
     ).hexdigest()[:12]
     out = os.path.join(tempfile.gettempdir(), f"solr_spark_gate_{key}")
-    return build_index(
+    meta = build_index(
         spark,
         documents_as_corpus(spark, sf_dir),
         out,
@@ -77,6 +85,11 @@ def ensure_index(
         bigrams=bigrams,
         analyzer=analyzer,
     )
+    if positions and not getattr(meta, "has_positions", False):
+        from .positions import build_positions
+
+        meta = build_positions(spark, documents_as_corpus(spark, sf_dir), meta)
+    return meta
 
 
 def _with_doc_id(spark: SparkSession, meta: IndexMeta, res: DataFrame) -> DataFrame:
@@ -295,6 +308,7 @@ def _phrase_component(
     sf_dir: str,
     terms: list[str],
     filters: dict | None = None,
+    prefer_positions: bool = False,
 ) -> DataFrame:
     """One phrase clause — two-phase, the classic positional-index
     workaround for a positionless postings format:
@@ -314,6 +328,13 @@ def _phrase_component(
     conjunction of adjacent bigrams for a much tighter candidate set
     before the re-analysis verify.
 
+    With ``prefer_positions=True`` on a positions-enabled index
+    (positions.build_positions — the Lucene .pos analog), the phrase
+    frequency for ANY length comes straight from positional postings
+    (positions.phrase_tf_frame): docid intersection + vectorized
+    adjacency over decoded position arrays, zero content access — the
+    scan is proportional to the phrase terms' postings, never the corpus.
+
     Returns (docid, doc_id, phrase_tf, p_score) for docs where the exact
     phrase occurs."""
     from collections import Counter
@@ -328,7 +349,18 @@ def _phrase_component(
     # docs BEFORE fq filters apply — fq never changes scoring statistics
     # (the reference's filter-vs-score separation; the term kernel's idf
     # is likewise global). Filters restrict only the emitted rows.
-    if use_bigrams and L == 2:
+    use_positions = prefer_positions and bool(getattr(meta, "has_positions", False))
+    if use_positions:
+        # zero content access at ANY phrase length: positional postings
+        from .positions import phrase_tf_frame
+
+        rows = phrase_tf_frame(spark, meta, terms)
+        matched = (
+            rows.join(docs, "docid")
+            .withColumn("doc_id", F.col("path").cast("bigint"))
+            .select("docid", "doc_id", "phrase_tf", "doclen")
+        )
+    elif use_bigrams and L == 2:
         # zero content re-read: bigram postings ARE the phrase stats
         rows = postings_rows(spark, meta, [f"{terms[0]} {terms[1]}"])
         matched = (
@@ -398,21 +430,24 @@ def _phrase_component(
 
 
 def gate_phrase(
-    spark: SparkSession, sf_dir: str, phrase: str, k: int = 10, bigrams: bool = False
+    spark: SparkSession, sf_dir: str, phrase: str, k: int = 10,
+    bigrams: bool = False, positions: bool = False
 ) -> DataFrame:
     """Exact phrase query (pure phrase clause) under the rounded-score
     ranking contract; output (doc_id, phrase_tf, score). Reference:
     phrase queries in the standard parser
     (solr/core/src/java/org/apache/solr/search/SolrQueryParser.java;
     solr-ref-guide standard-query-parser.adoc). ``bigrams=True`` runs
-    against a bigram-enabled index (the positional-postings stand-in)."""
+    against a bigram-enabled index (the positional-postings stand-in);
+    ``positions=True`` runs against true positional postings
+    (positions.py — zero content access at any phrase length)."""
     from .analysis import analyze_query
 
-    meta = ensure_index(spark, sf_dir, bigrams=bigrams)
+    meta = ensure_index(spark, sf_dir, bigrams=bigrams, positions=positions)
     terms = analyze_query(phrase)
     if not terms:
         return spark.createDataFrame([], "doc_id bigint, phrase_tf bigint, score double")
-    comp = _phrase_component(spark, meta, sf_dir, terms)
+    comp = _phrase_component(spark, meta, sf_dir, terms, prefer_positions=positions)
     out = comp.withColumn("score", F.round(F.col("p_score"), 6))
     return (
         out.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -955,6 +990,7 @@ def gate_proximity(
     slop: int,
     ordered: bool = True,
     k: int = 10,
+    positions: bool = False,
 ) -> DataFrame:
     """Surround-parser proximity query — `3w(a, b)` (ordered within
     distance) / `3n(a, b)` (unordered within distance)
@@ -965,13 +1001,32 @@ def gate_proximity(
     pruned postings path), then a span-distance verify on the candidates'
     token arrays: ordered requires 0 < pos(b) − pos(a) ≤ slop; unordered
     requires |pos(a) − pos(b)| ≤ slop. Constant-score rewrite, tie-broken
-    (source, doc_id) — the same contract as the other multi-term paths."""
+    (source, doc_id) — the same contract as the other multi-term paths.
+
+    ``positions=True`` verifies the span from positional postings
+    (positions.span_match_frame) instead of re-analyzing candidate
+    content — the Lucene SpanNearQuery execution shape."""
     from collections import Counter
 
     from .functions import textfn
 
-    meta = ensure_index(spark, sf_dir)
+    meta = ensure_index(spark, sf_dir, positions=positions)
     a, b = term_a.lower(), term_b.lower()
+    if positions:
+        from .positions import span_match_frame
+
+        matched_ids = span_match_frame(spark, meta, a, b, slop, ordered)
+        docs_p = spark.read.parquet(meta.docs_path).select("docid", "path")
+        src_p = _source_docs(spark, sf_dir).select("doc_id", "source")
+        return (
+            matched_ids.join(docs_p, "docid")
+            .withColumn("doc_id", F.col("path").cast("bigint"))
+            .join(src_p, "doc_id")
+            .select("doc_id", F.lit(1.0).alias("score"), "source")
+            .orderBy(F.asc("source"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", "score")
+        )
     q = Query(required=Counter([a, b]))
     cand = search(spark, meta, q, k=meta.n_docs).select("docid")
     docs = spark.read.parquet(meta.docs_path).select("docid", "path")

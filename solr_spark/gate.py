@@ -1150,6 +1150,51 @@ def fts_phrase_bigram(spark, sf_dir):
     return gate_phrase(spark, sf_dir, "spark window", k=10, bigrams=True)
 
 
+@entry("fts_phrase_pos", _PHRASE_SQL)
+def fts_phrase_pos(spark, sf_dir):
+    """Same phrase, TRUE positional-postings path (positions.py — the
+    Lucene .pos analog): docid intersection + vectorized adjacency over
+    decoded position deltas, zero content access. Same oracle as
+    fts_phrase proves all three phrase paths are score-identical."""
+    from solr_spark.engine import gate_phrase
+
+    return gate_phrase(spark, sf_dir, "spark window", k=10, positions=True)
+
+
+# 3-term phrase over positional postings — the length the bigram index
+# cannot answer without a content verify (oracle = same sliding-window
+# template as _PHRASE_SQL at L=3)
+_PHRASE3_SQL = f"""WITH dl AS (SELECT doc_id, len({TOKS_SQL}) AS doclen FROM documents),
+g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+      CAST(sum(doclen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+tk AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+pt AS (SELECT doc_id,
+  CASE WHEN len(t) - 3 + 1 >= 1 THEN
+    len(list_filter(generate_series(1, len(t) - 3 + 1),
+        i -> t[i:i+2] = ['spark', 'window', 'merge']))
+  ELSE 0 END AS phrase_tf FROM tk),
+m AS (SELECT doc_id, phrase_tf FROM pt WHERE phrase_tf > 0),
+dfp AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM m)
+SELECT m.doc_id, m.phrase_tf,
+round(ln(1.0 + (g.n - (SELECT v FROM dfp) + 0.5) / ((SELECT v FROM dfp) + 0.5))
+ * (CAST(m.phrase_tf AS DOUBLE) * (1.2 + 1.0) /
+    (CAST(m.phrase_tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * d.doclen / g.avgdl))), 6) AS score
+FROM m JOIN dl d USING (doc_id) CROSS JOIN g
+ORDER BY round(ln(1.0 + (g.n - (SELECT v FROM dfp) + 0.5) / ((SELECT v FROM dfp) + 0.5))
+ * (CAST(m.phrase_tf AS DOUBLE) * (1.2 + 1.0) /
+    (CAST(m.phrase_tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * d.doclen / g.avgdl))), 6) DESC,
+ m.doc_id ASC
+LIMIT 10"""
+
+
+@entry("fts_phrase3_pos", _PHRASE3_SQL)
+def fts_phrase3_pos(spark, sf_dir):
+    """Three-term phrase answered entirely from positional postings."""
+    from solr_spark.engine import gate_phrase
+
+    return gate_phrase(spark, sf_dir, "spark window merge", k=10, positions=True)
+
+
 # mixed boolean + phrase query: total = term-kernel score + phrase clause
 # (engine accumulation order: terms first, then the phrase — mirrored here)
 _MIXED_PHRASE_SQL = f"""WITH tok AS (SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents),
@@ -1677,6 +1722,18 @@ def fts_proximity_un(spark, sf_dir):
     from solr_spark.engine import gate_proximity
 
     return gate_proximity(spark, sf_dir, "spark", "merge", slop=2, ordered=False, k=10)
+
+
+@entry("fts_proximity_pos", _PROX_SQL_ORDERED)
+def fts_proximity_pos(spark, sf_dir):
+    """Same ordered span, verified from positional postings
+    (positions.span_match_frame — the SpanNearQuery execution shape,
+    zero content access). Same oracle as fts_proximity."""
+    from solr_spark.engine import gate_proximity
+
+    return gate_proximity(
+        spark, sf_dir, "spark", "merge", slop=3, ordered=True, k=10, positions=True
+    )
 
 
 @entry(

@@ -1,0 +1,485 @@
+"""Positional postings — the Lucene ``.pos``-file analog.
+
+The base index stores (term, bucket) -> docid-delta + tf varint streams
+(indexer.py); phrase and span-proximity queries then verify candidates by
+re-analyzing ONLY the candidates' content (engine._phrase_component /
+gate_proximity), with a bigram index as a tighter stand-in. That is
+correct, but a common-bigram phrase at 100x corpus scale still re-reads a
+meaningful content fraction. Lucene solves this with a positions file:
+per (term, doc), the token positions, delta+varint encoded, consumed by
+PhraseQuery / SpanNearQuery (the reference consumes it via
+``org.apache.lucene:*=9.8.0``, /root/reference/versions.props; spans:
+solr/core/src/java/org/apache/solr/search/SurroundQParserPlugin.java:1).
+
+This module adds the same structure as an ADDITIVE index stage:
+
+  build_positions()  one extra content scan -> (term, bucket, docid,
+                     positions) -> ONE range shuffle on (term, bucket)
+                     (identical layout + skew story to the main postings:
+                     a term never exceeds bucket_docs docs per group) ->
+                     numpy delta+varint encode -> ``positions`` parquet
+                     next to ``postings``, gated by _SUCCESS, resume-safe.
+                     The default build is untouched; meta.has_positions
+                     flags availability.
+
+  phrase_tf_frame()  exact phrase frequency per doc for ANY phrase length
+                     with ZERO content access: read the phrase terms'
+                     position rows (term-pruned parquet scan, same
+                     row-group pruning as postings), cogroup by bucket,
+                     intersect docids, verify adjacency in one vectorized
+                     numpy pass ((docid, position) key arithmetic -- no
+                     per-doc Python loop).
+
+  span_match_frame() surround-parser Nw/Nn span verification from the
+                     same rows (ordered: 0 < pos(b)-pos(a) <= slop;
+                     unordered: |pos(a)-pos(b)| <= slop).
+
+Position semantics are pinned to the analysis contract (analysis.py):
+position = index within the SURVIVING token stream (post stop-filter),
+identical to the adjacency definition of the two-phase content verify,
+the bigram index, and the DuckDB oracles -- all paths agree bit-for-bit
+(tests/test_positions.py proves equality).
+
+Scale shape: query cost is proportional to the queried terms' postings
+(the Lucene trade), never to corpus content. The build shuffles
+sum(doclen) position integers once -- the same volume Lucene's indexer
+writes to .pos -- encoded whole-partition in numpy (no per-row Python).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .codec import _varint_sizes, varint_decode, varint_encode
+from .indexer import IndexMeta, _done
+
+POSITIONS_SCHEMA = (
+    "term string, bucket bigint, df bigint, "
+    "doc_bytes binary, pos_counts array<int>, pos_bytes binary"
+)
+
+_STAGE_SCHEMA = "term string, bucket bigint, docid bigint, positions array<int>"
+
+
+def positions_path(meta: IndexMeta) -> str:
+    return os.path.join(meta.out_dir, "positions")
+
+
+# ---------------------------------------------------------------------------
+# analysis kernel: content -> (docid, term, positions[]) rows
+
+
+def position_lists(doc_ids: np.ndarray, texts: pd.Series, term_transform=None):
+    """Analyze a batch of documents into per-(doc, term) position lists.
+
+    Same Arrow pipeline as analysis.term_frequencies (lower -> regex
+    split -> flatten -> stop-filter -> dictionary-encode); only int
+    arrays reach numpy. Returns DataFrame(docid int64, term str[arrow],
+    positions list<int32>[arrow]) with positions ascending per row.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .analysis import SPLIT_REGEX_SQL, STOPWORDS
+
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    arr = pa.Array.from_pandas(texts.fillna(""))
+    toks = pc.split_pattern_regex(pc.utf8_lower(arr), SPLIT_REGEX_SQL)
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    good = pc.and_(
+        pc.not_equal(flat, ""),
+        pc.invert(pc.is_in(flat, value_set=pa.array(sorted(STOPWORDS)))),
+    )
+    flat = pc.filter(flat, good)
+    parent = pc.filter(parent, good)
+    n = len(flat)
+    empty_terms = pd.array([], dtype="string[pyarrow]")
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "docid": np.array([], np.int64),
+                "term": empty_terms,
+                "positions": pd.arrays.ArrowExtensionArray(
+                    pa.array([], type=pa.list_(pa.int32()))
+                ),
+            }
+        )
+    par = parent.to_numpy().astype(np.int64)
+    # position within doc among SURVIVING tokens: ordinal minus the doc's
+    # first ordinal (par is non-decreasing in token order)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    np.not_equal(par[1:], par[:-1], out=change[1:])
+    doc_first = np.flatnonzero(change)
+    tokpos = np.arange(n, dtype=np.int64) - doc_first[np.cumsum(change) - 1]
+
+    denc = pc.dictionary_encode(flat)
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    codes = denc.indices.to_numpy().astype(np.int64)
+    dictionary = denc.dictionary
+    if term_transform is not None:
+        # transform over the DICTIONARY only (unique terms) — identical
+        # remap discipline to analysis.term_frequencies so stemmed
+        # vocabularies line up with the main index
+        uniq = dictionary.to_pylist()
+        new_code: dict[str, int] = {}
+        remap = np.empty(len(uniq), dtype=np.int64)
+        for ci, t in enumerate(uniq):
+            remap[ci] = new_code.setdefault(term_transform(t), len(new_code))
+        codes = remap[codes]
+        dictionary = pa.array(list(new_code), type=pa.string())
+    k = np.int64(len(dictionary))
+    key = par * k + codes
+    order = np.argsort(key, kind="stable")  # stable: positions stay ascending
+    skey = key[order]
+    spos = tokpos[order]
+    gchange = np.empty(n, dtype=bool)
+    gchange[0] = True
+    np.not_equal(skey[1:], skey[:-1], out=gchange[1:])
+    gstarts = np.flatnonzero(gchange)
+    offsets = np.append(gstarts, n).astype(np.int32)
+    ukey = skey[gstarts]
+    term_col = pd.Series(
+        pd.arrays.ArrowExtensionArray(
+            pc.take(dictionary, pa.array((ukey % k), type=pa.int32()))
+        )
+    )
+    pos_col = pd.arrays.ArrowExtensionArray(
+        pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            pa.array(spos.astype(np.int32), type=pa.int32()),
+        )
+    )
+    return pd.DataFrame(
+        {
+            "docid": doc_ids[(ukey // k)],
+            "term": term_col,
+            "positions": pos_col,
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# codec: (term, bucket) position runs <-> varint streams
+
+
+def encode_position_runs(
+    terms: np.ndarray,
+    buckets: np.ndarray,
+    docids: np.ndarray,
+    counts: np.ndarray,
+    flat_pos: np.ndarray,
+    bucket_docs: int,
+):
+    """Encode a partition of (term, bucket, docid, positions) rows, sorted
+    by (term, bucket, docid), into one output row per (term, bucket) run.
+    Positions per doc are strictly ascending; encoding is docid-delta and
+    position-delta LEB128, both varint-encoded in ONE whole-partition
+    numpy pass and byte-sliced per run (the encode_posting_runs shape).
+
+    Yields tuples (term, bucket, df, doc_bytes, pos_counts, pos_bytes).
+    """
+    n = len(docids)
+    if n == 0:
+        return
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = (terms[1:] != terms[:-1]) | (buckets[1:] != buckets[:-1])
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], n)
+    bases = buckets[starts].astype(np.int64) * bucket_docs
+
+    dd = np.empty(n, dtype=np.int64)
+    dd[1:] = docids[1:] - docids[:-1]
+    run_of_doc = np.cumsum(change) - 1
+    dd[starts] = docids[starts] - bases[run_of_doc[starts]]
+    doc_stream = varint_encode(dd.astype(np.uint64))
+    dsz = _varint_sizes(dd.astype(np.uint64))
+    dends = np.cumsum(dsz)
+    dstarts_b = dends - dsz  # byte offset where each doc's delta begins
+
+    m = len(flat_pos)
+    seg_starts = np.cumsum(counts) - counts  # value index where each doc begins
+    pdelta = np.empty(m, dtype=np.int64)
+    if m:
+        pdelta[1:] = flat_pos[1:] - flat_pos[:-1]
+        pdelta[seg_starts[counts > 0]] = flat_pos[seg_starts[counts > 0]]
+    pos_stream = varint_encode(pdelta.astype(np.uint64))
+    psz = _varint_sizes(pdelta.astype(np.uint64)) if m else np.empty(0, np.int64)
+    pends = np.cumsum(psz) if m else np.empty(0, np.int64)
+    # value-level boundaries of each run in the flat position stream
+    run_val_start = seg_starts[starts]
+    run_val_end = np.append(run_val_start[1:], m)
+
+    for g in range(len(starts)):
+        s, e = starts[g], ends[g]
+        b0 = int(dstarts_b[s])
+        b1 = int(dends[e - 1])
+        v0, v1 = int(run_val_start[g]), int(run_val_end[g])
+        p0 = int(pends[v0] - psz[v0]) if v1 > v0 else 0
+        p1 = int(pends[v1 - 1]) if v1 > v0 else 0
+        yield (
+            terms[s],
+            int(buckets[s]),
+            int(e - s),
+            doc_stream[b0:b1].tobytes(),
+            counts[s:e].astype(np.int32).tolist(),
+            pos_stream[p0:p1].tobytes(),
+        )
+
+
+def decode_position_run(row, bucket_docs: int):
+    """One encoded (term, bucket) row -> (docids int64[df],
+    counts int64[df], flat positions int64[sum(counts)])."""
+    df = int(row["df"])
+    dd = varint_decode(row["doc_bytes"], df).astype(np.int64)
+    # first delta is (docid - base): add base back to the cumulative sum
+    docids = np.cumsum(dd) + int(row["bucket"]) * bucket_docs
+    counts = np.asarray(row["pos_counts"], dtype=np.int64)
+    total = int(counts.sum())
+    vals = varint_decode(row["pos_bytes"], total).astype(np.int64)
+    if total:
+        cs = np.cumsum(vals)
+        seg_starts = np.cumsum(counts) - counts
+        nonempty = counts > 0
+        base = np.zeros(len(counts), dtype=np.int64)
+        base[nonempty] = cs[seg_starts[nonempty]] - vals[seg_starts[nonempty]]
+        positions = cs - np.repeat(base, counts)
+    else:
+        positions = vals
+    return docids, counts, positions
+
+
+# ---------------------------------------------------------------------------
+# build stage
+
+
+def _extract_positions(term_transform=None):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = position_lists(
+                pdf["docid"].to_numpy(np.int64), pdf["content"],
+                term_transform=term_transform,
+            )
+            if len(out):
+                out["bucket"] = (
+                    out["docid"].to_numpy() // np.int64(fn.bucket_docs)
+                )
+                yield out[["term", "bucket", "docid", "positions"]]
+
+    return fn
+
+
+def _encode_pos_partition(bucket_docs: int):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+
+        chunks = [b for b in batches if len(b)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values(
+            ["term", "bucket", "docid"], kind="mergesort", ignore_index=True
+        )
+        arr = pa.array(pdf["positions"])
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        offs = arr.offsets.to_numpy().astype(np.int64)
+        counts = np.diff(offs)
+        flat = arr.values.to_numpy().astype(np.int64)
+        rows = []
+        for tup in encode_position_runs(
+            pdf["term"].to_numpy(),
+            pdf["bucket"].to_numpy(np.int64),
+            pdf["docid"].to_numpy(np.int64),
+            counts,
+            flat,
+            bucket_docs,
+        ):
+            rows.append(tup)
+            if len(rows) >= 4000:
+                yield pd.DataFrame(
+                    rows, columns=["term", "bucket", "df", "doc_bytes",
+                                   "pos_counts", "pos_bytes"]
+                )
+                rows = []
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["term", "bucket", "df", "doc_bytes",
+                               "pos_counts", "pos_bytes"]
+            )
+
+    return fn
+
+
+def build_positions(
+    spark: SparkSession,
+    source: DataFrame,
+    meta: IndexMeta,
+    *,
+    id_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    content_col: str = "content",
+    num_partitions: int | None = None,
+) -> IndexMeta:
+    """Add a positions table to an already-built index. ``source`` must be
+    the same corpus the index was built from (docids are recovered by
+    joining the index's docs table on ``id_cols`` — parallelism-invariant,
+    no dependence on the original build's partitioning). Idempotent and
+    resume-safe (_SUCCESS gate); sets meta.has_positions and re-saves
+    meta.json."""
+    out = positions_path(meta)
+    if _done(out) and getattr(meta, "has_positions", False):
+        return meta
+    t0 = time.time()
+    P = num_partitions or spark.sparkContext.defaultParallelism
+    from .analysis import ANALYZERS
+
+    term_transform = ANALYZERS[getattr(meta, "analyzer", "code")]
+    if not _done(out):
+        docs_tbl = spark.read.parquet(meta.docs_path).select(
+            "docid", *[F.col(c).cast("string").alias(c) for c in id_cols]
+        )
+        src = source.select(
+            *[F.col(c).cast("string").alias(c) for c in id_cols],
+            F.col(content_col).alias("content"),
+        )
+        joined = src.join(docs_tbl, list(id_cols)).select("docid", "content")
+        extract = _extract_positions(term_transform)
+        extract.bucket_docs = meta.bucket_docs
+        pos_rows = joined.mapInPandas(extract, _STAGE_SCHEMA)
+        # same range layout as the main postings: files cover contiguous
+        # term spans (row-group pruning on term), groups complete per
+        # partition, skew structurally bounded by bucket_docs
+        (
+            pos_rows.repartitionByRange(P, "term", "bucket")
+            .mapInPandas(_encode_pos_partition(meta.bucket_docs), POSITIONS_SCHEMA)
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    meta.has_positions = True
+    meta.stages["positions"] = round(time.time() - t0, 3)
+    meta.save()
+    return meta
+
+
+# ---------------------------------------------------------------------------
+# query kernels
+
+
+def _decode_bucket(pdf: pd.DataFrame, bucket_docs: int) -> dict:
+    """All encoded rows of ONE bucket -> {term: (docids, counts, flatpos)}."""
+    out = {}
+    for _, row in pdf.iterrows():
+        out[row["term"]] = decode_position_run(row, bucket_docs)
+    return out
+
+
+_KEY_SHIFT = np.int64(1) << np.int64(40)  # doc index < 4096 (bucket_docs),
+# position < 2^40: key = idx * 2^40 + pos stays well inside int64
+
+
+def _doc_pos_keys(docids, counts, positions, common):
+    """(docid, position) -> dense int64 keys (doc index within the sorted
+    ``common`` docid set, position packed below); docs outside ``common``
+    are dropped."""
+    loc = np.searchsorted(common, docids)
+    ok = (loc < len(common)) & (common[np.minimum(loc, len(common) - 1)] == docids)
+    tok_ok = np.repeat(ok, counts)
+    doc_idx = np.repeat(np.where(ok, loc, 0), counts)[tok_ok]
+    return doc_idx.astype(np.int64) * _KEY_SHIFT + positions[tok_ok]
+
+
+def phrase_tf_frame(
+    spark: SparkSession, meta: IndexMeta, terms: list[str]
+) -> DataFrame:
+    """Exact phrase frequency per doc from positional postings — zero
+    content access, any phrase length, overlapping occurrences counted
+    (Lucene PhraseQuery position semantics). Returns
+    DataFrame(docid bigint, phrase_tf bigint), phrase_tf > 0 only."""
+    if not getattr(meta, "has_positions", False):
+        raise ValueError("index has no positions table (build_positions)")
+    uniq = sorted(set(terms))
+    bucket_docs = meta.bucket_docs
+    L = len(terms)
+    terms_l = list(terms)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"docid": pd.Series([], dtype="int64"),
+                              "phrase_tf": pd.Series([], dtype="int64")})
+        dec = _decode_bucket(pdf, bucket_docs)
+        if any(t not in dec for t in uniq):
+            return empty
+        common = dec[uniq[0]][0]
+        for t in uniq[1:]:
+            common = np.intersect1d(common, dec[t][0], assume_unique=True)
+        if common.size == 0:
+            return empty
+        keys = {t: _doc_pos_keys(*dec[t], common) for t in uniq}
+        cand = keys[terms_l[0]]
+        for i in range(1, L):
+            if cand.size == 0:
+                return empty
+            cand = cand[np.isin(cand + np.int64(i), keys[terms_l[i]])]
+        if cand.size == 0:
+            return empty
+        tf = np.bincount((cand // _KEY_SHIFT).astype(np.int64),
+                         minlength=len(common))
+        nz = np.flatnonzero(tf)
+        return pd.DataFrame({"docid": common[nz], "phrase_tf": tf[nz].astype(np.int64)})
+
+    pos = spark.read.parquet(positions_path(meta)).where(F.col("term").isin(uniq))
+    return pos.groupBy("bucket").applyInPandas(
+        kernel, "docid bigint, phrase_tf bigint"
+    )
+
+
+def span_match_frame(
+    spark: SparkSession,
+    meta: IndexMeta,
+    term_a: str,
+    term_b: str,
+    slop: int,
+    ordered: bool,
+) -> DataFrame:
+    """Docs where a span of (a, b) exists within ``slop`` — the surround
+    parser's Nw (ordered) / Nn (unordered) verification over positional
+    postings. Returns DataFrame(docid bigint)."""
+    if not getattr(meta, "has_positions", False):
+        raise ValueError("index has no positions table (build_positions)")
+    a, b = term_a, term_b
+    uniq = sorted({a, b})
+    bucket_docs = meta.bucket_docs
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"docid": pd.Series([], dtype="int64")})
+        dec = _decode_bucket(pdf, bucket_docs)
+        if a not in dec or b not in dec:
+            return empty
+        common = np.intersect1d(dec[a][0], dec[b][0], assume_unique=True)
+        if common.size == 0:
+            return empty
+        ka = _doc_pos_keys(*dec[a], common)
+        kb = _doc_pos_keys(*dec[b], common)
+        hit = np.zeros(ka.shape, dtype=bool)
+        deltas = range(1, slop + 1) if ordered else \
+            [d for d in range(-slop, slop + 1) if d != 0]
+        for d in deltas:
+            hit |= np.isin(ka + np.int64(d), kb)
+        if not hit.any():
+            return empty
+        docs = np.unique((ka[hit] // _KEY_SHIFT).astype(np.int64))
+        return pd.DataFrame({"docid": common[docs]})
+
+    pos = spark.read.parquet(positions_path(meta)).where(F.col("term").isin(uniq))
+    return pos.groupBy("bucket").applyInPandas(kernel, "docid bigint")

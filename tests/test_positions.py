@@ -1,0 +1,191 @@
+"""Positional postings (solr_spark/positions.py) — codec round-trip,
+analysis-kernel correctness vs a naive Python reference, and path
+equality: phrase/proximity answered from positions must match the
+two-phase content-verify paths bit-for-bit (they share the analysis
+contract, so any disagreement is a bug)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = os.environ.get("SOLR_SPARK_TEST_SF_SMALL", "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# codec round-trip (pure numpy, no Spark)
+
+
+def test_position_codec_roundtrip():
+    from solr_spark.positions import decode_position_run, encode_position_runs
+
+    rng = np.random.default_rng(7)
+    bucket_docs = 64
+    rows = []  # (term, bucket, docid, positions)
+    for term in ["alpha", "beta"]:
+        for bucket in [0, 3]:
+            docs = np.sort(
+                rng.choice(np.arange(bucket * 64, bucket * 64 + 64), size=9, replace=False)
+            )
+            for d in docs:
+                npos = int(rng.integers(1, 6))
+                pos = np.sort(rng.choice(5000, size=npos, replace=False))
+                rows.append((term, bucket, int(d), pos.astype(np.int64)))
+    rows.sort(key=lambda r: (r[0], r[1], r[2]))
+    terms = np.array([r[0] for r in rows])
+    buckets = np.array([r[1] for r in rows], dtype=np.int64)
+    docids = np.array([r[2] for r in rows], dtype=np.int64)
+    counts = np.array([len(r[3]) for r in rows], dtype=np.int64)
+    flat = np.concatenate([r[3] for r in rows])
+
+    encoded = list(
+        encode_position_runs(terms, buckets, docids, counts, flat, bucket_docs)
+    )
+    assert len(encoded) == 4  # 2 terms x 2 buckets
+    back = {}
+    for term, bucket, df, doc_bytes, pos_counts, pos_bytes in encoded:
+        row = {
+            "df": df, "bucket": bucket, "doc_bytes": doc_bytes,
+            "pos_counts": pos_counts, "pos_bytes": pos_bytes,
+        }
+        d_ids, d_counts, d_pos = decode_position_run(row, bucket_docs)
+        back[(term, bucket)] = (d_ids, d_counts, d_pos)
+    for term in ["alpha", "beta"]:
+        for bucket in [0, 3]:
+            want = [r for r in rows if r[0] == term and r[1] == bucket]
+            d_ids, d_counts, d_pos = back[(term, bucket)]
+            assert d_ids.tolist() == [r[2] for r in want]
+            assert d_counts.tolist() == [len(r[3]) for r in want]
+            assert d_pos.tolist() == np.concatenate([r[3] for r in want]).tolist()
+
+
+# ---------------------------------------------------------------------------
+# analysis kernel vs naive reference
+
+
+def test_position_lists_matches_naive():
+    from solr_spark.analysis import STOPWORDS, TOKEN_RE
+    from solr_spark.positions import position_lists
+
+    texts = pd.Series(
+        [
+            "The Spark window merges a window of Spark rows.",
+            "",
+            None,
+            "spark spark spark",
+            "the and of",  # all stopwords -> no rows
+            "x_y z9 X_Y!! z9",
+        ]
+    )
+    out = position_lists(np.arange(len(texts), dtype=np.int64), texts)
+    got = {
+        (int(r.docid), r.term): list(r.positions) for r in out.itertuples()
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        toks = [w for w in TOKEN_RE.findall((t or "").lower()) if w not in STOPWORDS]
+        for p, w in enumerate(toks):
+            want.setdefault((i, w), []).append(p)
+    assert got == want
+
+
+def test_position_lists_term_transform():
+    from solr_spark.analysis import s_stem
+    from solr_spark.positions import position_lists
+
+    out = position_lists(
+        np.array([0], dtype=np.int64),
+        pd.Series(["windows window merges"]),
+        term_transform=s_stem,
+    )
+    got = {r.term: list(r.positions) for r in out.itertuples()}
+    # 'windows' and 'window' stem to the same term -> positions merge, ascending
+    assert got == {"window": [0, 1], "merge": [2]}
+
+
+# ---------------------------------------------------------------------------
+# planted-corpus phrase frequency (overlapping occurrences, repeated terms)
+
+
+@pytest.fixture(scope="module")
+def planted_index(spark, tmp_path_factory):
+    from solr_spark.indexer import build_index
+    from solr_spark.positions import build_positions
+
+    rows = [
+        # 'the' is a stopword: adjacency is over SURVIVING tokens
+        # (and single letters like 'a' are stopwords too -- use aa/bb)
+        ("r0", "0", "c0", "py", "aa bb the aa bb aa"),  # surviving: aa0 bb1 aa2 bb3 aa4
+        ("r0", "1", "c0", "py", "bb bb bb bb"),          # 'bb bb' overlapping -> tf 3
+        ("r0", "2", "c0", "py", "aa xx bb"),             # no adjacent 'aa bb'... see below
+        ("r0", "3", "c0", "py", "merge aa bb merge"),
+    ]
+    src = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    out = str(tmp_path_factory.mktemp("pidx") / "idx")
+    meta = build_index(spark, src, out, bucket_docs=2, num_partitions=2)
+    meta = build_positions(spark, src, meta, num_partitions=2)
+    return meta
+
+
+def test_phrase_tf_planted(spark, planted_index):
+    from solr_spark.positions import phrase_tf_frame
+
+    def tf(terms):
+        return {
+            int(r["docid"]): int(r["phrase_tf"])
+            for r in phrase_tf_frame(spark, planted_index, terms).collect()
+        }
+
+    # docids follow the (repo, path, commit) sort order -> path order here
+    assert tf(["aa", "bb"]) == {0: 2, 3: 1}
+    assert tf(["bb", "bb"]) == {1: 3}          # overlapping occurrences count
+    assert tf(["aa", "bb", "aa"]) == {0: 2}    # stopword removed: 'aa bb (the) aa bb aa'
+    assert tf(["aa", "zz"]) == {}              # absent term -> empty
+    assert tf(["merge"]) == {3: 2}             # single term degenerates to tf
+
+
+def test_span_match_planted(spark, planted_index):
+    from solr_spark.positions import span_match_frame
+
+    def span(a, b, slop, ordered):
+        return sorted(
+            int(r["docid"])
+            for r in span_match_frame(spark, planted_index, a, b, slop, ordered).collect()
+        )
+
+    assert span("aa", "merge", 1, True) == []       # aa@1 -> merge@3: distance 2
+    assert span("aa", "merge", 2, True) == [3]
+    assert span("merge", "aa", 1, True) == [3]      # ordered: merge before aa
+    assert span("aa", "merge", 1, False) == [3]     # aa@1 vs merge@0: |d|=1
+    assert span("merge", "bb", 1, False) == [3]     # unordered |d|<=1
+    assert span("aa", "zz", 5, True) == []
+
+
+# ---------------------------------------------------------------------------
+# gate-corpus path equality (positions vs two-phase content verify)
+
+
+def test_phrase_paths_agree(spark):
+    from solr_spark.engine import gate_phrase
+
+    for phrase in ["spark window", "spark window merge", "zzz qqq"]:
+        base = gate_phrase(spark, SF_DIR, phrase, k=10).collect()
+        pos = gate_phrase(spark, SF_DIR, phrase, k=10, positions=True).collect()
+        assert base == pos, phrase
+
+
+def test_proximity_paths_agree(spark):
+    from solr_spark.engine import gate_proximity
+
+    for ordered, slop in [(True, 3), (False, 2)]:
+        base = gate_proximity(
+            spark, SF_DIR, "spark", "merge", slop=slop, ordered=ordered, k=10
+        ).collect()
+        pos = gate_proximity(
+            spark, SF_DIR, "spark", "merge", slop=slop, ordered=ordered, k=10,
+            positions=True,
+        ).collect()
+        assert base == pos, (ordered, slop)
