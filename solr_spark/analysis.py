@@ -43,6 +43,53 @@ STOPWORDS_SQL = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
 SPLIT_REGEX_SQL = "[^a-z0-9_]+"  # for string_split_regex / split()
 
 
+def tokenize_arrow(texts: pd.Series):
+    """The shared Arrow analysis prologue (lower → regex split → flatten
+    → stop-filter) used by both term_frequencies and
+    positions.position_lists — ONE implementation so the analysis
+    contract can never diverge between the tf path and the positional
+    path. Returns ``(flat, parent)``: the surviving token Arrow array and
+    its list_parent_indices array (same filtering applied to both)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.Array.from_pandas(texts.fillna(""))
+    toks = pc.split_pattern_regex(pc.utf8_lower(arr), SPLIT_REGEX_SQL)
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    good = pc.and_(
+        pc.not_equal(flat, ""),
+        pc.invert(pc.is_in(flat, value_set=pa.array(sorted(STOPWORDS)))),
+    )
+    return pc.filter(flat, good), pc.filter(parent, good)
+
+
+def dict_encode_terms(tokens_arr, term_transform=None):
+    """Dictionary-encode a token array and (optionally) apply an analyzer
+    transform over the DICTIONARY only — unique terms, so stemming cost
+    scales with vocabulary, not corpus. Stems may collide; codes are
+    remapped into the stemmed code space (callers merge downstream).
+    Returns ``(codes int64 ndarray, dictionary pa.Array)``. Shared by
+    term_frequencies._count_runs and positions.position_lists."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    denc = pc.dictionary_encode(tokens_arr)
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    codes = denc.indices.to_numpy().astype(np.int64)
+    dictionary = denc.dictionary
+    if term_transform is not None:
+        uniq = dictionary.to_pylist()
+        new_code: dict[str, int] = {}
+        remap = np.empty(len(uniq), dtype=np.int64)
+        for ci, t in enumerate(uniq):
+            remap[ci] = new_code.setdefault(term_transform(t), len(new_code))
+        codes = remap[codes]
+        dictionary = pa.array(list(new_code), type=pa.string())
+    return codes, dictionary
+
+
 def tokenize_lists(texts: pd.Series) -> pd.Series:
     """Series[str] -> Series[list[str]] of post-stop-filter tokens."""
     toks = texts.fillna("").str.lower().str.findall(TOKEN_RE)
@@ -99,16 +146,7 @@ def term_frequencies(
         )
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     n_docs = doc_ids.size
-    arr = pa.Array.from_pandas(texts.fillna(""))
-    toks = pc.split_pattern_regex(pc.utf8_lower(arr), SPLIT_REGEX_SQL)
-    flat = pc.list_flatten(toks)
-    parent = pc.list_parent_indices(toks)
-    good = pc.and_(
-        pc.not_equal(flat, ""),
-        pc.invert(pc.is_in(flat, value_set=pa.array(sorted(STOPWORDS)))),
-    )
-    flat = pc.filter(flat, good)
-    parent = pc.filter(parent, good)
+    flat, parent = tokenize_arrow(texts)
     if len(flat) == 0:
         empty_terms = pd.array([], dtype="string[pyarrow]")
         return (
@@ -121,22 +159,9 @@ def term_frequencies(
     def _count_runs(tokens_arr, tok_pos):
         """(token, doc) pairs → unique (doc, term, tf) via dict-encode +
         one combined-key sort + run-length (shared by uni- and bigrams)."""
-        denc = pc.dictionary_encode(tokens_arr)
-        if isinstance(denc, pa.ChunkedArray):
-            denc = denc.combine_chunks()
-        codes = denc.indices.to_numpy().astype(np.int64)
-        dictionary = denc.dictionary
-        if term_transform is not None:
-            # analyzer transform over the DICTIONARY only (unique terms):
-            # stems may collide, so remap codes into the stemmed code
-            # space — the run-length pass below then merges their tfs.
-            uniq = dictionary.to_pylist()
-            new_code: dict[str, int] = {}
-            remap = np.empty(len(uniq), dtype=np.int64)
-            for ci, t in enumerate(uniq):
-                remap[ci] = new_code.setdefault(term_transform(t), len(new_code))
-            codes = remap[codes]
-            dictionary = pa.array(list(new_code), type=pa.string())
+        # stems may collide after the dictionary-level transform; the
+        # run-length pass below merges their tfs.
+        codes, dictionary = dict_encode_terms(tokens_arr, term_transform)
         k = np.int64(len(dictionary))
         key = tok_pos * k + codes
         key.sort()

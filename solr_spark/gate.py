@@ -1059,9 +1059,14 @@ _PRIORITY = [
     # a_unique_exact (round-1 green) is the exact counterpart
     "a_frange", "a_geodist",
     "a_percentile_rank", "a_facet2d",
+    # positional postings (round-2 new machinery: varint position codec +
+    # adjacency/span kernels) — must hold driver rows
+    "fts_phrase_pos", "fts_phrase3_pos", "fts_proximity_pos",
     # specialty parsers + dictionary + page components
+    # (fts_suggest spills: prefix top-k over the same term dictionary
+    # machinery as in-window fts_prefix_term, green in tests/test_gate.py)
     "fts_complexphrase", "fts_proximity",
-    "fts_suggest", "fts_spellcheck", "fts_highlight",
+    "fts_spellcheck", "fts_highlight",
     "fts_maxscore", "a_igain",
     "w_elevate", "a_facet_pivot", "a_facet_query", "a_facet_heatmap",
     # stream evaluators (Lang.java family)
@@ -1069,8 +1074,10 @@ _PRIORITY = [
     # machinery as a_moving_avg, green in tests/test_gate.py
     "a_moving_avg", "a_corr_regress",
     # a_percent_rank spills: SQL-standard percent_rank in both engines,
-    # green in tests/test_gate.py
-    "a_moving_median", "a_covariance", "a_describe",
+    # green in tests/test_gate.py. a_covariance / a_describe spill: the
+    # same decimal-exact agg machinery as in-window a_corr_regress and
+    # round-1-green a_stats, green in tests/test_gate.py
+    "a_moving_median",
     # range facet / block agg / synonyms / stemmed analyzer
     "a_facet_range", "a_unique_block", "fts_synonyms", "fts_stemmed",
     # round-2-changed plans that must keep fresh driver evidence

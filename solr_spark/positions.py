@@ -87,19 +87,10 @@ def position_lists(doc_ids: np.ndarray, texts: pd.Series, term_transform=None):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from .analysis import SPLIT_REGEX_SQL, STOPWORDS
+    from .analysis import dict_encode_terms, tokenize_arrow
 
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
-    arr = pa.Array.from_pandas(texts.fillna(""))
-    toks = pc.split_pattern_regex(pc.utf8_lower(arr), SPLIT_REGEX_SQL)
-    flat = pc.list_flatten(toks)
-    parent = pc.list_parent_indices(toks)
-    good = pc.and_(
-        pc.not_equal(flat, ""),
-        pc.invert(pc.is_in(flat, value_set=pa.array(sorted(STOPWORDS)))),
-    )
-    flat = pc.filter(flat, good)
-    parent = pc.filter(parent, good)
+    flat, parent = tokenize_arrow(texts)
     n = len(flat)
     empty_terms = pd.array([], dtype="string[pyarrow]")
     if n == 0:
@@ -121,22 +112,7 @@ def position_lists(doc_ids: np.ndarray, texts: pd.Series, term_transform=None):
     doc_first = np.flatnonzero(change)
     tokpos = np.arange(n, dtype=np.int64) - doc_first[np.cumsum(change) - 1]
 
-    denc = pc.dictionary_encode(flat)
-    if isinstance(denc, pa.ChunkedArray):
-        denc = denc.combine_chunks()
-    codes = denc.indices.to_numpy().astype(np.int64)
-    dictionary = denc.dictionary
-    if term_transform is not None:
-        # transform over the DICTIONARY only (unique terms) — identical
-        # remap discipline to analysis.term_frequencies so stemmed
-        # vocabularies line up with the main index
-        uniq = dictionary.to_pylist()
-        new_code: dict[str, int] = {}
-        remap = np.empty(len(uniq), dtype=np.int64)
-        for ci, t in enumerate(uniq):
-            remap[ci] = new_code.setdefault(term_transform(t), len(new_code))
-        codes = remap[codes]
-        dictionary = pa.array(list(new_code), type=pa.string())
+    codes, dictionary = dict_encode_terms(flat, term_transform)
     k = np.int64(len(dictionary))
     key = par * k + codes
     order = np.argsort(key, kind="stable")  # stable: positions stay ascending
@@ -237,13 +213,19 @@ def encode_position_runs(
         )
 
 
-def decode_position_run(row, bucket_docs: int):
-    """One encoded (term, bucket) row -> (docids int64[df],
-    counts int64[df], flat positions int64[sum(counts)])."""
+def decode_run_docids(row, bucket_docs: int) -> np.ndarray:
+    """Docid side of one encoded (term, bucket) row — cheap (df values);
+    lets query kernels intersect docids BEFORE paying the much larger
+    position-stream decode."""
     df = int(row["df"])
     dd = varint_decode(row["doc_bytes"], df).astype(np.int64)
     # first delta is (docid - base): add base back to the cumulative sum
-    docids = np.cumsum(dd) + int(row["bucket"]) * bucket_docs
+    return np.cumsum(dd) + int(row["bucket"]) * bucket_docs
+
+
+def decode_run_positions(row):
+    """Position side of one encoded row -> (counts int64[df],
+    flat positions int64[sum(counts)])."""
     counts = np.asarray(row["pos_counts"], dtype=np.int64)
     total = int(counts.sum())
     vals = varint_decode(row["pos_bytes"], total).astype(np.int64)
@@ -256,6 +238,14 @@ def decode_position_run(row, bucket_docs: int):
         positions = cs - np.repeat(base, counts)
     else:
         positions = vals
+    return counts, positions
+
+
+def decode_position_run(row, bucket_docs: int):
+    """One encoded (term, bucket) row -> (docids int64[df],
+    counts int64[df], flat positions int64[sum(counts)])."""
+    docids = decode_run_docids(row, bucket_docs)
+    counts, positions = decode_run_positions(row)
     return docids, counts, positions
 
 
@@ -263,7 +253,7 @@ def decode_position_run(row, bucket_docs: int):
 # build stage
 
 
-def _extract_positions(term_transform=None):
+def _extract_positions(term_transform, bucket_docs: int):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
@@ -274,7 +264,7 @@ def _extract_positions(term_transform=None):
             )
             if len(out):
                 out["bucket"] = (
-                    out["docid"].to_numpy() // np.int64(fn.bucket_docs)
+                    out["docid"].to_numpy() // np.int64(bucket_docs)
                 )
                 yield out[["term", "bucket", "docid", "positions"]]
 
@@ -355,8 +345,7 @@ def build_positions(
             F.col(content_col).alias("content"),
         )
         joined = src.join(docs_tbl, list(id_cols)).select("docid", "content")
-        extract = _extract_positions(term_transform)
-        extract.bucket_docs = meta.bucket_docs
+        extract = _extract_positions(term_transform, meta.bucket_docs)
         pos_rows = joined.mapInPandas(extract, _STAGE_SCHEMA)
         # same range layout as the main postings: files cover contiguous
         # term spans (row-group pruning on term), groups complete per
@@ -377,12 +366,12 @@ def build_positions(
 # query kernels
 
 
-def _decode_bucket(pdf: pd.DataFrame, bucket_docs: int) -> dict:
-    """All encoded rows of ONE bucket -> {term: (docids, counts, flatpos)}."""
-    out = {}
-    for _, row in pdf.iterrows():
-        out[row["term"]] = decode_position_run(row, bucket_docs)
-    return out
+def _bucket_rows(pdf: pd.DataFrame) -> dict:
+    """All encoded rows of ONE bucket -> {term: row}, decoded lazily by
+    the kernels (docids first, positions only when the docid intersection
+    survives). The range layout makes (term, bucket) groups complete and
+    unique per partition, so each term maps to exactly one row."""
+    return {row["term"]: row for _, row in pdf.iterrows()}
 
 
 _KEY_SHIFT = np.int64(1) << np.int64(40)  # doc index < 4096 (bucket_docs),
@@ -409,6 +398,8 @@ def phrase_tf_frame(
     DataFrame(docid bigint, phrase_tf bigint), phrase_tf > 0 only."""
     if not getattr(meta, "has_positions", False):
         raise ValueError("index has no positions table (build_positions)")
+    if not terms:
+        raise ValueError("phrase_tf_frame requires at least one term")
     uniq = sorted(set(terms))
     bucket_docs = meta.bucket_docs
     L = len(terms)
@@ -417,15 +408,22 @@ def phrase_tf_frame(
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"docid": pd.Series([], dtype="int64"),
                               "phrase_tf": pd.Series([], dtype="int64")})
-        dec = _decode_bucket(pdf, bucket_docs)
-        if any(t not in dec for t in uniq):
+        rows = _bucket_rows(pdf)
+        if any(t not in rows for t in uniq):
             return empty
-        common = dec[uniq[0]][0]
+        # cheap phase first: docid-only decode + intersection — a bucket
+        # missing any co-occurrence exits without paying the (dominant)
+        # position-stream decode of common terms
+        docs = {t: decode_run_docids(rows[t], bucket_docs) for t in uniq}
+        common = docs[uniq[0]]
         for t in uniq[1:]:
-            common = np.intersect1d(common, dec[t][0], assume_unique=True)
+            common = np.intersect1d(common, docs[t], assume_unique=True)
         if common.size == 0:
             return empty
-        keys = {t: _doc_pos_keys(*dec[t], common) for t in uniq}
+        keys = {}
+        for t in uniq:
+            counts, positions = decode_run_positions(rows[t])
+            keys[t] = _doc_pos_keys(docs[t], counts, positions, common)
         cand = keys[terms_l[0]]
         for i in range(1, L):
             if cand.size == 0:
@@ -463,19 +461,36 @@ def span_match_frame(
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"docid": pd.Series([], dtype="int64")})
-        dec = _decode_bucket(pdf, bucket_docs)
-        if a not in dec or b not in dec:
+        rows = _bucket_rows(pdf)
+        if a not in rows or b not in rows:
             return empty
-        common = np.intersect1d(dec[a][0], dec[b][0], assume_unique=True)
+        da = decode_run_docids(rows[a], bucket_docs)
+        db = da if b == a else decode_run_docids(rows[b], bucket_docs)
+        common = np.intersect1d(da, db, assume_unique=True)
         if common.size == 0:
             return empty
-        ka = _doc_pos_keys(*dec[a], common)
-        kb = _doc_pos_keys(*dec[b], common)
-        hit = np.zeros(ka.shape, dtype=bool)
-        deltas = range(1, slop + 1) if ordered else \
-            [d for d in range(-slop, slop + 1) if d != 0]
-        for d in deltas:
-            hit |= np.isin(ka + np.int64(d), kb)
+        ca, fa = decode_run_positions(rows[a])
+        ka = _doc_pos_keys(da, ca, fa, common)
+        if b == a:
+            kb = ka
+        else:
+            cb, fb = decode_run_positions(rows[b])
+            kb = _doc_pos_keys(db, cb, fb, common)
+        # ka/kb are sorted ((doc, position) keys ascend within a run), so
+        # one searchsorted window pair answers every slop at once instead
+        # of 2*slop full isin passes. Windows can't leak across docs:
+        # position < 2^40 and slop << 2^40 keep ka±slop inside the doc's
+        # key range.
+        if ordered:
+            lo = np.searchsorted(kb, ka + np.int64(1), side="left")
+            hi = np.searchsorted(kb, ka + np.int64(slop), side="right")
+            hit = hi > lo
+        else:
+            lo = np.searchsorted(kb, ka - np.int64(slop), side="left")
+            hi = np.searchsorted(kb, ka + np.int64(slop), side="right")
+            # zero-delta is not a span: when a == b each key matches
+            # itself exactly once (distinct terms never share a position)
+            hit = (hi - lo) > (1 if a == b else 0)
         if not hit.any():
             return empty
         docs = np.unique((ka[hit] // _KEY_SHIFT).astype(np.int64))
