@@ -78,3 +78,28 @@ def test_gate_entry(spark, ddb, name):
     pd.testing.assert_frame_equal(
         g, w, check_dtype=False, check_exact=True, obj=name
     )
+
+
+def test_driver_window_composition():
+    """The driver's correctness gate evaluates only the first ~50 entries
+    of the registry in iteration order. Pin the window's composition so a
+    registry edit can't silently push round-changed machinery (which must
+    hold fresh driver evidence) past the edge."""
+    from solr_spark import gate
+
+    window = list(gate.all_queries())[:50]
+    # round-2 new machinery that has no earlier driver rows
+    must_hold = {
+        "fts_phrase_pos", "fts_phrase3_pos", "fts_proximity_pos",
+        "fts_edismax_mm", "fts_edismax_pf2", "fts_prefix_term", "fts_fuzzy",
+        "u_incremental_index", "u_merge_segments",
+        "w_ltr_linear", "w_ltr_trees",
+        # training-data ops the round-1 verdict flagged as unevidenced
+        "t_minhash_pairs", "t_jaccard_pairs", "t_simhash_pairs",
+        "t_exact_dups", "e_knn_brute", "e_knn_ivf", "e_near_dup",
+        "s_media_features", "s_topic_incremental",
+    }
+    missing = must_hold - set(window)
+    assert not missing, f"outside the driver window: {sorted(missing)}"
+    # the window edge itself (documented in gate._PRIORITY)
+    assert window[49] == "r_export_sorted"
