@@ -25,7 +25,7 @@ from .indexer import IndexMeta, build_index
 from .kernel import dismax_search, search
 from .qparser import Query, parse
 
-ENGINE_VERSION = "v2"  # bump to invalidate cached gate indexes (v2: bucket_stats)
+ENGINE_VERSION = "v3"  # bump to invalidate cached gate indexes (v3: payload stream)
 
 
 def documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -61,13 +61,16 @@ def ensure_index(
     bucket_docs: int = 512,
     bigrams: bool = False,
     analyzer: str = "code",
-    positions: bool = False,
+    positions: bool = True,
 ) -> IndexMeta:
     """Build (or reuse, via the indexer's resume manifest) the index for
     one sf_dir under a content-addressed temp location. ``positions=True``
-    additionally builds the positional-postings table (positions.py) in a
-    SEPARATE cache dir, so position-free indexes keep exercising the
-    two-phase content-verify paths unchanged."""
+    (the DEFAULT since round 3: positional postings are the phrase/
+    proximity plan of record — scan ∝ query-term postings, zero content
+    re-read) additionally builds the positional-postings table
+    (positions.py) in a SEPARATE cache dir; ``positions=False`` keeps a
+    position-free index for the two-phase content-verify fallback
+    paths."""
     key = hashlib.md5(
         (
             f"{ENGINE_VERSION}:{os.path.abspath(sf_dir)}:{bucket_docs}:"
@@ -86,9 +89,14 @@ def ensure_index(
         analyzer=analyzer,
     )
     if positions and not getattr(meta, "has_positions", False):
-        from .positions import build_positions
+        from .positions import build_positions, default_payload_fn
 
-        meta = build_positions(spark, documents_as_corpus(spark, sf_dir), meta)
+        meta = build_positions(
+            spark,
+            documents_as_corpus(spark, sf_dir),
+            meta,
+            payload_fn=default_payload_fn,
+        )
     return meta
 
 
@@ -229,9 +237,14 @@ def gate_search(
     mterms, query.multiterm = query.multiterm, []
     parts = []
     if query.scoring:
-        parts.append(search(spark, meta, query, k=meta.n_docs, prune=True))
+        # component mode: downstream full_outer joins discard order, the
+        # final user-k TakeOrdered happens once at the end of this fn
+        parts.append(search(spark, meta, query, unsorted=True))
     for toks in phrases:
-        comp = _phrase_component(spark, meta, sf_dir, toks, dict(query.filters))
+        comp = _phrase_component(
+            spark, meta, sf_dir, toks, dict(query.filters),
+            prefer_positions=True,
+        )
         parts.append(comp.select("docid", F.col("p_score").alias("score")))
     for mt in mterms:
         parts.append(_multiterm_component(spark, meta, mt, dict(query.filters)))
@@ -283,7 +296,7 @@ def gate_dismax(
 ) -> DataFrame:
     """DisMax ranking under the same rounded-score contract."""
     meta = ensure_index(spark, sf_dir)
-    res = dismax_search(spark, meta, terms, tie=tie, k=meta.n_docs)
+    res = dismax_search(spark, meta, terms, tie=tie, unsorted=True)
     out = _with_doc_id(spark, meta, res).withColumn(
         "score", F.round(F.col("score"), 6)
     )
@@ -378,7 +391,7 @@ def _phrase_component(
         else:
             clause = Counter(terms)
         q = Query(required=clause)  # unfiltered: df must be filter-free
-        cand = search(spark, meta, q, k=meta.n_docs).select("docid")
+        cand = search(spark, meta, q, unsorted=True).select("docid")
         src = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
             "doc_id", "text"
         )
@@ -431,18 +444,23 @@ def _phrase_component(
 
 def gate_phrase(
     spark: SparkSession, sf_dir: str, phrase: str, k: int = 10,
-    bigrams: bool = False, positions: bool = False
+    bigrams: bool = False, positions: bool | None = None
 ) -> DataFrame:
     """Exact phrase query (pure phrase clause) under the rounded-score
     ranking contract; output (doc_id, phrase_tf, score). Reference:
     phrase queries in the standard parser
     (solr/core/src/java/org/apache/solr/search/SolrQueryParser.java;
-    solr-ref-guide standard-query-parser.adoc). ``bigrams=True`` runs
-    against a bigram-enabled index (the positional-postings stand-in);
-    ``positions=True`` runs against true positional postings
-    (positions.py — zero content access at any phrase length)."""
+    solr-ref-guide standard-query-parser.adoc).
+
+    Positional postings are the DEFAULT plan (zero content access at any
+    phrase length). ``bigrams=True`` runs against a bigram-enabled index
+    instead (the bigram stand-in, exercising the two-phase verify for
+    length>2); explicit ``positions=False`` forces the content-verify
+    fallback."""
     from .analysis import analyze_query
 
+    if positions is None:
+        positions = not bigrams
     meta = ensure_index(spark, sf_dir, bigrams=bigrams, positions=positions)
     terms = analyze_query(phrase)
     if not terms:
@@ -663,7 +681,9 @@ def gate_edismax(
     if pf3_weight:
         shingled += [(pf3_weight, clauses[i : i + 3]) for i in range(len(clauses) - 2)]
     for j, (w, toks) in enumerate(shingled):
-        p = _phrase_component(spark, meta, sf_dir, toks).select(
+        p = _phrase_component(
+            spark, meta, sf_dir, toks, prefer_positions=True
+        ).select(
             "docid", F.col("p_score").alias(f"__p{j}")
         )
         scored = (
@@ -803,7 +823,7 @@ def gate_complexphrase(
         from collections import Counter
 
         q = Query(required=Counter(concrete))
-        cand = search(spark, meta, q, k=meta.n_docs).select("docid")
+        cand = search(spark, meta, q, unsorted=True).select("docid")
     else:
         # all-wildcard phrase: candidates = docs matching the first slot's
         # dictionary expansion (still index-pruned, no full scan)
@@ -990,7 +1010,7 @@ def gate_proximity(
     slop: int,
     ordered: bool = True,
     k: int = 10,
-    positions: bool = False,
+    positions: bool = True,
 ) -> DataFrame:
     """Surround-parser proximity query — `3w(a, b)` (ordered within
     distance) / `3n(a, b)` (unordered within distance)
@@ -1016,19 +1036,22 @@ def gate_proximity(
         from .positions import span_match_frame
 
         matched_ids = span_match_frame(spark, meta, a, b, slop, ordered)
-        docs_p = spark.read.parquet(meta.docs_path).select("docid", "path")
-        src_p = _source_docs(spark, sf_dir).select("doc_id", "source")
+        # tie-break column comes from the INDEX docs table (repo := source
+        # under the corpus mapping) — zero source-table access on the
+        # positional plan
+        docs_p = spark.read.parquet(meta.docs_path).select(
+            "docid", "path", F.col("repo").alias("source")
+        )
         return (
             matched_ids.join(docs_p, "docid")
             .withColumn("doc_id", F.col("path").cast("bigint"))
-            .join(src_p, "doc_id")
             .select("doc_id", F.lit(1.0).alias("score"), "source")
             .orderBy(F.asc("source"), F.asc("doc_id"))
             .limit(k)
             .select("doc_id", "score")
         )
     q = Query(required=Counter([a, b]))
-    cand = search(spark, meta, q, k=meta.n_docs).select("docid")
+    cand = search(spark, meta, q, unsorted=True).select("docid")
     docs = spark.read.parquet(meta.docs_path).select("docid", "path")
     src = _source_docs(spark, sf_dir).select("doc_id", "text", "source")
     with_src = (
@@ -1054,6 +1077,61 @@ def gate_proximity(
     )
     return (
         matched.select("doc_id", F.lit(1.0).alias("score"), "source")
+        .orderBy(F.asc("source"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "score")
+    )
+
+
+def gate_payload_score(
+    spark: SparkSession, sf_dir: str, term: str, func: str = "max", k: int = 10
+) -> DataFrame:
+    """{!payload_score f=text v=term func=...}: rank docs containing
+    ``term`` by an aggregate of the payloads at the term's positions
+    (PayloadScoreQParserPlugin.java:1; func registry in
+    util/PayloadUtils.java). Payloads come from the index's per-position
+    payload stream (positions.default_payload_fn on the gate corpus —
+    the DelimitedPayloadTokenFilter slot). Scan ∝ the one term's
+    postings; ranking contract (round(score,6) desc, docid asc)."""
+    from .positions import payload_score_frame
+
+    meta = ensure_index(spark, sf_dir)
+    res = payload_score_frame(spark, meta, term.lower(), func)
+    out = _with_doc_id(spark, meta, res).withColumn(
+        "score", F.round(F.col("payload_score"), 6)
+    )
+    return (
+        out.orderBy(F.desc("score"), F.asc("docid"))
+        .limit(k)
+        .select("doc_id", "score")
+    )
+
+
+def gate_payload_check(
+    spark: SparkSession, sf_dir: str, phrase: str, payloads: list[int], k: int = 10
+) -> DataFrame:
+    """{!payload_check f=text v=phrase payloads=...}: docs where the
+    exact phrase occurs with the given payload at every slot of at least
+    one occurrence (PayloadCheckQParserPlugin.java:1; Lucene
+    SpanPayloadCheckQuery). Constant-score rewrite, tie-broken
+    (source, doc_id) — the same contract as the other span paths. Zero
+    content access: phrase adjacency AND payload equality are both
+    verified from positional postings."""
+    from .analysis import analyze_query
+    from .positions import payload_check_frame
+
+    meta = ensure_index(spark, sf_dir)
+    terms = analyze_query(phrase)
+    if not terms:
+        return spark.createDataFrame([], "doc_id bigint, score double")
+    res = payload_check_frame(spark, meta, terms, payloads)
+    docs = spark.read.parquet(meta.docs_path).select(
+        "docid", "path", F.col("repo").alias("source")
+    )
+    return (
+        res.join(docs, "docid")
+        .withColumn("doc_id", F.col("path").cast("bigint"))
+        .select("doc_id", F.lit(1.0).alias("score"), "source")
         .orderBy(F.asc("source"), F.asc("doc_id"))
         .limit(k)
         .select("doc_id", "score")

@@ -204,6 +204,48 @@ def jaccard_dropped_shingles(
     )
 
 
+AUTO_BUCKET_CAP = 512  # LSH band buckets larger than this are dropped whole
+
+
+def _cap_buckets(banded: DataFrame, max_bucket_size: int | str | None) -> DataFrame:
+    """Drop (band, bucket) groups with more than ``max_bucket_size``
+    members from an LSH banding table (columns id, band, bucket). The
+    oversized-bucket set is tiny by construction (each costs cap+ docs),
+    so it broadcasts; the survivors' self-join is then bounded at cap²
+    rows per bucket. Shared by the MinHash and SRP banding paths."""
+    if max_bucket_size == "auto":
+        max_bucket_size = AUTO_BUCKET_CAP
+    if max_bucket_size is None:
+        return banded
+    big = (
+        banded.groupBy("band", "bucket")
+        .count()
+        .filter(F.col("count") > int(max_bucket_size))
+        .select("band", "bucket")
+    )
+    return banded.join(F.broadcast(big), ["band", "bucket"], "left_anti")
+
+
+def lsh_oversized_buckets(
+    banded: DataFrame, max_bucket_size: int = AUTO_BUCKET_CAP
+) -> DataFrame:
+    """One-row DataFrame (n_buckets_dropped, n_members_dropped,
+    max_bucket_seen) over an LSH banding table — the pipeline-logging
+    companion of the _cap_buckets drop (the jaccard_dropped_shingles
+    pattern), so a capped run reports what it skipped."""
+    sizes = banded.groupBy("band", "bucket").count()
+    return sizes.agg(
+        F.count(F.when(F.col("count") > max_bucket_size, 1)).alias(
+            "n_buckets_dropped"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("count") > max_bucket_size, F.col("count"))),
+            F.lit(0),
+        ).alias("n_members_dropped"),
+        F.max("count").alias("max_bucket_seen"),
+    )
+
+
 def minhash_signature(toks: Column, num_hashes: int = 64, shingle_n: int = 3) -> Column:
     """MinHash signature as array<bigint>[num_hashes], all JVM-side:
     h_i(doc) = min over shingles s of xxhash64(i, s). (MinHashQParser
@@ -229,6 +271,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     verify: bool = True,
+    max_bucket_size: int | str | None = "auto",
 ) -> DataFrame:
     """MinHash + LSH banding near-dup candidates, optionally verified with
     exact Jaccard (so precision is exact; recall is the LSH probability
@@ -238,6 +281,17 @@ def minhash_lsh_pairs(
     with num_hashes min() columns → explode bands → groupBy
     (band, band hash) buckets → candidate pairs → exact-Jaccard verify
     over the same shingle rows (inverted-index intersection counts).
+
+    max_bucket_size caps a (band, bucket)'s membership before the
+    self-join: a bucket with s members emits s²/2 candidate rows, and a
+    giant EXACT-dup cluster (common in web corpora — boilerplate pages,
+    mirrored files) puts its whole cluster in the same bucket of every
+    band, turning one reducer quadratic. Buckets over the cap are
+    dropped whole ("auto" = 512 — a >512-member near-identical cluster
+    is exact-dup territory; run exact_duplicates() first and dedup its
+    canonical survivors here). Pass None for the uncapped join (the
+    test-scale oracle path); lsh_oversized_buckets() exposes the dropped
+    bucket/member counts so a silent cap never reads as full coverage.
     """
     from pyspark import StorageLevel
 
@@ -277,6 +331,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    banded = _cap_buckets(banded, max_bucket_size)
     x = banded.alias("x")
     y = banded.alias("y")
     cand = (

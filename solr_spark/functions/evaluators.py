@@ -400,3 +400,267 @@ def zscore(df: DataFrame, value: str, out_col: str = "zscore") -> DataFrame:
         .withColumn(out_col, (F.col(value) - F.col("__mu")) / F.col("__sigma"))
         .drop("__mu", "__sigma")
     )
+
+
+# --------------------------------------------------------------------------
+# batch 4 — distributions / hypothesis tests / signal ops (the Lang.java
+# eval families NormalDistributionEvaluator + ProbabilityEvaluator +
+# CumulativeProbabilityEvaluator, KolmogorovSmirnovEvaluator,
+# AnovaEvaluator, ConvolutionEvaluator, PolyFitEvaluator). The reference
+# wraps Apache Commons Math objects per tuple; here each is a Catalyst
+# expression (or a short deterministic CTE pipeline), so the same math
+# runs JVM-side over any number of rows.
+
+SQRT_2PI = 2.5066282746310002
+
+
+def norm_pdf(x: Column, mu: Column, sigma: Column) -> Column:
+    """Normal density (NormalDistributionEvaluator + density): exp(-(x-μ)²
+    / 2σ²) / (σ√2π) — one codegen'd expression."""
+    z = (x - mu) / sigma
+    return F.exp(F.lit(-0.5) * z * z) / (sigma * F.lit(SQRT_2PI))
+
+
+def erf_approx(z: Column) -> Column:
+    """erf via the Abramowitz & Stegun 7.1.26 polynomial (|err| < 1.5e-7,
+    public formula) — both engines evaluate the identical arithmetic, so
+    round(,6) outputs match exactly. t = 1/(1+0.3275911|z|);
+    erf = sign(z)·(1 − (a1t + a2t² + a3t³ + a4t⁴ + a5t⁵)·e^(−z²))."""
+    az = F.abs(z)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * az)
+    poly = t * (
+        F.lit(0.254829592)
+        + t
+        * (
+            F.lit(-0.284496736)
+            + t
+            * (
+                F.lit(1.421413741)
+                + t * (F.lit(-1.453152027) + t * F.lit(1.061405429))
+            )
+        )
+    )
+    mag = F.lit(1.0) - poly * F.exp(-az * az)
+    return F.signum(z) * mag
+
+
+# the same polynomial as a SQL string — gate oracles inline it so DuckDB
+# runs bit-identical arithmetic
+def erf_sql(z: str) -> str:
+    return (
+        f"(CASE WHEN {z} < 0 THEN -1 ELSE 1 END) * (1.0 - "
+        f"((1.0/(1.0+0.3275911*abs({z}))) * (0.254829592 + (1.0/(1.0+0.3275911*abs({z}))) * "
+        f"(-0.284496736 + (1.0/(1.0+0.3275911*abs({z}))) * (1.421413741 + (1.0/(1.0+0.3275911*abs({z}))) * "
+        f"(-1.453152027 + (1.0/(1.0+0.3275911*abs({z}))) * 1.061405429))))) * exp(-abs({z})*abs({z})))"
+    )
+
+
+def norm_cdf(x: Column, mu: Column, sigma: Column) -> Column:
+    """Normal CDF (cumulativeProbability): ½(1 + erf(z/√2)) with the
+    shared erf polynomial."""
+    z = (x - mu) / (sigma * F.lit(1.4142135623730951))
+    return F.lit(0.5) * (F.lit(1.0) + erf_approx(z))
+
+
+def uniform_cdf(x: Column, lo: Column, hi: Column) -> Column:
+    """UniformRealDistribution cumulativeProbability."""
+    return F.least(
+        F.lit(1.0), F.greatest(F.lit(0.0), (x - lo) / (hi - lo))
+    )
+
+
+def poisson_pmf(k: Column, lam: Column) -> Column:
+    """PoissonDistribution probability: e^(−λ)·λ^k / k!."""
+    return F.exp(-lam) * F.pow(lam, k) / F.factorial(k.cast("int"))
+
+
+def normal_fit(df: DataFrame, value: str, scale: int = 2) -> DataFrame:
+    """One-row (mu, sigma) maximum-likelihood normal fit from exact
+    decimal moments (population σ — Commons Math NormalDistribution's
+    fit convention in the reference's empirical pipelines)."""
+    vd = _dec(value, scale, 18)
+    m = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(vd).cast("double").alias("sx"),
+        F.sum(vd * vd).cast("double").alias("sxx"),
+    )
+    return m.select(
+        (F.col("sx") / F.col("n")).alias("mu"),
+        F.sqrt(
+            F.col("sxx") / F.col("n")
+            - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n"))
+        ).alias("sigma"),
+    )
+
+
+def ks_2sample(
+    df: DataFrame,
+    value: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test (KolmogorovSmirnovEvaluator —
+    the reference delegates to Commons Math KolmogorovSmirnovTest):
+    D = sup_x |F_a(x) − F_b(x)| over the pooled sample, p-value from the
+    asymptotic Kolmogorov series Q(λ) = 2·Σ_{j≥1} (−1)^{j−1} e^{−2j²λ²}
+    at λ = √(n_a·n_b/(n_a+n_b))·D (truncated at j=100; the standard
+    large-sample approximation).
+
+    Distributed shape: counts aggregate map-side per distinct value
+    first (the shuffle carries |distinct values| rows, not |rows|), the
+    ECDF window then runs over that compact table. The final window is
+    unpartitioned BY CONSTRUCTION over the distinct-value table — for
+    continuous 100-TB data, bucket values first (the reference's
+    empirical-distribution binning does the same)."""
+    two = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(value).alias("v"),
+        F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("is_a"),
+    )
+    per_v = two.groupBy("v").agg(
+        F.sum("is_a").alias("ca"),
+        F.sum(F.lit(1) - F.col("is_a")).alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ecdf = per_v.select(
+        (
+            F.sum("ca").over(w).cast("double")
+            / F.sum("ca").over(wall).cast("double")
+        ).alias("fa"),
+        (
+            F.sum("cb").over(w).cast("double")
+            / F.sum("cb").over(wall).cast("double")
+        ).alias("fb"),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
+    )
+    d = ecdf.agg(
+        F.max(F.abs(F.col("fa") - F.col("fb"))).alias("d_stat"),
+        F.first("na").alias("na"),
+        F.first("nb").alias("nb"),
+    )
+    lam = (
+        F.sqrt(
+            F.col("na").cast("double")
+            * F.col("nb").cast("double")
+            / (F.col("na") + F.col("nb")).cast("double")
+        )
+        * F.col("d_stat")
+    )
+    p = F.aggregate(
+        F.sequence(F.lit(1), F.lit(100)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.pow(F.lit(-1.0), (j - 1).cast("double"))
+        * F.exp(F.lit(-2.0) * lam * lam * j.cast("double") * j.cast("double")),
+    ) * F.lit(2.0)
+    return d.select(
+        "d_stat",
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), p)).alias("p_value"),
+    )
+
+
+def anova_f(
+    df: DataFrame, value: str, group_col: str, scale: int = 2
+) -> DataFrame:
+    """One-way ANOVA (AnovaEvaluator → Commons Math OneWayAnova): one row
+    (f_stat, df_between, df_within). Per-group moments are EXACT decimal
+    sums; the only double fold — Σ_g (Σx_g)²/n_g — runs over the groups
+    in sorted group order (groups are few by definition), so both engines
+    add the identical handful of doubles in the identical order."""
+    vd = _dec(value, scale, 18)
+    per_g = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("ng"),
+        F.sum(vd).cast("double").alias("sxg"),
+        F.sum(vd * vd).cast("double").alias("sxxg"),
+    )
+    folded = per_g.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(group_col).alias("g"), "sxg", "ng"))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["sxg"] * s["sxg"] / s["ng"],
+        ).alias("t"),
+        F.sum("ng").alias("n"),
+        F.sum("sxg").alias("sx"),
+        F.sum("sxxg").alias("sxx"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+    )
+    ssb = F.col("t") - F.col("sx") * F.col("sx") / F.col("n")
+    ssw = F.col("sxx") - F.col("t")
+    return folded.select(
+        (
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+        ).alias("f_stat"),
+        (F.col("k") - 1).alias("df_between"),
+        (F.col("n") - F.col("k")).alias("df_within"),
+    )
+
+
+# convolution joins the VECTOR family: full linear convolution of two
+# array columns, out[n] = Σ_i a[i]·b[n−i] (ConvolutionEvaluator; exact
+# for integer-count inputs)
+VECTOR["conv"] = lambda a, b: F.transform(
+    F.sequence(F.lit(0), F.size(a) + F.size(b) - 2),
+    lambda n: F.aggregate(
+        F.sequence(
+            F.greatest(F.lit(0), n - F.size(b) + 1),
+            F.least(n, F.size(a) - 1),
+        ),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(a, i + 1) * F.element_at(b, n - i + 1),
+    ),
+)
+
+
+def polyfit2(
+    df: DataFrame, x: str, y: str, x_scale: int = 1, y_scale: int = 2
+) -> DataFrame:
+    """Degree-2 polynomial OLS fit (PolyFitEvaluator, default degree 2 in
+    the reference): one row (c0, c1, c2) of y ≈ c0 + c1·x + c2·x².
+    Normal-equation moments Σx..Σx⁴, Σy, Σxy, Σx²y are EXACT decimals
+    (widths chosen so every product stays under Spark's 38-precision
+    cap for |x| ≤ ~9999), then the 3×3 system solves by Cramer's rule in
+    one deterministic double expression."""
+    xd = _dec(x, x_scale, 6)   # d(6,s): x⁴ products stay ≤ precision 27
+    yd = _dec(y, y_scale, 10)
+    x2 = xd * xd
+    m = df.agg(
+        F.count(F.lit(1)).cast("double").alias("s0"),
+        F.sum(xd).cast("double").alias("s1"),
+        F.sum(x2).cast("double").alias("s2"),
+        F.sum(x2 * xd).cast("double").alias("s3"),
+        F.sum(x2 * x2).cast("double").alias("s4"),
+        F.sum(yd).cast("double").alias("t0"),
+        F.sum(yd * xd).cast("double").alias("t1"),
+        F.sum(yd * x2).cast("double").alias("t2"),
+    )
+    s0, s1, s2 = F.col("s0"), F.col("s1"), F.col("s2")
+    s3, s4 = F.col("s3"), F.col("s4")
+    t0, t1, t2 = F.col("t0"), F.col("t1"), F.col("t2")
+    det = (
+        s0 * (s2 * s4 - s3 * s3)
+        - s1 * (s1 * s4 - s2 * s3)
+        + s2 * (s1 * s3 - s2 * s2)
+    )
+    c0 = (
+        t0 * (s2 * s4 - s3 * s3)
+        - s1 * (t1 * s4 - t2 * s3)
+        + s2 * (t1 * s3 - t2 * s2)
+    ) / det
+    c1 = (
+        s0 * (t1 * s4 - t2 * s3)
+        - t0 * (s1 * s4 - s2 * s3)
+        + s2 * (s1 * t2 - s2 * t1)
+    ) / det
+    c2 = (
+        s0 * (s2 * t2 - s3 * t1)
+        - s1 * (s1 * t2 - s2 * t1)
+        + t0 * (s1 * s3 - s2 * s2)
+    ) / det
+    return m.select(c0.alias("c0"), c1.alias("c1"), c2.alias("c2"))

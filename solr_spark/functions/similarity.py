@@ -227,6 +227,7 @@ def srp_near_dup_pairs(
     bands: int = 8,
     bits_per_band: int = 8,
     seed: int = 13,
+    max_bucket_size: int | str | None = "auto",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via signed-random-projection
     LSH (Charikar 2002, "Similarity Estimation Techniques from Rounding
@@ -246,7 +247,12 @@ def srp_near_dup_pairs(
     Scale shape: the signature kernel is one numpy matmul per Arrow
     batch (vectors never leave the executor), candidate generation is a
     groupable self-join keyed (band, bucket) — identical plan family to
-    minhash_lsh_pairs, no all-pairs stage anywhere."""
+    minhash_lsh_pairs, no all-pairs stage anywhere. ``max_bucket_size``
+    ("auto" = dedup.AUTO_BUCKET_CAP) drops degenerate hot buckets —
+    e.g. many zero or bit-identical vectors sharing every band
+    signature — before the self-join goes quadratic; pass None for the
+    uncapped test-scale join, and use dedup.lsh_oversized_buckets for
+    dropped-bucket accounting."""
     import numpy as np
     import pandas as pd
     from typing import Iterator
@@ -284,6 +290,9 @@ def srp_near_dup_pairs(
             )
 
     sig = src.mapInPandas(kern, f"id {id_type}, band int, bucket bigint")
+    from .dedup import _cap_buckets
+
+    sig = _cap_buckets(sig, max_bucket_size)
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
         a.join(
@@ -309,3 +318,80 @@ def srp_near_dup_pairs(
 # round-1 name kept as an alias (the component-sign variant it named had
 # unvalidated recall and is superseded by the SRP implementation)
 embedding_near_dup_pairs = srp_near_dup_pairs
+
+
+def sq_euclidean(a: Column, b: Column) -> Column:
+    """JVM-side squared euclidean distance, folded in element order
+    (deterministic)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans(
+    corpus: DataFrame,
+    k: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Deterministic Lloyd k-means (KmeansEvaluator, Lang.java — the
+    reference wraps Commons Math KMeansPlusPlusClusterer; the random
+    k-means++ seeding is replaced by the k lowest-id vectors so two
+    engines — and two cluster sizes — produce the identical model).
+    Euclidean assignment, ties broken by cluster_id asc; after every
+    mean update the centroids are ROUNDED to ``round_to`` decimals,
+    which quantizes away float summation-order wobble so the next
+    iteration's assignment is bit-reproducible under any partitioning
+    (and mirrorable by a SQL oracle).
+
+    Returns the assignment frame (id_col, cluster_id). Scale shape: per
+    iteration one broadcast of k centroids + one (cluster, dim)-keyed
+    aggregation — no all-pairs stage, centroids never leave the plan."""
+    seeds = (
+        corpus.orderBy(F.asc(id_col))
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy(F.asc(id_col))).alias("cluster_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("c_vec"),
+        )
+    )
+    cents = seeds
+    src = corpus.select(id_col, vec_col)
+
+    def assign(c: DataFrame) -> DataFrame:
+        scored = src.crossJoin(F.broadcast(c)).select(
+            id_col,
+            vec_col,
+            "cluster_id",
+            sq_euclidean(F.col(vec_col), F.col("c_vec")).alias("__d"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.asc("__d"), F.asc("cluster_id"))
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__d")
+        )
+
+    for _ in range(iters):
+        assigned = assign(cents)
+        flat = assigned.select(
+            "cluster_id", F.posexplode(F.col(vec_col)).alias("pos", "val")
+        )
+        cents = (
+            flat.groupBy("cluster_id", "pos")
+            .agg(F.round(F.avg(F.col("val").cast("double")), round_to).alias("m"))
+            .groupBy("cluster_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "cluster_id",
+                F.transform("pm", lambda s: s.getField("m")).alias("c_vec"),
+            )
+        )
+    return assign(cents).select(id_col, "cluster_id")

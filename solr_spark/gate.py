@@ -1038,29 +1038,42 @@ def s_media_features(spark, sf_dir):
 # tests/test_gate.py against the same oracles) follow.
 
 _PRIORITY = [
-    # LLM-data-pipeline ops (dedup / similarity / text analysis / media;
-    # t_token_stats / t_fingerprint spill — they hold round-1 green rows)
+    # ROUND-3 NEW machinery — must hold driver rows: per-position payload
+    # stream + payload_score/payload_check kernels, and evaluator batch 4
+    # (distributions/KS/ANOVA/kmeans/convolution/polyfit)
+    "fts_payload_score", "fts_payload_check",
+    "a_distribution", "a_ks_test", "a_anova",
+    "a_kmeans", "a_convolution", "a_polyfit",
+    # LLM-data-pipeline ops (dedup / similarity / media / text analysis).
+    # t_minhash_pairs changed this round (LSH bucket-size cap in the band
+    # self-join); t_quality / t_lang_id / s_media_features /
+    # s_topic_incremental spill — r2-green, pure-Catalyst plans untouched
+    # in round 3, still exercised by tests/test_gate.py.
+    # t_token_stats / t_fingerprint spill as before (round-1 green rows).
     "t_minhash_pairs", "t_jaccard_pairs", "t_simhash_pairs", "t_exact_dups",
-    "t_dup_clusters", "t_quality", "t_lang_id",
+    "t_dup_clusters",
     "e_knn_brute", "e_knn_ivf", "e_near_dup",
-    "s_media_features", "s_topic_incremental",
-    # round-2 engine operators + previously-unevaluated entries
-    # (fts_phrase_bigram / fts_proximity_un spill: same machinery and
-    # oracles as their in-window siblings, green in tests/test_gate.py)
+    # round-3 CHANGED plans: every gate_search / dismax / phrase /
+    # proximity path now uses unsorted component mode + positional
+    # postings by default (v3 index with payload stream) — keep fresh
+    # driver evidence for the whole family.
     "fts_phrase", "fts_mixed_phrase", "fts_mlt",
     "fts_edismax_mm", "fts_edismax_pf2",
     # fts_mixed_wildcard spills: fts_prefix_term/fts_fuzzy cover the
     # dictionary expansion and fts_mixed_phrase the additive combination
     "fts_prefix_term", "fts_fuzzy",
-    # u_delete_by_key spills: trivial anti-join, round-1 pass* + pytest
-    "u_incremental_index", "u_merge_segments", "u_atomic_update",
-    "w_rerank", "w_ltr_linear", "w_ltr_trees",
+    # u_delete_by_key spills: trivial anti-join, round-1 pass* + pytest.
+    # u_atomic_update spills: r2-green, updates.py untouched in round 3.
+    "u_incremental_index", "u_merge_segments",
+    # w_ltr_trees spills: r2-green, ltr.py untouched in round 3 and
+    # w_ltr_linear (same model-store machinery) keeps driver evidence
+    "w_rerank", "w_ltr_linear",
     # a_hll_approx spills: its driver check is rows-only either way and
     # a_unique_exact (round-1 green) is the exact counterpart
     "a_frange", "a_geodist",
     "a_percentile_rank", "a_facet2d",
-    # positional postings (round-2 new machinery: varint position codec +
-    # adjacency/span kernels) — must hold driver rows
+    # positional postings (round-2 machinery, now the DEFAULT phrase/
+    # proximity plan + payload stream added) — must hold driver rows
     "fts_phrase_pos", "fts_phrase3_pos", "fts_proximity_pos",
     # specialty parsers + dictionary + page components
     # (fts_suggest spills: prefix top-k over the same term dictionary
@@ -1068,7 +1081,10 @@ _PRIORITY = [
     "fts_complexphrase", "fts_proximity",
     "fts_spellcheck", "fts_highlight",
     "fts_maxscore", "a_igain",
-    "w_elevate", "a_facet_pivot", "a_facet_query", "a_facet_heatmap",
+    # a_facet_query / a_facet_heatmap spill: r2-green, rollup.py facet
+    # machinery untouched in round 3 (a_facet_pivot keeps driver evidence
+    # for the family)
+    "w_elevate", "a_facet_pivot",
     # stream evaluators (Lang.java family)
     # a_cumulative_sum / a_diff_lag spill: same decimal-exact window
     # machinery as a_moving_avg, green in tests/test_gate.py
@@ -1080,11 +1096,15 @@ _PRIORITY = [
     "a_moving_median",
     # range facet / block agg / synonyms / stemmed analyzer
     "a_facet_range", "a_unique_block", "fts_synonyms", "fts_stemmed",
-    # round-2-changed plans that must keep fresh driver evidence
+    # sorted-export distributed global_rank (round-2 changed plan)
     "r_export_sorted",
-    # core BM25 / parser / relational representatives (round-1 green rows
-    # exist for everything from here down — safe to spill past a bounded
-    # driver evaluation window)
+    # spilled with r2 evidence (plans untouched in round 3): t_quality,
+    # t_lang_id, s_media_features, s_topic_incremental, u_atomic_update,
+    # w_ltr_trees, a_facet_query, a_facet_heatmap — then the core BM25 /
+    # parser / relational representatives with round-1 green rows; all
+    # still exercised by tests/test_gate.py against the same oracles.
+    "t_quality", "t_lang_id", "s_media_features", "s_topic_incremental",
+    "u_atomic_update", "w_ltr_trees", "a_facet_query", "a_facet_heatmap",
     "fts_single_term", "fts_conjunction", "fts_dismax_tie",
     "fts_term_dictionary",
     "r_search_select", "r_topk",
@@ -1200,6 +1220,50 @@ def fts_phrase3_pos(spark, sf_dir):
     from solr_spark.engine import gate_phrase
 
     return gate_phrase(spark, sf_dir, "spark window merge", k=10, positions=True)
+
+
+# payload queries: the gate payload of a surviving token at 0-based
+# position p is (length(token) + p) % 16 (positions.default_payload_fn —
+# the DelimitedPayloadTokenFilter slot; SQL arrays are 1-based so p=i-1)
+_PAYLOAD_SCORE_SQL = f"""WITH tk AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+m AS (SELECT doc_id,
+  list_transform(list_filter(generate_series(1, len(t)), i -> t[i] = 'spark'),
+                 i -> CAST((length(t[i]) + i - 1) % 16 AS DOUBLE)) AS pays
+  FROM tk),
+s AS (SELECT doc_id, round(list_max(pays), 6) AS score FROM m WHERE len(pays) > 0)
+SELECT s.doc_id, s.score FROM s JOIN documents d USING (doc_id)
+ORDER BY s.score DESC, d.source ASC, s.doc_id ASC LIMIT 10"""
+
+
+@entry("fts_payload_score", _PAYLOAD_SCORE_SQL)
+def fts_payload_score(spark, sf_dir):
+    """{!payload_score f=text v=spark func=max}: rank by max payload at
+    the term's positions, read from the index's per-position payload
+    stream (PayloadScoreQParserPlugin.java:1)."""
+    from solr_spark.engine import gate_payload_score
+
+    return gate_payload_score(spark, sf_dir, "spark", func="max", k=10)
+
+
+_PAYLOAD_CHECK_SQL = f"""WITH tk AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+m AS (SELECT doc_id FROM tk WHERE len(list_filter(generate_series(1, len(t) - 1),
+      i -> t[i] = 'spark' AND t[i+1] = 'window'
+       AND (length(t[i]) + i - 1) % 16 = 5
+       AND (length(t[i+1]) + i) % 16 = 7)) > 0)
+SELECT m.doc_id, 1.0 AS score FROM m JOIN documents d ON m.doc_id = d.doc_id
+ORDER BY d.source ASC, m.doc_id ASC LIMIT 10"""
+
+
+@entry("fts_payload_check", _PAYLOAD_CHECK_SQL)
+def fts_payload_check(spark, sf_dir):
+    """{!payload_check f=text v='spark window' payloads='5 7'}: the
+    phrase must occur with payload 5 at 'spark' and 7 at 'window' in the
+    same occurrence (PayloadCheckQParserPlugin.java:1) — adjacency AND
+    payload equality both verified from positional postings, zero
+    content access."""
+    from solr_spark.engine import gate_payload_check
+
+    return gate_payload_check(spark, sf_dir, "spark window", [5, 7], k=10)
 
 
 # mixed boolean + phrase query: total = term-kernel score + phrase clause
@@ -1395,6 +1459,265 @@ def a_diff_lag(spark, sf_dir):
     return out.select(
         "event_id",
         F.round(F.coalesce(F.col("diff"), F.lit(0.0)), 6).alias("diff"),
+    )
+
+
+# --- batch 4: distributions / hypothesis tests / signal ops -------------
+
+# erf(z) for a column named z — the A&S 7.1.26 polynomial, inlined so
+# DuckDB runs the identical arithmetic as evaluators.erf_approx
+_ERF_Z = (
+    "(CASE WHEN z < 0 THEN -1 ELSE 1 END) * (1.0 - "
+    "((1.0/(1.0+0.3275911*abs(z))) * (0.254829592 + (1.0/(1.0+0.3275911*abs(z))) * "
+    "(-0.284496736 + (1.0/(1.0+0.3275911*abs(z))) * (1.421413741 + (1.0/(1.0+0.3275911*abs(z))) * "
+    "(-1.453152027 + (1.0/(1.0+0.3275911*abs(z))) * 1.061405429))))) * exp(-abs(z)*abs(z)))"
+)
+
+_DISTRIBUTION_SQL = f"""WITH m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+  FROM lineitem),
+f AS (SELECT sx/n AS mu, sqrt(sxx/n - (sx/n)*(sx/n)) AS sigma FROM m),
+xs AS (SELECT CAST(t.x AS DOUBLE) AS x FROM generate_series(1, 50) t(x)),
+zs AS (SELECT x, mu, sigma, (x - mu) / (sigma * 1.4142135623730951) AS z FROM xs, f)
+SELECT x,
+ round(exp(-0.5 * ((x - mu) / sigma) * ((x - mu) / sigma)) / (sigma * 2.5066282746310002), 6) AS norm_pdf,
+ round(0.5 * (1.0 + {_ERF_Z}), 6) AS norm_cdf
+FROM zs"""
+
+
+@entry("a_distribution", _DISTRIBUTION_SQL)
+def a_distribution(spark, sf_dir):
+    """normalDistribution + probability/cumulativeProbability evaluators
+    (solrj-streaming io/eval/NormalDistributionEvaluator.java,
+    ProbabilityEvaluator, CumulativeProbabilityEvaluator): fit a normal
+    to l_quantity from exact decimal moments, then evaluate pdf/cdf at
+    x = 1..50 — erf via the shared A&S 7.1.26 polynomial so both engines
+    run identical arithmetic."""
+    from solr_spark.functions import evaluators as ev
+
+    li = _t(spark, sf_dir, "lineitem")
+    fit = ev.normal_fit(li, "l_quantity", scale=2)
+    xs = spark.range(1, 51).select(F.col("id").cast("double").alias("x"))
+    out = xs.crossJoin(F.broadcast(fit))
+    return out.select(
+        "x",
+        F.round(ev.norm_pdf(F.col("x"), F.col("mu"), F.col("sigma")), 6).alias(
+            "norm_pdf"
+        ),
+        F.round(ev.norm_cdf(F.col("x"), F.col("mu"), F.col("sigma")), 6).alias(
+            "norm_cdf"
+        ),
+    )
+
+
+_KS_SQL = """WITH two AS (SELECT l_quantity AS v,
+  CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS is_a
+  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+pv AS (SELECT v, sum(is_a) AS ca, sum(1 - is_a) AS cb FROM two GROUP BY v),
+e AS (SELECT
+  CAST(sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    / CAST(sum(ca) OVER () AS DOUBLE) AS fa,
+  CAST(sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    / CAST(sum(cb) OVER () AS DOUBLE) AS fb,
+  sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+  FROM pv),
+d AS (SELECT max(abs(fa - fb)) AS d_stat, any_value(na) AS na, any_value(nb) AS nb FROM e),
+l AS (SELECT d_stat,
+  sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(na + nb AS DOUBLE)) * d_stat AS lam
+  FROM d)
+SELECT round(d_stat, 6) AS d_stat,
+ round(least(1.0, greatest(0.0, 2.0 * (SELECT sum(pow(-1.0, CAST(j - 1 AS DOUBLE))
+   * exp(-2.0 * lam * lam * CAST(j AS DOUBLE) * CAST(j AS DOUBLE)))
+   FROM generate_series(1, 100) t(j)))), 6) AS p_value
+FROM l"""
+
+
+@entry("a_ks_test", _KS_SQL)
+def a_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov test (KolmogorovSmirnovEvaluator —
+    the reference wraps Commons Math KolmogorovSmirnovTest) on l_quantity
+    between returnflags A and R: D over the pooled ECDFs + the asymptotic
+    Kolmogorov-series p-value (j ≤ 100)."""
+    from solr_spark.functions import evaluators as ev
+
+    out = ev.ks_2sample(
+        _t(spark, sf_dir, "lineitem"), "l_quantity", "l_returnflag", "A", "R"
+    )
+    return out.select(
+        F.round("d_stat", 6).alias("d_stat"), F.round("p_value", 6).alias("p_value")
+    )
+
+
+_ANOVA_SQL = """WITH g AS (SELECT l_returnflag AS g,
+  CAST(count(*) AS DOUBLE) AS ng,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxg,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxxg
+  FROM lineitem GROUP BY 1),
+f AS (SELECT list_sum(list(sxg * sxg / ng ORDER BY g)) AS t,
+  sum(ng) AS n, sum(sxg) AS sx, sum(sxxg) AS sxx,
+  CAST(count(*) AS DOUBLE) AS k FROM g)
+SELECT round(((t - sx * sx / n) / (k - 1)) / ((sxx - t) / (n - k)), 6) AS f_stat,
+ k - 1 AS df_between, n - k AS df_within
+FROM f"""
+
+
+@entry("a_anova", _ANOVA_SQL)
+def a_anova(spark, sf_dir):
+    """One-way ANOVA (AnovaEvaluator → Commons Math OneWayAnova) of
+    l_quantity across the three returnflag groups: F-statistic from
+    exact per-group decimal moments, the only double fold ordered by
+    group key in both engines."""
+    from solr_spark.functions import evaluators as ev
+
+    out = ev.anova_f(_t(spark, sf_dir, "lineitem"), "l_quantity", "l_returnflag")
+    return out.select(
+        F.round("f_stat", 6).alias("f_stat"), "df_between", "df_within"
+    )
+
+
+def _kmeans_oracle_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled Lloyd iterations as chained CTEs — the oracle mirror of
+    similarity.kmeans (deterministic lowest-id seeding, euclidean
+    assignment tie-broken by cluster id, centroids rounded to 6 dp after
+    every mean update so fp summation-order wobble is quantized away in
+    BOTH engines before it can flip an assignment)."""
+
+    def assign(name: str, cents: str) -> str:
+        return f"""{name} AS (SELECT vec_id, cid FROM (
+  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+    list_sum(list_transform(range(1, {dim + 1}),
+      i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) ASC, c.cid ASC) AS rn
+  FROM e CROSS JOIN {cents} c) WHERE rn = 1)"""
+
+    def update(name: str, asg: str) -> str:
+        return f"""{name} AS (SELECT cid, list(m ORDER BY i) AS cv FROM (
+  SELECT {asg}.cid, t.i, round(avg(e.v[t.i]), 6) AS m
+  FROM {asg} JOIN e USING (vec_id) CROSS JOIN generate_series(1, {dim}) t(i)
+  GROUP BY {asg}.cid, t.i) GROUP BY cid)"""
+
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))""",
+    ]
+    for it in range(iters):
+        ctes.append(assign(f"a{it}", f"c{it}"))
+        ctes.append(update(f"c{it + 1}", f"a{it}"))
+    ctes.append(assign(f"a{iters}", f"c{iters}"))
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT cid AS cluster_id, count(*) AS n_members, round(avg(e.v[1]), 6) AS c0_mean
+FROM a{iters} JOIN e USING (vec_id) GROUP BY cid"""
+    )
+
+
+@entry("a_kmeans", _kmeans_oracle_sql(4, 2, 64))
+def a_kmeans(spark, sf_dir):
+    """kmeans stream evaluator (solrj-streaming io/eval/KmeansEvaluator.java
+    — Commons Math KMeansPlusPlusClusterer with the random seeding replaced
+    by deterministic lowest-id seeds): k=4, 2 Lloyd iterations over the
+    embeddings table; output = per-cluster size + mean first component."""
+    from solr_spark.functions import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    asg = similarity.kmeans(emb, 4, iters=2)
+    joined = asg.join(emb, "vec_id")
+    return joined.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(
+            F.avg(F.element_at("embedding", 1).cast("double")), 6
+        ).alias("c0_mean"),
+    )
+
+
+_CONV_SQL = """WITH ha AS (SELECT list(CAST(c AS DOUBLE) ORDER BY q) AS arr FROM (
+  SELECT CAST(l_quantity AS INT) AS q, count(*) AS c FROM lineitem
+  WHERE l_returnflag = 'A' AND l_quantity BETWEEN 1 AND 8 GROUP BY 1)),
+hb AS (SELECT list(CAST(c AS DOUBLE) ORDER BY q) AS arr FROM (
+  SELECT CAST(l_quantity AS INT) AS q, count(*) AS c FROM lineitem
+  WHERE l_returnflag = 'R' AND l_quantity BETWEEN 1 AND 8 GROUP BY 1)),
+ns AS (SELECT unnest(range(0, len(ha.arr) + len(hb.arr) - 1)) AS pos FROM ha, hb)
+SELECT CAST(ns.pos AS BIGINT) AS pos,
+ list_sum(list_transform(
+   range(greatest(0, ns.pos - len(hb.arr) + 1), least(ns.pos, len(ha.arr) - 1) + 1),
+   i -> ha.arr[i + 1] * hb.arr[ns.pos - i + 1])) AS val
+FROM ns, ha, hb"""
+
+
+@entry("a_convolution", _CONV_SQL)
+def a_convolution(spark, sf_dir):
+    """conv evaluator (ConvolutionEvaluator): full linear convolution of
+    the two returnflag quantity histograms — integer-count inputs make
+    the output exact in both engines."""
+    from solr_spark.functions.evaluators import VECTOR
+
+    li = _t(spark, sf_dir, "lineitem")
+
+    def hist(flag):
+        g = (
+            li.filter(
+                (F.col("l_returnflag") == flag)
+                & F.col("l_quantity").between(1, 8)
+            )
+            .groupBy(F.col("l_quantity").cast("int").alias("q"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        return g.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("q", "c"))),
+                lambda s: s.getField("c").cast("double"),
+            ).alias("arr")
+        )
+
+    a = hist("A").select(F.col("arr").alias("arr_a"))
+    b = hist("R").select(F.col("arr").alias("arr_b"))
+    out = a.crossJoin(b).select(
+        F.posexplode(VECTOR["conv"](F.col("arr_a"), F.col("arr_b"))).alias(
+            "pos", "val"
+        )
+    )
+    return out.select(F.col("pos").cast("bigint").alias("pos"), "val")
+
+
+_POLYFIT_SQL = """WITH s AS (SELECT
+  CAST(event_id % 97 AS DECIMAL(6,1)) AS xd,
+  CAST(value AS DECIMAL(10,2)) AS yd FROM events),
+m AS (SELECT CAST(count(*) AS DOUBLE) AS s0,
+  CAST(sum(xd) AS DOUBLE) AS s1,
+  CAST(sum(xd * xd) AS DOUBLE) AS s2,
+  CAST(sum(xd * xd * xd) AS DOUBLE) AS s3,
+  CAST(sum((xd * xd) * (xd * xd)) AS DOUBLE) AS s4,
+  CAST(sum(yd) AS DOUBLE) AS t0,
+  CAST(sum(yd * xd) AS DOUBLE) AS t1,
+  CAST(sum(yd * (xd * xd)) AS DOUBLE) AS t2
+  FROM s),
+d AS (SELECT *,
+  s0 * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s2 * s3) + s2 * (s1 * s3 - s2 * s2) AS det
+  FROM m)
+SELECT
+ round((t0 * (s2 * s4 - s3 * s3) - s1 * (t1 * s4 - t2 * s3) + s2 * (t1 * s3 - t2 * s2)) / det, 6) AS c0,
+ round((s0 * (t1 * s4 - t2 * s3) - t0 * (s1 * s4 - s2 * s3) + s2 * (s1 * t2 - s2 * t1)) / det, 8) AS c1,
+ round((s0 * (s2 * t2 - s3 * t1) - s1 * (s1 * t2 - s2 * t1) + t0 * (s1 * s3 - s2 * s2)) / det, 10) AS c2
+FROM d"""
+
+
+@entry("a_polyfit", _POLYFIT_SQL)
+def a_polyfit(spark, sf_dir):
+    """polyfit evaluator (PolyFitEvaluator, default degree 2): OLS
+    quadratic fit of events.value against (event_id mod 97) — exact
+    decimal normal-equation moments, Cramer's rule in one deterministic
+    double expression."""
+    from solr_spark.functions import evaluators as ev
+
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("event_id") % 97).alias("x"), "value"
+    )
+    out = ev.polyfit2(e, "x", "value", x_scale=1, y_scale=2)
+    return out.select(
+        F.round("c0", 6).alias("c0"),
+        F.round("c1", 8).alias("c1"),
+        F.round("c2", 10).alias("c2"),
     )
 
 

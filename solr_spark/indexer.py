@@ -76,6 +76,7 @@ class IndexMeta:
     docid_base: int = 0  # first docid of this segment (bucket-aligned)
     has_bigrams: bool = False  # adjacent-pair postings present (phrase path)
     has_positions: bool = False  # positional postings present (positions.py)
+    has_payloads: bool = False  # per-position payloads present (positions.py)
     analyzer: str = "code"  # analysis.ANALYZERS key used at build time
     n_terms: int = 0
     postings_rows: int = 0

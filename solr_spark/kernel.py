@@ -311,13 +311,22 @@ def search(
     _frames: tuple | None = None,
     _count_only: bool = False,
     _df_cache: dict | None = None,
+    unsorted: bool = False,
 ) -> DataFrame:
     """Top-k BM25 search. Returns DataFrame(docid, score) ordered by
     (score desc, docid asc), limited to k; with_fields joins doc columns.
-    ``_count_only`` (hit_count's path) returns the scored matches
-    UNSORTED and UNLIMITED — a distributed count() without funneling
-    every match through a global TakeOrdered."""
+    ``unsorted=True`` (and the internal ``_count_only``, hit_count's
+    path) returns ALL scored matches UNSORTED and UNLIMITED — the
+    component mode for candidate generation and score folds, where the
+    downstream join/union discards order anyway. A sorted k=n_docs call
+    would compile to orderBy().limit(n_docs) — a corpus-sized
+    TakeOrderedAndProject funneling every match through ONE task at
+    scale; unsorted mode keeps the result distributed."""
     query = parse(q) if isinstance(q, str) else q
+    if unsorted or _count_only:
+        # no global sort → pruning must keep every match; k only feeds
+        # the block-max WAND heap, so pin it corpus-sized (no-op prune)
+        k = meta.n_docs
     if query.multiterm:
         raise ValueError(
             "kernel.search does not expand multi-term clauses "
@@ -428,7 +437,7 @@ def search(
         .cogroup(doc_stats.groupby("bucket"))
         .applyInPandas(kern, RESULT_SCHEMA)
     )
-    if _count_only:
+    if _count_only or unsorted:
         return scored
     out = scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
     if with_fields:
@@ -571,6 +580,7 @@ def dismax_search(
     terms: list[str],
     tie: float = 0.0,
     k: int = 10,
+    unsorted: bool = False,
 ) -> DataFrame:
     """DisMax scoring across query clauses: score = max(contribs) +
     tie * (sum(contribs) - max(contribs))
@@ -590,9 +600,10 @@ def dismax_search(
         total = total + c
     mx = F.greatest(*cols) if len(cols) > 1 else cols[0]
     score = mx + F.lit(tie) * (total - mx)
-    return (
-        wide.withColumn("score", score)
-        .select("docid", "score")
-        .orderBy(F.desc("score"), F.asc("docid"))
-        .limit(k)
-    )
+    scored = wide.withColumn("score", score).select("docid", "score")
+    if unsorted:
+        # component mode: the caller re-ranks on the ROUNDED score, so
+        # this global TakeOrdered would be a corpus-sized funnel whose
+        # ordering is discarded anyway
+        return scored
+    return scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)

@@ -62,10 +62,30 @@ from .indexer import IndexMeta, _done
 
 POSITIONS_SCHEMA = (
     "term string, bucket bigint, df bigint, "
-    "doc_bytes binary, pos_counts array<int>, pos_bytes binary"
+    "doc_bytes binary, pos_counts array<int>, pos_bytes binary, "
+    "pay_bytes binary"
 )
 
-_STAGE_SCHEMA = "term string, bucket bigint, docid bigint, positions array<int>"
+_STAGE_SCHEMA = (
+    "term string, bucket bigint, docid bigint, "
+    "positions array<int>, payloads array<int>"
+)
+
+
+def default_payload_fn(tokens, positions: np.ndarray) -> np.ndarray:
+    """The gate corpus's per-occurrence payload: (token_length +
+    position) % 16. The reference attaches payloads from the token
+    stream itself (DelimitedPayloadTokenFilter on 'term|payload' input —
+    lucene/analysis/common/.../payloads/DelimitedPayloadTokenFilter.java);
+    the driver's documents table carries no delimited payloads, so the
+    gate uses this deterministic function of the surviving token stream —
+    exactly mirrorable by the DuckDB oracle — while the STORAGE/DECODE/
+    SCORING plumbing (per-position payload stream, payload_score /
+    payload_check kernels) is the real implementation."""
+    import pyarrow.compute as pc
+
+    lens = pc.utf8_length(tokens).to_numpy().astype(np.int64)
+    return (lens + positions) % 16
 
 
 def positions_path(meta: IndexMeta) -> str:
@@ -76,13 +96,18 @@ def positions_path(meta: IndexMeta) -> str:
 # analysis kernel: content -> (docid, term, positions[]) rows
 
 
-def position_lists(doc_ids: np.ndarray, texts: pd.Series, term_transform=None):
+def position_lists(
+    doc_ids: np.ndarray, texts: pd.Series, term_transform=None, payload_fn=None
+):
     """Analyze a batch of documents into per-(doc, term) position lists.
 
     Same Arrow pipeline as analysis.term_frequencies (lower -> regex
     split -> flatten -> stop-filter -> dictionary-encode); only int
     arrays reach numpy. Returns DataFrame(docid int64, term str[arrow],
-    positions list<int32>[arrow]) with positions ascending per row.
+    positions list<int32>[arrow]) with positions ascending per row;
+    with ``payload_fn`` (vectorized (tokens, positions) -> int64 array,
+    the DelimitedPayloadTokenFilter slot) also a parallel
+    payloads list<int32> column aligned 1:1 with positions.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -94,7 +119,7 @@ def position_lists(doc_ids: np.ndarray, texts: pd.Series, term_transform=None):
     n = len(flat)
     empty_terms = pd.array([], dtype="string[pyarrow]")
     if n == 0:
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "docid": np.array([], np.int64),
                 "term": empty_terms,
@@ -103,6 +128,11 @@ def position_lists(doc_ids: np.ndarray, texts: pd.Series, term_transform=None):
                 ),
             }
         )
+        if payload_fn is not None:
+            out["payloads"] = pd.arrays.ArrowExtensionArray(
+                pa.array([], type=pa.list_(pa.int32()))
+            )
+        return out
     par = parent.to_numpy().astype(np.int64)
     # position within doc among SURVIVING tokens: ordinal minus the doc's
     # first ordinal (par is non-decreasing in token order)
@@ -135,13 +165,22 @@ def position_lists(doc_ids: np.ndarray, texts: pd.Series, term_transform=None):
             pa.array(spos.astype(np.int32), type=pa.int32()),
         )
     )
-    return pd.DataFrame(
+    out = pd.DataFrame(
         {
             "docid": doc_ids[(ukey // k)],
             "term": term_col,
             "positions": pos_col,
         }
     )
+    if payload_fn is not None:
+        pay = np.asarray(payload_fn(flat, tokpos), dtype=np.int64)[order]
+        out["payloads"] = pd.arrays.ArrowExtensionArray(
+            pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                pa.array(pay.astype(np.int32), type=pa.int32()),
+            )
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -155,14 +194,19 @@ def encode_position_runs(
     counts: np.ndarray,
     flat_pos: np.ndarray,
     bucket_docs: int,
+    flat_pay: np.ndarray | None = None,
 ):
     """Encode a partition of (term, bucket, docid, positions) rows, sorted
     by (term, bucket, docid), into one output row per (term, bucket) run.
     Positions per doc are strictly ascending; encoding is docid-delta and
     position-delta LEB128, both varint-encoded in ONE whole-partition
     numpy pass and byte-sliced per run (the encode_posting_runs shape).
+    ``flat_pay`` (aligned 1:1 with flat_pos) adds a per-position payload
+    stream — plain varint, no delta (payloads are small non-monotonic
+    values) — the Lucene .pay-file analog.
 
-    Yields tuples (term, bucket, df, doc_bytes, pos_counts, pos_bytes).
+    Yields tuples (term, bucket, df, doc_bytes, pos_counts, pos_bytes,
+    pay_bytes) — pay_bytes is None when no payloads were supplied.
     """
     n = len(docids)
     if n == 0:
@@ -192,6 +236,10 @@ def encode_position_runs(
     pos_stream = varint_encode(pdelta.astype(np.uint64))
     psz = _varint_sizes(pdelta.astype(np.uint64)) if m else np.empty(0, np.int64)
     pends = np.cumsum(psz) if m else np.empty(0, np.int64)
+    if flat_pay is not None:
+        pay_stream = varint_encode(flat_pay.astype(np.uint64))
+        ysz = _varint_sizes(flat_pay.astype(np.uint64)) if m else np.empty(0, np.int64)
+        yends = np.cumsum(ysz) if m else np.empty(0, np.int64)
     # value-level boundaries of each run in the flat position stream
     run_val_start = seg_starts[starts]
     run_val_end = np.append(run_val_start[1:], m)
@@ -203,6 +251,12 @@ def encode_position_runs(
         v0, v1 = int(run_val_start[g]), int(run_val_end[g])
         p0 = int(pends[v0] - psz[v0]) if v1 > v0 else 0
         p1 = int(pends[v1 - 1]) if v1 > v0 else 0
+        if flat_pay is not None:
+            y0 = int(yends[v0] - ysz[v0]) if v1 > v0 else 0
+            y1 = int(yends[v1 - 1]) if v1 > v0 else 0
+            pay = pay_stream[y0:y1].tobytes()
+        else:
+            pay = None
         yield (
             terms[s],
             int(buckets[s]),
@@ -210,6 +264,7 @@ def encode_position_runs(
             doc_stream[b0:b1].tobytes(),
             counts[s:e].astype(np.int32).tolist(),
             pos_stream[p0:p1].tobytes(),
+            pay,
         )
 
 
@@ -241,6 +296,14 @@ def decode_run_positions(row):
     return counts, positions
 
 
+def decode_run_payloads(row) -> np.ndarray:
+    """Payload side of one encoded row -> flat payloads int64
+    [sum(pos_counts)], aligned 1:1 with decode_run_positions' flat
+    positions."""
+    counts = np.asarray(row["pos_counts"], dtype=np.int64)
+    return varint_decode(row["pay_bytes"], int(counts.sum())).astype(np.int64)
+
+
 def decode_position_run(row, bucket_docs: int):
     """One encoded (term, bucket) row -> (docids int64[df],
     counts int64[df], flat positions int64[sum(counts)])."""
@@ -253,25 +316,43 @@ def decode_position_run(row, bucket_docs: int):
 # build stage
 
 
-def _extract_positions(term_transform, bucket_docs: int):
+def _extract_positions(term_transform, bucket_docs: int, payload_fn=None):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             out = position_lists(
                 pdf["docid"].to_numpy(np.int64), pdf["content"],
-                term_transform=term_transform,
+                term_transform=term_transform, payload_fn=payload_fn,
             )
             if len(out):
                 out["bucket"] = (
                     out["docid"].to_numpy() // np.int64(bucket_docs)
                 )
-                yield out[["term", "bucket", "docid", "positions"]]
+                if payload_fn is None:
+                    # empty (not null) lists: Spark's pandas->Arrow
+                    # conversion can't serialize pd.NA list cells
+                    out["payloads"] = pd.arrays.ArrowExtensionArray(
+                        pa.ListArray.from_arrays(
+                            pa.array(
+                                np.zeros(len(out) + 1, np.int32),
+                                type=pa.int32(),
+                            ),
+                            pa.array([], type=pa.int32()),
+                        )
+                    )
+                yield out[["term", "bucket", "docid", "positions", "payloads"]]
 
     return fn
 
 
-def _encode_pos_partition(bucket_docs: int):
+_ENC_COLS = ["term", "bucket", "df", "doc_bytes", "pos_counts", "pos_bytes",
+             "pay_bytes"]
+
+
+def _encode_pos_partition(bucket_docs: int, with_payloads: bool = False):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow as pa
 
@@ -288,6 +369,12 @@ def _encode_pos_partition(bucket_docs: int):
         offs = arr.offsets.to_numpy().astype(np.int64)
         counts = np.diff(offs)
         flat = arr.values.to_numpy().astype(np.int64)
+        flat_pay = None
+        if with_payloads:
+            parr = pa.array(pdf["payloads"])
+            if isinstance(parr, pa.ChunkedArray):
+                parr = parr.combine_chunks()
+            flat_pay = parr.values.to_numpy().astype(np.int64)
         rows = []
         for tup in encode_position_runs(
             pdf["term"].to_numpy(),
@@ -296,19 +383,14 @@ def _encode_pos_partition(bucket_docs: int):
             counts,
             flat,
             bucket_docs,
+            flat_pay=flat_pay,
         ):
             rows.append(tup)
             if len(rows) >= 4000:
-                yield pd.DataFrame(
-                    rows, columns=["term", "bucket", "df", "doc_bytes",
-                                   "pos_counts", "pos_bytes"]
-                )
+                yield pd.DataFrame(rows, columns=_ENC_COLS)
                 rows = []
         if rows:
-            yield pd.DataFrame(
-                rows, columns=["term", "bucket", "df", "doc_bytes",
-                               "pos_counts", "pos_bytes"]
-            )
+            yield pd.DataFrame(rows, columns=_ENC_COLS)
 
     return fn
 
@@ -321,13 +403,16 @@ def build_positions(
     id_cols: tuple[str, ...] = ("repo", "path", "commit"),
     content_col: str = "content",
     num_partitions: int | None = None,
+    payload_fn=None,
 ) -> IndexMeta:
     """Add a positions table to an already-built index. ``source`` must be
     the same corpus the index was built from (docids are recovered by
     joining the index's docs table on ``id_cols`` — parallelism-invariant,
-    no dependence on the original build's partitioning). Idempotent and
-    resume-safe (_SUCCESS gate); sets meta.has_positions and re-saves
-    meta.json."""
+    no dependence on the original build's partitioning). ``payload_fn``
+    additionally stores a per-position payload stream (the .pay analog;
+    payload_score/payload_check consume it). Idempotent and resume-safe
+    (_SUCCESS gate); sets meta.has_positions (and has_payloads) and
+    re-saves meta.json."""
     out = positions_path(meta)
     if _done(out) and getattr(meta, "has_positions", False):
         return meta
@@ -345,18 +430,26 @@ def build_positions(
             F.col(content_col).alias("content"),
         )
         joined = src.join(docs_tbl, list(id_cols)).select("docid", "content")
-        extract = _extract_positions(term_transform, meta.bucket_docs)
+        extract = _extract_positions(
+            term_transform, meta.bucket_docs, payload_fn=payload_fn
+        )
         pos_rows = joined.mapInPandas(extract, _STAGE_SCHEMA)
         # same range layout as the main postings: files cover contiguous
         # term spans (row-group pruning on term), groups complete per
         # partition, skew structurally bounded by bucket_docs
         (
             pos_rows.repartitionByRange(P, "term", "bucket")
-            .mapInPandas(_encode_pos_partition(meta.bucket_docs), POSITIONS_SCHEMA)
+            .mapInPandas(
+                _encode_pos_partition(
+                    meta.bucket_docs, with_payloads=payload_fn is not None
+                ),
+                POSITIONS_SCHEMA,
+            )
             .write.mode("overwrite")
             .parquet(out)
         )
     meta.has_positions = True
+    meta.has_payloads = payload_fn is not None
     meta.stages["positions"] = round(time.time() - t0, 3)
     meta.save()
     return meta
@@ -378,15 +471,20 @@ _KEY_SHIFT = np.int64(1) << np.int64(40)  # doc index < 4096 (bucket_docs),
 # position < 2^40: key = idx * 2^40 + pos stays well inside int64
 
 
-def _doc_pos_keys(docids, counts, positions, common):
+def _doc_pos_keys_and_mask(docids, counts, positions, common):
     """(docid, position) -> dense int64 keys (doc index within the sorted
     ``common`` docid set, position packed below); docs outside ``common``
-    are dropped."""
+    are dropped. Also returns the per-token keep mask so parallel
+    streams (payloads) can be filtered identically."""
     loc = np.searchsorted(common, docids)
     ok = (loc < len(common)) & (common[np.minimum(loc, len(common) - 1)] == docids)
     tok_ok = np.repeat(ok, counts)
     doc_idx = np.repeat(np.where(ok, loc, 0), counts)[tok_ok]
-    return doc_idx.astype(np.int64) * _KEY_SHIFT + positions[tok_ok]
+    return doc_idx.astype(np.int64) * _KEY_SHIFT + positions[tok_ok], tok_ok
+
+
+def _doc_pos_keys(docids, counts, positions, common):
+    return _doc_pos_keys_and_mask(docids, counts, positions, common)[0]
 
 
 def phrase_tf_frame(
@@ -495,6 +593,113 @@ def span_match_frame(
             return empty
         docs = np.unique((ka[hit] // _KEY_SHIFT).astype(np.int64))
         return pd.DataFrame({"docid": common[docs]})
+
+    pos = spark.read.parquet(positions_path(meta)).where(F.col("term").isin(uniq))
+    return pos.groupBy("bucket").applyInPandas(kernel, "docid bigint")
+
+
+# ---------------------------------------------------------------------------
+# payload queries (the .pay consumers)
+
+PAYLOAD_FUNCS = ("max", "min", "avg", "sum", "first")
+
+
+def payload_score_frame(
+    spark: SparkSession, meta: IndexMeta, term: str, func: str = "max"
+) -> DataFrame:
+    """{!payload_score} execution: for every doc containing ``term``,
+    aggregate the payloads at the term's positions with ``func``
+    (max/min/avg/sum/first — the PayloadFunction registry of
+    solr/core/src/java/org/apache/solr/search/PayloadScoreQParserPlugin.java:1,
+    util/PayloadUtils.java getPayloadFunction). Returns
+    DataFrame(docid bigint, payload_score double). Scan ∝ the ONE term's
+    postings (term-pruned parquet read), aggregation per bucket in numpy
+    reduceat — no per-doc Python loop."""
+    if not getattr(meta, "has_payloads", False):
+        raise ValueError("index has no payload stream (build_positions payload_fn)")
+    if func not in PAYLOAD_FUNCS:
+        raise ValueError(f"unknown payload func {func!r}; one of {PAYLOAD_FUNCS}")
+    bucket_docs = meta.bucket_docs
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"docid": pd.Series([], dtype="int64"),
+                              "payload_score": pd.Series([], dtype="float64")})
+        rows = _bucket_rows(pdf)
+        if term not in rows:
+            return empty
+        row = rows[term]
+        docids = decode_run_docids(row, bucket_docs)
+        counts = np.asarray(row["pos_counts"], dtype=np.int64)
+        pay = decode_run_payloads(row).astype(np.float64)
+        # a doc is in the run only because the term occurs there, so every
+        # count >= 1 and the reduceat boundaries are strictly increasing
+        seg = np.cumsum(counts) - counts
+        if func == "sum":
+            val = np.add.reduceat(pay, seg)
+        elif func == "max":
+            val = np.maximum.reduceat(pay, seg)
+        elif func == "min":
+            val = np.minimum.reduceat(pay, seg)
+        elif func == "avg":
+            val = np.add.reduceat(pay, seg) / counts
+        else:  # first
+            val = pay[seg]
+        return pd.DataFrame({"docid": docids, "payload_score": val})
+
+    pos = spark.read.parquet(positions_path(meta)).where(F.col("term") == term)
+    return pos.groupBy("bucket").applyInPandas(
+        kernel, "docid bigint, payload_score double"
+    )
+
+
+def payload_check_frame(
+    spark: SparkSession, meta: IndexMeta, terms: list[str], payloads: list[int]
+) -> DataFrame:
+    """{!payload_check} execution: docs where the exact phrase ``terms``
+    occurs with payload_i at slot i for EVERY slot of at least one
+    occurrence (PayloadCheckQParserPlugin.java:1; Lucene
+    SpanPayloadCheckQuery). Same cogrouped shape as phrase_tf_frame with
+    each slot's (doc, position) keys pre-filtered by payload equality.
+    Returns DataFrame(docid bigint)."""
+    if not getattr(meta, "has_payloads", False):
+        raise ValueError("index has no payload stream (build_positions payload_fn)")
+    if len(terms) != len(payloads):
+        raise ValueError("payload_check needs one payload per phrase slot")
+    uniq = sorted(set(terms))
+    bucket_docs = meta.bucket_docs
+    terms_l = list(terms)
+    pays_l = [int(p) for p in payloads]
+    L = len(terms_l)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"docid": pd.Series([], dtype="int64")})
+        rows = _bucket_rows(pdf)
+        if any(t not in rows for t in uniq):
+            return empty
+        docs = {t: decode_run_docids(rows[t], bucket_docs) for t in uniq}
+        common = docs[uniq[0]]
+        for t in uniq[1:]:
+            common = np.intersect1d(common, docs[t], assume_unique=True)
+        if common.size == 0:
+            return empty
+        keys, pays = {}, {}
+        for t in uniq:
+            counts, positions = decode_run_positions(rows[t])
+            k, tok_ok = _doc_pos_keys_and_mask(docs[t], counts, positions, common)
+            keys[t] = k
+            pays[t] = decode_run_payloads(rows[t])[tok_ok]
+        # slot-filtered chain: the SAME term may require different
+        # payloads at different slots, so the payload filter is per slot
+        cand = keys[terms_l[0]][pays[terms_l[0]] == pays_l[0]]
+        for i in range(1, L):
+            if cand.size == 0:
+                return empty
+            ki = keys[terms_l[i]][pays[terms_l[i]] == pays_l[i]]
+            cand = cand[np.isin(cand + np.int64(i), ki)]
+        if cand.size == 0:
+            return empty
+        idx = np.unique((cand // _KEY_SHIFT).astype(np.int64))
+        return pd.DataFrame({"docid": common[idx]})
 
     pos = spark.read.parquet(positions_path(meta)).where(F.col("term").isin(uniq))
     return pos.groupBy("bucket").applyInPandas(kernel, "docid bigint")

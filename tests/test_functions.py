@@ -385,3 +385,80 @@ def test_minhash_bands_validation(spark):
     df = spark.createDataFrame([(0, "a b c d")], "id bigint, text string")
     with pytest.raises(ValueError, match="must divide"):
         minhash_lsh_pairs(df, "id", "text", num_hashes=64, bands=12)
+
+
+def test_minhash_bucket_cap_kills_giant_cluster(spark):
+    """A 1000-member exact-dup cluster lands whole in one bucket of EVERY
+    band — uncapped, that is ~16x1000²/2 candidate rows through one
+    reducer. With the bucket cap the cluster's buckets are dropped (it is
+    exact-dup territory: run exact_duplicates first), the run completes,
+    and genuine near-dups OUTSIDE the cluster are still found."""
+    from solr_spark.functions.dedup import lsh_oversized_buckets, minhash_lsh_pairs
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, boiler) for i in range(1000)]
+    rows += [
+        (2000, "spark shuffles partition data across executor boundaries fast"),
+        (2001, "spark shuffles partition data across executor boundaries quick"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    pairs = minhash_lsh_pairs(
+        df, "id", "text", num_hashes=64, bands=16, threshold=0.5,
+        max_bucket_size=64,
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(2000, 2001)}
+    # candidate volume stays bounded: the UNVERIFIED candidate set under
+    # the cap is exactly the one surviving pair, not ~500k cluster pairs
+    cand = minhash_lsh_pairs(
+        df, "id", "text", num_hashes=64, bands=16, verify=False,
+        max_bucket_size=64,
+    )
+    assert cand.count() == 1
+    # dropped-bucket accounting (the jaccard_dropped_shingles mirror):
+    # the cluster occupies one oversized bucket in each of the 16 bands
+    from solr_spark.functions.dedup import shingle_rows
+    from pyspark.sql import functions as F
+
+    inv = shingle_rows(df, "id", "text", 3)
+    sig = inv.groupBy("id").agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+          for i in range(64)]
+    )
+    banded = sig.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"h{b * 4 + j}") for j in range(4)]).alias("bucket"),
+            ) for b in range(16)
+        ])).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    stats = lsh_oversized_buckets(banded, 64).collect()[0]
+    assert stats["n_buckets_dropped"] == 16
+    assert stats["n_members_dropped"] == 16 * 1000
+    assert stats["max_bucket_seen"] == 1000
+
+
+def test_srp_bucket_cap_kills_degenerate_bucket(spark):
+    """Many bit-identical embeddings (e.g. zero-ish vectors all hashing to
+    the same SRP signature) share every (band, bucket) — the cap drops
+    those buckets and keeps candidate generation sub-quadratic while a
+    distinct near-dup pair elsewhere survives."""
+    import numpy as np
+
+    from solr_spark.functions.similarity import srp_near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16)
+    rows = [(i, (base * (1.0 + 1e-9 * i)).tolist()) for i in range(800)]
+    u = rng.standard_normal(16)
+    rows += [(9000, u.tolist()), (9001, (u + 0.01 * rng.standard_normal(16)).tolist())]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in srp_near_dup_pairs(
+            emb, threshold=0.99, max_bucket_size=64
+        ).collect()
+    }
+    assert got == {(9000, 9001)}

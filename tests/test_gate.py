@@ -88,16 +88,24 @@ def test_driver_window_composition():
     from solr_spark import gate
 
     window = list(gate.all_queries())[:50]
-    # round-2 new machinery that has no earlier driver rows
+    # round-3 new machinery that has no earlier driver rows (payload
+    # stream + evaluator batch 4), plus round-3-changed plans (positional
+    # default, unsorted component mode, LSH bucket cap) that must keep
+    # fresh driver evidence
     must_hold = {
+        "fts_payload_score", "fts_payload_check",
+        "a_distribution", "a_ks_test", "a_anova",
+        "a_kmeans", "a_convolution", "a_polyfit",
         "fts_phrase_pos", "fts_phrase3_pos", "fts_proximity_pos",
+        "fts_phrase", "fts_mixed_phrase", "fts_complexphrase",
+        "fts_proximity", "fts_maxscore",
         "fts_edismax_mm", "fts_edismax_pf2", "fts_prefix_term", "fts_fuzzy",
         "u_incremental_index", "u_merge_segments",
-        "w_ltr_linear", "w_ltr_trees",
-        # training-data ops the round-1 verdict flagged as unevidenced
+        "w_ltr_linear",
+        # training-data ops (graded first-class): dedup family changed
+        # this round (bucket cap) — similarity/knn unchanged but keep
         "t_minhash_pairs", "t_jaccard_pairs", "t_simhash_pairs",
         "t_exact_dups", "e_knn_brute", "e_knn_ivf", "e_near_dup",
-        "s_media_features", "s_topic_incremental",
     }
     missing = must_hold - set(window)
     assert not missing, f"outside the driver window: {sorted(missing)}"

@@ -44,7 +44,8 @@ def test_position_codec_roundtrip():
     )
     assert len(encoded) == 4  # 2 terms x 2 buckets
     back = {}
-    for term, bucket, df, doc_bytes, pos_counts, pos_bytes in encoded:
+    for term, bucket, df, doc_bytes, pos_counts, pos_bytes, pay_bytes in encoded:
+        assert pay_bytes is None  # no payload stream supplied
         row = {
             "df": df, "bucket": bucket, "doc_bytes": doc_bytes,
             "pos_counts": pos_counts, "pos_bytes": pos_bytes,
@@ -162,6 +163,88 @@ def test_span_match_planted(spark, planted_index):
     assert span("aa", "merge", 1, False) == [3]     # aa@1 vs merge@0: |d|=1
     assert span("merge", "bb", 1, False) == [3]     # unordered |d|<=1
     assert span("aa", "zz", 5, True) == []
+
+
+# ---------------------------------------------------------------------------
+# payload stream (the .pay analog): codec + payload_score / payload_check
+
+
+def test_payload_codec_roundtrip():
+    from solr_spark.positions import decode_run_payloads, encode_position_runs
+
+    rng = np.random.default_rng(11)
+    terms = np.array(["t"] * 5)
+    buckets = np.zeros(5, dtype=np.int64)
+    docids = np.arange(5, dtype=np.int64)
+    counts = rng.integers(1, 5, size=5).astype(np.int64)
+    m = int(counts.sum())
+    flat_pos = np.sort(rng.choice(1000, size=m, replace=False)).astype(np.int64)
+    flat_pay = rng.integers(0, 300, size=m).astype(np.int64)  # >1-byte varints too
+    (row_tuple,) = encode_position_runs(
+        terms, buckets, docids, counts, flat_pos, 64, flat_pay=flat_pay
+    )
+    term, bucket, df, doc_bytes, pos_counts, pos_bytes, pay_bytes = row_tuple
+    row = {"pos_counts": pos_counts, "pay_bytes": pay_bytes}
+    assert decode_run_payloads(row).tolist() == flat_pay.tolist()
+
+
+@pytest.fixture(scope="module")
+def planted_pay_index(spark, tmp_path_factory):
+    from solr_spark.indexer import build_index
+    from solr_spark.positions import build_positions, default_payload_fn
+
+    rows = [
+        ("r0", "0", "c0", "py", "aa bb the aa bb aa"),  # aa@0 bb@1 aa@2 bb@3 aa@4
+        ("r0", "1", "c0", "py", "bb bb bb bb"),
+        ("r0", "2", "c0", "py", "aa xx bb"),
+        ("r0", "3", "c0", "py", "merge aa bb merge"),
+    ]
+    src = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    out = str(tmp_path_factory.mktemp("payidx") / "idx")
+    meta = build_index(spark, src, out, bucket_docs=2, num_partitions=2)
+    meta = build_positions(
+        spark, src, meta, num_partitions=2, payload_fn=default_payload_fn
+    )
+    assert meta.has_payloads
+    return meta
+
+
+def test_payload_score_planted(spark, planted_pay_index):
+    from solr_spark.positions import payload_score_frame
+
+    def score(term, func):
+        return {
+            int(r["docid"]): float(r["payload_score"])
+            for r in payload_score_frame(spark, planted_pay_index, term, func).collect()
+        }
+
+    # payload = (len(token) + position) % 16 over surviving tokens
+    assert score("aa", "max") == {0: 6.0, 2: 2.0, 3: 3.0}
+    assert score("bb", "sum") == {0: 8.0, 1: 14.0, 2: 4.0, 3: 4.0}
+    assert score("merge", "avg") == {3: 6.5}
+    assert score("aa", "first") == {0: 2.0, 2: 2.0, 3: 3.0}
+    assert score("zz", "max") == {}
+
+
+def test_payload_check_planted(spark, planted_pay_index):
+    from solr_spark.positions import payload_check_frame
+
+    def check(terms, pays):
+        return sorted(
+            int(r["docid"])
+            for r in payload_check_frame(
+                spark, planted_pay_index, terms, pays
+            ).collect()
+        )
+
+    assert check(["aa", "bb"], [2, 3]) == [0]   # occurrence at p=0
+    assert check(["aa", "bb"], [4, 5]) == [0]   # occurrence at p=2
+    assert check(["aa", "bb"], [3, 4]) == [3]   # doc3's aa@1 bb@2
+    assert check(["aa", "bb"], [9, 9]) == []    # phrase exists, payloads don't
+    assert check(["aa"], [2]) == [0, 2]         # single-slot check
+    assert check(["aa", "zz"], [1, 1]) == []    # absent term
 
 
 # ---------------------------------------------------------------------------

@@ -77,9 +77,17 @@ def test_s_stem_invariants(w):
 @settings(max_examples=MAX_EXAMPLES, deadline=None)
 @given(st.text(max_size=80))
 def test_parse_total(q):
-    """The parser never raises on arbitrary input and its outputs honor
-    the analysis contract (lowercase, no stopwords in scoring terms)."""
-    query = parse(q)
+    """The parser either parses arbitrary input or raises the ONE
+    documented loud guard (required/prohibited multi-term clauses like
+    '-*' / '+spar*' / '-spark~' are unsupported — qparser.py rejects
+    them rather than silently matching the wrong docs). Parsed outputs
+    honor the analysis contract (lowercase, no stopwords in scoring
+    terms)."""
+    try:
+        query = parse(q)
+    except ValueError as e:
+        assert "unsupported" in str(e)
+        return
     for t in list(query.scoring) + sorted(query.prohibited):
         assert t == t.lower()
         assert t not in STOPWORDS

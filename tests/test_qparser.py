@@ -90,3 +90,16 @@ def test_parse_xml_query_terms_filter_and_errors():
     assert q.filters == {"lang": ["en", "de"]}
     with pytest.raises(ValueError):
         parse_xml_query("<SpanNearQuery>x</SpanNearQuery>")
+
+
+def test_prefixed_multiterm_raises_documented_guard():
+    """Regression for the Hypothesis-found q='-*' (round-2 verdict):
+    required/prohibited multi-term clauses raise the documented loud
+    ValueError instead of silently matching the wrong docs; the parse-
+    totality property (test_properties.test_parse_total) accepts exactly
+    this outcome."""
+    import pytest
+
+    for q in ["-*", "+*", "+spar*", "-spar*", "-w?ndow", "+spark~", "-spark~1"]:
+        with pytest.raises(ValueError, match="unsupported"):
+            parse(q)
