@@ -109,3 +109,256 @@ REGISTRY: dict[str, "callable"] = {
     / F.greatest(F.length(a), F.length(b)),  # edit-distance similarity form
     "ms": F.unix_millis,
 }
+
+
+# --------------------------------------------------------------------------
+# round-3 parity batch — the remaining ValueSourceParser names
+# (CORE/search/ValueSourceParser.java:163-1397). Index-stat names
+# (docfreq/idf/tf/norm/maxdoc/numdocs) live in kernel.py; agg_* live in
+# rollup.py; payload(...) routes to positions.payload_score_frame;
+# query()/boost()/cscore() take a subquery score column from engine
+# search results (score columns ARE columns here). testfunc/threadid/
+# sleep are test/diagnostic parsers with no data semantics — out of
+# scope. currency() needs an exchange-rate provider — not implemented.
+
+import math as _math
+
+from .geo import haversine_km as _hsin_km
+
+GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GH_BITS = 30  # per axis at precision 12 (5*12 = 60 interleaved bits)
+
+
+_MORTON_MASKS = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+def _morton_spread(x: Column) -> Column:
+    """Spread bit k of a ≤31-bit int to bit 2k (the classic Morton-code
+    mask ladder — 5 shift/mask steps instead of a per-bit loop, keeping
+    the Catalyst expression tree small)."""
+    for sh, mask in _MORTON_MASKS:
+        x = (x.bitwiseOR(F.shiftleft(x, sh))).bitwiseAND(F.lit(mask))
+    return x
+
+
+def _morton_compact(x: Column) -> Column:
+    """Inverse of _morton_spread: gather bit 2k back to bit k (the
+    inverse mask ladder, shift amounts mirrored)."""
+    x = x.bitwiseAND(F.lit(0x5555555555555555))
+    x = (x.bitwiseOR(F.shiftright(x, 1))).bitwiseAND(F.lit(0x3333333333333333))
+    x = (x.bitwiseOR(F.shiftright(x, 2))).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+    x = (x.bitwiseOR(F.shiftright(x, 4))).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+    x = (x.bitwiseOR(F.shiftright(x, 8))).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+    x = (x.bitwiseOR(F.shiftright(x, 16))).bitwiseAND(F.lit(0x00000000FFFFFFFF))
+    return x
+
+
+def geohash_encode(lat: Column, lon: Column, precision: int = 12) -> Column:
+    """geohash(lat, lon): standard geohash base-32 encoding
+    (ValueSourceParser 'geohash' → GeoHashUtils; public algorithm:
+    quantize each axis, interleave bits lon-first, 5 bits per char).
+    Pure Catalyst integer arithmetic: the per-axis quantization is the
+    closed form of the textbook bisection loop, the interleave is a
+    Morton mask ladder (O(log bits) expression nodes, not O(bits))."""
+    if not 1 <= precision <= 12:
+        raise ValueError("geohash precision must be 1..12")
+    n_bits = 5 * precision
+    lon_bits = (n_bits + 1) // 2
+    lat_bits = n_bits // 2
+    lonq = F.least(
+        F.lit((1 << lon_bits) - 1),
+        F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << lon_bits))),
+    ).cast("bigint")
+    latq = F.least(
+        F.lit((1 << lat_bits) - 1),
+        F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << lat_bits))),
+    ).cast("bigint")
+    # lon-first alternation, LSB view: with an even bit total lon bit k
+    # lands at 2k+1 and lat bit k at 2k; an odd total flips the parity
+    if lon_bits > lat_bits:  # odd total
+        inter = _morton_spread(lonq).bitwiseOR(
+            F.shiftleft(_morton_spread(latq), 1)
+        )
+    else:  # even total
+        inter = F.shiftleft(_morton_spread(lonq), 1).bitwiseOR(
+            _morton_spread(latq)
+        )
+    # base-32 digits via ONE fold (LSB-first, prepending) so the morton
+    # subtree appears once in the plan — per-char substring extraction
+    # would copy it `precision` times and composed expressions
+    # (ghhsin = decode∘encode) would blow up the analyzer
+    folded = F.aggregate(
+        F.sequence(F.lit(1), F.lit(precision)),
+        F.struct(inter.alias("rem"), F.lit("").alias("s")),
+        lambda acc, _: F.struct(
+            F.shiftright(acc["rem"], 5).alias("rem"),
+            F.concat(
+                F.lit(GEOHASH_BASE32).substr(
+                    (acc["rem"].bitwiseAND(F.lit(31)) + 1).cast("int"), F.lit(1)
+                ),
+                acc["s"],
+            ).alias("s"),
+        ),
+        lambda acc: acc["s"],
+    )
+    return folded
+
+
+def geohash_decode(gh: Column, precision: int = 12) -> tuple[Column, Column]:
+    """(lat, lon) cell-midpoint decode of a geohash string column —
+    base-32 digits fold into the interleaved int, the Morton compact
+    ladder separates the axes."""
+    n_bits = 5 * precision
+    lon_bits = (n_bits + 1) // 2
+    lat_bits = n_bits // 2
+    # fold digits MSB-first: acc = acc*32 + digit — references ``gh``
+    # once per character but each reference is a leaf-sized subtree
+    inter = F.aggregate(
+        F.sequence(F.lit(1), F.lit(precision)),
+        F.lit(0).cast("bigint"),
+        lambda acc, k: F.shiftleft(acc, 5).bitwiseOR(
+            (
+                F.instr(F.lit(GEOHASH_BASE32), gh.substr(k.cast("int"), F.lit(1)))
+                - 1
+            ).cast("bigint")
+        ),
+    )
+    if lon_bits > lat_bits:  # odd total: lon on even bits
+        lonq = _morton_compact(inter)
+        latq = _morton_compact(F.shiftright(inter, 1))
+    else:  # even total: lon on odd bits
+        lonq = _morton_compact(F.shiftright(inter, 1))
+        latq = _morton_compact(inter)
+    lat = F.lit(-90.0) + (latq.cast("double") + F.lit(0.5)) * F.lit(
+        180.0 / (1 << lat_bits)
+    )
+    lon = F.lit(-180.0) + (lonq.cast("double") + F.lit(0.5)) * F.lit(
+        360.0 / (1 << lon_bits)
+    )
+    return lat, lon
+
+
+def ghhsin(gh1: Column, gh2: Column, precision: int = 12) -> Column:
+    """ghhsin(): haversine km between two geohash cells (midpoints)."""
+    lat1, lon1 = geohash_decode(gh1, precision)
+    lat2, lon2 = geohash_decode(gh2, precision)
+    return _hsin_km(lat1, lon1, lat2, lon2)
+
+
+def sqedist(*cols: Column) -> Column:
+    """sqedist(x1,x2,...,y1,y2,...): squared euclidean distance between
+    two equal-length point vectors given as flat value sources."""
+    if len(cols) % 2:
+        raise ValueError("sqedist takes an even number of value sources")
+    h = len(cols) // 2
+    acc = None
+    for a, b in zip(cols[:h], cols[h:]):
+        d = (a - b) * (a - b)
+        acc = d if acc is None else acc + d
+    return acc
+
+
+def dist(power: float, *cols: Column) -> Column:
+    """dist(p, x..., y...): Minkowski p-norm distance (p=1 manhattan,
+    p=2 euclidean, p=0 sparseness, p=inf → use float('inf'))."""
+    if len(cols) % 2:
+        raise ValueError("dist takes an even number of value sources")
+    h = len(cols) // 2
+    pairs = list(zip(cols[:h], cols[h:]))
+    if power == float("inf"):
+        return F.greatest(*[F.abs(a - b) for a, b in pairs])
+    if power == 0:
+        acc = None
+        for a, b in pairs:
+            d = F.when(a != b, 1.0).otherwise(0.0)
+            acc = d if acc is None else acc + d
+        return acc
+    acc = None
+    for a, b in pairs:
+        d = F.pow(F.abs(a - b), F.lit(float(power)))
+        acc = d if acc is None else acc + d
+    return F.pow(acc, F.lit(1.0 / float(power)))
+
+
+def ord_rord(df: DataFrame, col: str) -> DataFrame:
+    """ord(field)/rord(field): 1-based ordinal of the row's value in the
+    field's sorted term order (OrdFieldSource/ReverseOrdFieldSource —
+    the reference reads index ords; the distributed equivalent ranks the
+    DISTINCT value table, which is small, and broadcast-joins back, so
+    no corpus-wide window)."""
+    from pyspark.sql import Window
+
+    distinct = df.select(col).distinct()
+    w = Window.orderBy(F.asc(col))
+    n = distinct.count()
+    ranked = distinct.select(
+        col,
+        F.row_number().over(w).alias("ord"),
+        (F.lit(n + 1) - F.row_number().over(w)).alias("rord"),
+    )
+    return df.join(F.broadcast(ranked), col)
+
+
+def joindf(
+    df: DataFrame, other: DataFrame, from_col: str, to_col: str
+) -> DataFrame:
+    """joindf(fromField,toField,...): boolean 'joined' column — whether
+    the row's ``to_col`` value appears in ``other``'s ``from_col``
+    (JoinDocFreqValueSource's domain-membership shape as a broadcast
+    semi-join flag)."""
+    keys = other.select(F.col(from_col).alias(to_col)).distinct().withColumn(
+        "__j", F.lit(True)
+    )
+    return df.join(F.broadcast(keys), to_col, "left").withColumn(
+        "joined", F.coalesce(F.col("__j"), F.lit(False))
+    ).drop("__j")
+
+
+REGISTRY.update(
+    {
+        "literal": F.lit,
+        "field": F.col,
+        "pi": lambda: F.lit(_math.pi),
+        "e": lambda: F.lit(_math.e),
+        "hypot": F.hypot,
+        "atan2": F.atan2,
+        "deg": F.degrees,
+        "rad": F.radians,
+        "sqedist": sqedist,
+        "dist": dist,
+        "vector": lambda *c: F.array(*c),
+        "concat": lambda *c: F.concat(*c),
+        "true": lambda: F.lit(True),
+        "false": lambda: F.lit(False),
+        "isnan": F.isnan,
+        "not": lambda a: ~a,
+        "and": lambda a, b: a & b,
+        "or": lambda a, b: a | b,
+        "xor": lambda a, b: a ^ b,
+        "gt": lambda a, b: a > b,
+        "lt": lambda a, b: a < b,
+        "gte": lambda a, b: a >= b,
+        "lte": lambda a, b: a <= b,
+        "eq": lambda a, b: a == b,
+        "hsin": _hsin_km,
+        "geodist": _hsin_km,
+        "geohash": geohash_encode,
+        "ghhsin": ghhsin,
+    }
+)
+
+# vectorSimilarity(v1, v2): cosine over array columns (the reference's
+# DenseVectorField similarity; similarity.py owns the vector plane)
+def _vector_similarity(a: Column, b: Column) -> Column:
+    from .similarity import cosine
+
+    return cosine(a, b)
+
+
+REGISTRY["vectorSimilarity"] = _vector_similarity

@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -205,3 +207,41 @@ def ltr_rerank(
         model.score().cast("double"),
         out_col,
     )
+
+
+@dataclass
+class ExternalModel:
+    """Opaque-model rescorer slot (the LTRRescorer.java:1 contract for
+    models that do NOT fold into Catalyst columns — ONNX/XGBoost-style
+    artifacts). ``predict_fn`` is any picklable callable
+    (np.ndarray[n, n_features] float64) -> array[n] of scores; it ships
+    to executors inside an Arrow-batched pandas UDF, so inference runs
+    vectorized per batch — never per row.
+
+    Feature extraction stays Catalyst (the same Feature/normalizer
+    machinery as the folded models); only the final predict crosses into
+    Python. Prefer LinearModel/TreesModel when the model IS expressible
+    as columns — the JVM path wins — and this slot when it isn't."""
+
+    features: list[Feature] = field(default_factory=list)
+    predict_fn: "object" = None
+
+    def score(self) -> Column:
+        import numpy as np
+        from pyspark.sql.functions import pandas_udf
+
+        fn = self.predict_fn
+        if fn is None:
+            raise ValueError("ExternalModel needs a predict_fn")
+
+        def _predict(*cols: pd.Series) -> pd.Series:
+            X = (
+                np.column_stack([c.to_numpy(dtype=np.float64) for c in cols])
+                if cols
+                else np.empty((0, 0))
+            )
+            return pd.Series(np.asarray(fn(X), dtype=np.float64))
+
+        return pandas_udf(_predict, "double")(
+            *[f.normalized() for f in self.features]
+        )

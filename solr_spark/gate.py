@@ -1085,10 +1085,11 @@ _PRIORITY = [
     # machinery untouched in round 3 (a_facet_pivot keeps driver evidence
     # for the family)
     "w_elevate", "a_facet_pivot",
-    # stream evaluators (Lang.java family)
-    # a_cumulative_sum / a_diff_lag spill: same decimal-exact window
-    # machinery as a_moving_avg, green in tests/test_gate.py
-    "a_moving_avg", "a_corr_regress",
+    # stream evaluators (Lang.java family) + round-3 funcquery parity
+    # batch (hypot/atan2/sqedist/dist/ord/rord — new machinery).
+    # a_moving_avg / a_cumulative_sum / a_diff_lag spill: r2-green,
+    # same decimal-exact window machinery, green in tests/test_gate.py
+    "a_funcquery2", "a_corr_regress",
     # a_percent_rank spills: SQL-standard percent_rank in both engines,
     # green in tests/test_gate.py. a_covariance / a_describe spill: the
     # same decimal-exact agg machinery as in-window a_corr_regress and
@@ -1105,6 +1106,7 @@ _PRIORITY = [
     # still exercised by tests/test_gate.py against the same oracles.
     "t_quality", "t_lang_id", "s_media_features", "s_topic_incremental",
     "u_atomic_update", "w_ltr_trees", "a_facet_query", "a_facet_heatmap",
+    "a_moving_avg",
     "fts_single_term", "fts_conjunction", "fts_dismax_tie",
     "fts_term_dictionary",
     "r_search_select", "r_topk",
@@ -2017,6 +2019,47 @@ def a_funcquery(spark, sf_dir):
         F.round(recip(price, 0.00001, 20.0, 1.0), 6).alias("boost"),
         F.round(map_val(price, 0.0, 50000.0, 0.0), 6).alias("mapped"),
         F.round(combo, 6).alias("combo"),
+    )
+
+
+_FUNCQ2_SQL = """WITH r AS (SELECT v,
+  row_number() OVER (ORDER BY v) AS ord,
+  (SELECT count(DISTINCT o_orderpriority) FROM orders) + 1
+    - row_number() OVER (ORDER BY v) AS rord
+  FROM (SELECT DISTINCT o_orderpriority AS v FROM orders)),
+s AS (SELECT o_orderkey, o_orderpriority,
+  o_totalprice / 1000.0 AS x, CAST(o_custkey AS DOUBLE) / 100.0 AS y
+  FROM orders)
+SELECT s.o_orderkey,
+ round(sqrt(x * x + y * y), 6) AS hyp,
+ round(atan2(y, x), 6) AS ang,
+ round((x - 3.0) * (x - 3.0) + (y - 4.0) * (y - 4.0), 6) AS sqe,
+ round(pow(pow(abs(x - 3.0), 1.0) + pow(abs(y - 4.0), 1.0), 1.0), 6) AS l1,
+ r.ord AS ord, r.rord AS rord
+FROM s JOIN r ON s.o_orderpriority = r.v"""
+
+
+@entry("a_funcquery2", _FUNCQ2_SQL)
+def a_funcquery2(spark, sf_dir):
+    """Round-3 registry parity batch (ValueSourceParser names hypot,
+    atan2, sqedist, dist, ord, rord — CORE/search/ValueSourceParser.java
+    addParser calls): hypot/atan2 as JVM builtins, Minkowski/squared
+    distances as folded Catalyst arithmetic, ord/rord via a ranked
+    broadcast of the DISTINCT value table (no corpus-wide window)."""
+    from solr_spark.functions.funcquery import REGISTRY, dist, ord_rord, sqedist
+
+    o = ord_rord(_t(spark, sf_dir, "orders"), "o_orderpriority")
+    x = F.col("o_totalprice") / F.lit(1000.0)
+    y = F.col("o_custkey").cast("double") / F.lit(100.0)
+    c3, c4 = F.lit(3.0), F.lit(4.0)
+    return o.select(
+        "o_orderkey",
+        F.round(REGISTRY["hypot"](x, y), 6).alias("hyp"),
+        F.round(REGISTRY["atan2"](y, x), 6).alias("ang"),
+        F.round(sqedist(x, y, c3, c4), 6).alias("sqe"),
+        F.round(dist(1.0, x, y, c3, c4), 6).alias("l1"),
+        "ord",
+        "rord",
     )
 
 

@@ -147,7 +147,19 @@ def write_response(
         buf = io.StringIO()
         pdf.to_csv(buf, index=False)
         return buf.getvalue()
-    raise ValueError(f"unsupported wt={wt!r} (json, csv)")
+    if wt in ("xml", "cbor", "javabin"):
+        from . import writers
+
+        fn = {
+            "xml": writers.write_xml_response,
+            "cbor": writers.write_cbor_response,
+            "javabin": writers.write_javabin_response,
+        }[wt]
+        return fn(df, rows=rows, start=start)
+    raise ValueError(
+        f"unsupported wt={wt!r} (json, csv, xml, cbor, javabin; "
+        "geojson/graphml via sources.writers)"
+    )
 
 
 def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:

@@ -462,3 +462,74 @@ def test_srp_bucket_cap_kills_degenerate_bucket(spark):
         ).collect()
     }
     assert got == {(9000, 9001)}
+
+
+def test_geohash_known_vectors(spark):
+    """Public geohash test vectors (the canonical geohash.org example and
+    an antipodal corner) + decode round-trip + ghhsin self-distance."""
+    from pyspark.sql import functions as F
+
+    from solr_spark.functions.funcquery import (
+        geohash_decode,
+        geohash_encode,
+        ghhsin,
+    )
+
+    df = spark.createDataFrame(
+        [(57.64911, 10.40744), (-25.382708, -49.265506), (0.0, 0.0)],
+        "lat double, lon double",
+    )
+    got = df.select(
+        geohash_encode(F.col("lat"), F.col("lon"), 11).alias("gh")
+    ).collect()
+    assert got[0]["gh"] == "u4pruydqqvj"
+    assert got[1]["gh"] == "6gkzwgjzn82"
+    assert got[2]["gh"].startswith("s00000000")
+    # decode returns the cell midpoint — within one cell of the input
+    dec = df.select(
+        "lat", "lon",
+        *(c.alias(n) for c, n in zip(
+            geohash_decode(geohash_encode(F.col("lat"), F.col("lon"), 12), 12),
+            ("dlat", "dlon"),
+        )),
+    ).collect()
+    for r in dec:
+        assert abs(r["lat"] - r["dlat"]) < 1e-4
+        assert abs(r["lon"] - r["dlon"]) < 1e-4
+    ghs = spark.createDataFrame(
+        [("u4pruydqqvjs", "u4pruydqqvjs"), ("u4pruydqqvjs", "6gkzwgjzn820")],
+        "g1 string, g2 string",
+    )
+    z = ghs.select(ghhsin(F.col("g1"), F.col("g2")).alias("d")).collect()
+    assert z[0]["d"] == 0.0
+    assert 9000 < z[1]["d"] < 11000  # Denmark → Curitiba great-circle km
+
+
+def test_dist_sqedist_joindf(spark):
+    from pyspark.sql import functions as F
+
+    from solr_spark.functions.funcquery import dist, joindf, ord_rord, sqedist
+
+    df = spark.createDataFrame([(1, 0.0, 0.0), (2, 3.0, 4.0)], "id int, x double, y double")
+    r = df.select(
+        "id",
+        sqedist(F.col("x"), F.col("y"), F.lit(0.0), F.lit(0.0)).alias("sq"),
+        dist(2.0, F.col("x"), F.col("y"), F.lit(0.0), F.lit(0.0)).alias("l2"),
+        dist(1.0, F.col("x"), F.col("y"), F.lit(0.0), F.lit(0.0)).alias("l1"),
+        dist(float("inf"), F.col("x"), F.col("y"), F.lit(0.0), F.lit(0.0)).alias("linf"),
+        dist(0.0, F.col("x"), F.col("y"), F.lit(0.0), F.lit(0.0)).alias("l0"),
+    ).collect()
+    by = {row["id"]: row for row in r}
+    assert by[2]["sq"] == 25.0 and by[2]["l2"] == 5.0
+    assert by[2]["l1"] == 7.0 and by[2]["linf"] == 4.0 and by[2]["l0"] == 2.0
+    assert by[1]["sq"] == 0.0 and by[1]["l0"] == 0.0
+    # ord/rord over a 3-value field
+    names = spark.createDataFrame(
+        [(1, "b"), (2, "a"), (3, "c"), (4, "a")], "id int, v string"
+    )
+    orr = {row["id"]: (row["ord"], row["rord"]) for row in ord_rord(names, "v").collect()}
+    assert orr == {1: (2, 2), 2: (1, 3), 3: (3, 1), 4: (1, 3)}
+    # joindf membership flag
+    other = spark.createDataFrame([("a",), ("z",)], "k string")
+    j = {row["id"]: row["joined"] for row in joindf(names, other, "k", "v").collect()}
+    assert j == {1: False, 2: True, 3: False, 4: True}

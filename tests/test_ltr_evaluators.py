@@ -350,3 +350,45 @@ def test_gate_search_does_not_mutate_query(spark, span_docs):
     a = gate_search(spark, span_docs, q, k=5).collect()
     b = gate_search(spark, span_docs, q, k=5).collect()
     assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
+def test_external_model_matches_linear_fold(spark):
+    """The pandas-UDF external-model slot: a numpy callable that mirrors
+    a LinearModel must rescore identically to the Catalyst-folded path;
+    a genuinely non-foldable callable (clipped interaction) also runs
+    through the same rerank plan."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from solr_spark.functions.ltr import (
+        ExternalModel,
+        Feature,
+        LinearModel,
+        ltr_rerank,
+    )
+
+    rows = [(i, float(100 - i), float(i % 7), float((i * 13) % 5)) for i in range(60)]
+    df = spark.createDataFrame(rows, "id bigint, score double, f1 double, f2 double")
+    feats = [
+        Feature("f1", F.col("f1")),
+        Feature("f2", F.col("f2"), norm=("minmax", 0.0, 4.0)),
+    ]
+    lin = LinearModel(features=feats, weights={"f1": 0.5, "f2": 2.0})
+    ext = ExternalModel(
+        features=feats,
+        predict_fn=lambda X: X[:, 0] * 0.5 + X[:, 1] * 2.0,
+    )
+    args = (["id"], [F.desc("score"), F.asc("id")], 20)
+    a = ltr_rerank(df, *args, lin).orderBy("id").collect()
+    b = ltr_rerank(df, *args, ext).orderBy("id").collect()
+    assert [round(r["ltr_score"], 9) for r in a] == [
+        round(r["ltr_score"], 9) for r in b
+    ]
+
+    clipped = ExternalModel(
+        features=feats,
+        predict_fn=lambda X: np.clip(X[:, 0] * X[:, 1], 0.0, 3.0),
+    )
+    out = ltr_rerank(df, *args, clipped).collect()
+    head = [r for r in out if r["id"] < 20]
+    assert all(0.0 <= r["ltr_score"] <= 3.0 for r in head)
