@@ -1086,15 +1086,16 @@ _PRIORITY = [
     # for the family)
     "w_elevate", "a_facet_pivot",
     # stream evaluators (Lang.java family) + round-3 funcquery parity
-    # batch (hypot/atan2/sqedist/dist/ord/rord — new machinery).
-    # a_moving_avg / a_cumulative_sum / a_diff_lag spill: r2-green,
-    # same decimal-exact window machinery, green in tests/test_gate.py
-    "a_funcquery2", "a_corr_regress",
-    # a_percent_rank spills: SQL-standard percent_rank in both engines,
-    # green in tests/test_gate.py. a_covariance / a_describe spill: the
-    # same decimal-exact agg machinery as in-window a_corr_regress and
-    # round-1-green a_stats, green in tests/test_gate.py
-    "a_moving_median",
+    # batch (hypot/atan2/sqedist/dist/ord/rord — new machinery) + rank
+    # tests (Welch t / Mann-Whitney U — new machinery).
+    # a_moving_avg / a_cumulative_sum / a_diff_lag / a_corr_regress
+    # spill: r2-green, decimal-exact machinery untouched in round 3,
+    # green in tests/test_gate.py
+    "a_funcquery2", "a_ttest", "a_mannwhitney",
+    # a_percent_rank / a_moving_median spill: SQL-standard machinery
+    # identical in both engines, r1/r2-green, tests/test_gate.py.
+    # a_covariance / a_describe spill: the same decimal-exact agg
+    # machinery as r2-green a_corr_regress and round-1-green a_stats
     # range facet / block agg / synonyms / stemmed analyzer
     "a_facet_range", "a_unique_block", "fts_synonyms", "fts_stemmed",
     # sorted-export distributed global_rank (round-2 changed plan)
@@ -1720,6 +1721,83 @@ def a_polyfit(spark, sf_dir):
         F.round("c0", 6).alias("c0"),
         F.round("c1", 8).alias("c1"),
         F.round("c2", 10).alias("c2"),
+    )
+
+
+_TTEST_SQL = f"""WITH g AS (SELECT l_returnflag AS g,
+  CAST(count(*) AS DOUBLE) AS n,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1),
+a AS (SELECT n AS na, sx / n AS ma, (sxx - sx * sx / n) / (n - 1) AS va FROM g WHERE g = 'A'),
+b AS (SELECT n AS nb, sx / n AS mb, (sxx - sx * sx / n) / (n - 1) AS vb FROM g WHERE g = 'R'),
+j AS (SELECT *, va / na + vb / nb AS se2 FROM a, b),
+t AS (SELECT (ma - mb) / sqrt(se2) AS t_stat,
+  (se2 * se2) / ((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1)) AS dof
+  FROM j),
+zz AS (SELECT t_stat, dof, abs(t_stat) / 1.4142135623730951 AS z FROM t)
+SELECT round(t_stat, 6) AS t_stat, round(dof, 6) AS df,
+ round(2.0 * (0.5 * (1.0 - {_ERF_Z})), 6) AS p_value
+FROM zz"""
+
+
+@entry("a_ttest", _TTEST_SQL)
+def a_ttest(spark, sf_dir):
+    """Welch two-sample t-test (TTestEvaluator → Commons Math TTest) on
+    l_quantity between returnflags A and R: exact-decimal per-group
+    moments; p-value via the large-sample normal approximation with the
+    shared erf polynomial (documented in evaluators.welch_ttest)."""
+    from solr_spark.functions import evaluators as ev
+
+    out = ev.welch_ttest(
+        _t(spark, sf_dir, "lineitem"), "l_quantity", "l_returnflag", "A", "R"
+    )
+    return out.select(
+        F.round("t_stat", 6).alias("t_stat"),
+        F.round("df", 6).alias("df"),
+        F.round("p_value", 6).alias("p_value"),
+    )
+
+
+_MWU_SQL = f"""WITH two AS (SELECT l_quantity AS v,
+  CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS is_a
+  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+pv AS (SELECT v, sum(is_a) AS ca, count(*) AS ct FROM two GROUP BY v),
+rk AS (SELECT ca, ct,
+  CAST(coalesce(sum(ct) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+    + (CAST(ct AS DOUBLE) + 1.0) / 2.0 AS midrank,
+  sum(ca) OVER () AS na, sum(ct - ca) OVER () AS nb
+  FROM pv),
+ag AS (SELECT sum(CAST(ca AS DOUBLE) * midrank) AS ra,
+  any_value(na) AS na, any_value(nb) AS nb,
+  sum(CAST(ct AS DOUBLE) * ct * ct - CAST(ct AS DOUBLE)) AS tie_term,
+  sum(ct) AS n FROM rk),
+st AS (SELECT CAST(na AS DOUBLE) AS na, CAST(nb AS DOUBLE) AS nb,
+  CAST(n AS DOUBLE) AS n, ra, tie_term FROM ag),
+uz AS (SELECT ra - na * (na + 1) / 2 AS u,
+  (ra - na * (na + 1) / 2 - na * nb / 2)
+    / sqrt((na * nb / 12) * ((n + 1) - tie_term / (n * (n - 1)))) AS z
+  FROM st),
+fz AS (SELECT u, z AS zraw, abs(z) / 1.4142135623730951 AS z FROM uz)
+SELECT round(u, 6) AS u_stat, round(zraw, 6) AS z,
+ round(least(1.0, 2.0 * (0.5 * (1.0 - {_ERF_Z}))), 6) AS p_value
+FROM fz"""
+
+
+@entry("a_mannwhitney", _MWU_SQL)
+def a_mannwhitney(spark, sf_dir):
+    """Mann–Whitney U (MannWhitneyUEvaluator) on l_quantity between
+    returnflags A and R: midranks over the value-aggregated pooled
+    sample, tie-corrected z, two-sided normal-approximation p."""
+    from solr_spark.functions import evaluators as ev
+
+    out = ev.mann_whitney_u(
+        _t(spark, sf_dir, "lineitem"), "l_quantity", "l_returnflag", "A", "R"
+    )
+    return out.select(
+        F.round("u_stat", 6).alias("u_stat"),
+        F.round("z", 6).alias("z"),
+        F.round("p_value", 6).alias("p_value"),
     )
 
 

@@ -96,6 +96,7 @@ def test_driver_window_composition():
         "fts_payload_score", "fts_payload_check",
         "a_distribution", "a_ks_test", "a_anova",
         "a_kmeans", "a_convolution", "a_polyfit",
+        "a_funcquery2", "a_ttest", "a_mannwhitney",
         "fts_phrase_pos", "fts_phrase3_pos", "fts_proximity_pos",
         "fts_phrase", "fts_mixed_phrase", "fts_complexphrase",
         "fts_proximity", "fts_maxscore",
