@@ -209,21 +209,25 @@ AUTO_BUCKET_CAP = 512  # LSH band buckets larger than this are dropped whole
 
 def _cap_buckets(banded: DataFrame, max_bucket_size: int | str | None) -> DataFrame:
     """Drop (band, bucket) groups with more than ``max_bucket_size``
-    members from an LSH banding table (columns id, band, bucket). The
-    oversized-bucket set is tiny by construction (each costs cap+ docs),
-    so it broadcasts; the survivors' self-join is then bounded at cap²
-    rows per bucket. Shared by the MinHash and SRP banding paths."""
+    members from an LSH banding table (columns id, band, bucket), so the
+    survivors' self-join is bounded at cap² rows per bucket. One window
+    count over the join key — the shuffle it adds hash-partitions the
+    table by exactly the key the candidate self-join needs, and the
+    banding pipeline upstream (the 64-column signature aggregate) runs
+    ONCE instead of once per branch. Shared by the MinHash and SRP
+    banding paths."""
+    from pyspark.sql import Window
+
     if max_bucket_size == "auto":
         max_bucket_size = AUTO_BUCKET_CAP
     if max_bucket_size is None:
         return banded
-    big = (
-        banded.groupBy("band", "bucket")
-        .count()
-        .filter(F.col("count") > int(max_bucket_size))
-        .select("band", "bucket")
+    w = Window.partitionBy("band", "bucket")
+    return (
+        banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bsz") <= int(max_bucket_size))
+        .drop("__bsz")
     )
-    return banded.join(F.broadcast(big), ["band", "bucket"], "left_anti")
 
 
 def lsh_oversized_buckets(

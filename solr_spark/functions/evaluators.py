@@ -1080,3 +1080,38 @@ def loess_smooth(
         out_col,
         pandas_udf(_loess, "array<double>")(F.col(x_col), F.col(y_col)),
     )
+
+
+# derivative/integral over sampled (x[], y[]) arrays — the reference's
+# DerivativeEvaluator/IntegrateEvaluator run over a fitted spline; these
+# are the standard discrete stand-ins (central differences / trapezoid),
+# documented as such.
+VECTOR.update(
+    {
+        "derivative": lambda x, y: F.transform(
+            F.sequence(F.lit(1), F.size(y)),
+            lambda i: F.when(
+                i == 1,
+                (F.element_at(y, 2) - F.element_at(y, 1))
+                / (F.element_at(x, 2) - F.element_at(x, 1)),
+            )
+            .when(
+                i == F.size(y),
+                (F.element_at(y, F.size(y)) - F.element_at(y, F.size(y) - 1))
+                / (F.element_at(x, F.size(x)) - F.element_at(x, F.size(x) - 1)),
+            )
+            .otherwise(
+                (F.element_at(y, i + 1) - F.element_at(y, i - 1))
+                / (F.element_at(x, i + 1) - F.element_at(x, i - 1))
+            ),
+        ),
+        "integral": lambda x, y: F.aggregate(
+            F.sequence(F.lit(2), F.size(y)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + (F.element_at(y, i) + F.element_at(y, i - 1))
+            * (F.element_at(x, i) - F.element_at(x, i - 1))
+            / F.lit(2.0),
+        ),
+    }
+)

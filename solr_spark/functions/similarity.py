@@ -395,3 +395,76 @@ def kmeans(
             )
         )
     return assign(cents).select(id_col, "cluster_id")
+
+
+def fuzzy_kmeans(
+    corpus: DataFrame,
+    k: int,
+    iters: int = 2,
+    fuzziness: float = 2.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Fuzzy c-means (FuzzyKmeansEvaluator — Commons Math
+    FuzzyKMeansClusterer), deterministic like kmeans(): lowest-id seeds,
+    membership u_ic = 1 / Σ_j (d_ic/d_ij)^(2/(m−1)), centroids are the
+    u^m-weighted means (rounded per iteration). Returns the membership
+    frame (id_col, cluster_id, membership) — one row per (point,
+    cluster). Same scale shape as kmeans: broadcast centroids, one
+    keyed aggregation per iteration."""
+    if fuzziness <= 1.0:
+        raise ValueError("fuzziness m must be > 1")
+    expo = 2.0 / (fuzziness - 1.0)
+    seeds = (
+        corpus.orderBy(F.asc(id_col))
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy(F.asc(id_col))).alias("cluster_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("c_vec"),
+        )
+    )
+    src = corpus.select(id_col, vec_col)
+
+    def memberships(c: DataFrame) -> DataFrame:
+        d = src.crossJoin(F.broadcast(c)).select(
+            id_col,
+            vec_col,
+            "cluster_id",
+            # epsilon floor: a point ON a centroid gets membership ~1 there
+            F.greatest(
+                sq_euclidean(F.col(vec_col), F.col("c_vec")), F.lit(1e-12)
+            ).alias("__d"),
+        )
+        w = Window.partitionBy(id_col)
+        denom = F.sum(F.pow(F.col("__d"), F.lit(-expo / 2.0))).over(w)
+        return d.withColumn(
+            "membership",
+            F.pow(F.col("__d"), F.lit(-expo / 2.0)) / denom,
+        ).drop("__d")
+
+    cents = seeds
+    for _ in range(iters):
+        m = memberships(cents)
+        wgt = F.pow(F.col("membership"), F.lit(float(fuzziness)))
+        flat = m.select(
+            "cluster_id", wgt.alias("__w"),
+            F.posexplode(F.col(vec_col)).alias("pos", "val"),
+        )
+        cents = (
+            flat.groupBy("cluster_id", "pos")
+            .agg(
+                F.round(
+                    F.sum(F.col("__w") * F.col("val").cast("double"))
+                    / F.sum("__w"),
+                    round_to,
+                ).alias("m")
+            )
+            .groupBy("cluster_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "cluster_id",
+                F.transform("pm", lambda s: s.getField("m")).alias("c_vec"),
+            )
+        )
+    return memberships(cents).select(id_col, "cluster_id", "membership")

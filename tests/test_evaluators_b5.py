@@ -163,3 +163,38 @@ def test_fft_and_loess(spark):
     )
     sm = np.array(ev.loess_smooth(df2, "x", "y", 0.3).collect()[0]["smoothed"])
     assert np.abs(sm - trend).mean() < np.abs(noisy - trend).mean()
+
+
+def test_derivative_integral(spark, unit):
+    xs = [0.0, 1.0, 2.0, 3.0]
+    ys = [0.0, 1.0, 4.0, 9.0]  # y = x^2 sampled
+    ax = F.array(*[F.lit(v) for v in xs])
+    ay = F.array(*[F.lit(v) for v in ys])
+    d = _one(unit, ev.VECTOR["derivative"](ax, ay))
+    # central differences: interior ≈ 2x, ends one-sided
+    assert d == [1.0, 2.0, 4.0, 5.0]
+    integ = _one(unit, ev.VECTOR["integral"](ax, ay))
+    assert integ == pytest.approx(np.trapz(ys, xs))
+
+
+def test_fuzzy_kmeans_memberships(spark):
+    from solr_spark.functions.similarity import fuzzy_kmeans
+
+    rng = np.random.default_rng(9)
+    c0 = rng.normal(0, 0.1, (20, 8)) + np.array([5.0] + [0.0] * 7)
+    c1 = rng.normal(0, 0.1, (20, 8)) + np.array([-5.0] + [0.0] * 7)
+    rows = [(i, v.tolist()) for i, v in enumerate(np.vstack([c0, c1]))]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    m = fuzzy_kmeans(emb, 2, iters=3, fuzziness=2.0).collect()
+    # memberships sum to 1 per point
+    by_id = {}
+    for r in m:
+        by_id.setdefault(r["vec_id"], {})[r["cluster_id"]] = r["membership"]
+    for vid, mm in by_id.items():
+        assert sum(mm.values()) == pytest.approx(1.0, abs=1e-9)
+        # well-separated planted clusters → dominant membership > 0.99
+        assert max(mm.values()) > 0.99
+    # points from the same planted cluster share their argmax cluster
+    arg0 = {max(by_id[i], key=by_id[i].get) for i in range(20)}
+    arg1 = {max(by_id[i], key=by_id[i].get) for i in range(20, 40)}
+    assert len(arg0) == 1 and len(arg1) == 1 and arg0 != arg1
