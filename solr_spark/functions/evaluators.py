@@ -1115,3 +1115,124 @@ VECTOR.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# batch 6 — the remaining Catalyst-expressible Lang.java names: aliases,
+# differencing/ranking, finddelay, frequency table, oscillate, copyOf,
+# parseCSV/parseTSV. (The numpy-fit / ML / geometry families live in
+# solr_spark/functions/mathx.py.)
+
+SCALAR.update(
+    {
+        # RecipEvaluator (Commons Math Inverse): 1/x
+        "recip": lambda x: F.lit(1.0) / x,
+        "noop": lambda x: x,
+        "val": lambda v: F.lit(v),
+        "null": lambda: F.lit(None),
+    }
+)
+
+STRING.update(
+    {
+        # ParseCSV/ParseTSV stream classes parse a delimited field into
+        # columns mid-pipeline; from_csv is the Catalyst-native analog.
+        "parseCSV": lambda c, schema: F.from_csv(c, F.lit(schema)),
+        "parseTSV": lambda c, schema: F.from_csv(
+            c, F.lit(schema), {"sep": "\t"}
+        ),
+    }
+)
+
+
+def _rank_natural(a: Column) -> Column:
+    """NaturalRanking with ties → average of the tied positions (the
+    Commons Math default used by RankEvaluator): for each v in a,
+    rank(v) = (#strictly-smaller) + (#equal + 1)/2."""
+    return F.transform(
+        a,
+        lambda v: F.size(F.filter(a, lambda u: u < v)).cast("double")
+        + (F.size(F.filter(a, lambda u: u == v)).cast("double") + 1.0) / 2.0,
+    )
+
+
+VECTOR.update(
+    {
+        "avg": lambda a: VECTOR["mean"](a),
+        "count": F.size,
+        "countDist": lambda a: F.size(F.array_distinct(a)),
+        "stddev": lambda a: VECTOR["std"](a),
+        "cosine": lambda a, b: VECTOR["cosineSimilarity"](a, b),
+        "per": lambda a, p: _vec_percentile(a, p),
+        # DifferenceEvaluator: y[i] - y[i-lag] (default lag 1); output is
+        # len(y) - lag values, like the reference's differencing
+        "diff": lambda y, lag=1: F.transform(
+            F.sequence(F.lit(int(lag) + 1 if isinstance(lag, int) else 2),
+                       F.size(y)),
+            lambda i: F.element_at(y, i)
+            - F.element_at(y, i - (lag if isinstance(lag, int) else 1)),
+        ),
+        "rank": _rank_natural,
+        # MeanDifference/SumDifference (paired stats over equal-length
+        # vectors; Commons Math StatUtils.meanDifference/sumDifference)
+        "meanDifference": lambda a, b: _vsum(
+            F.zip_with(a, b, lambda x, y: x - y)
+        ) / F.size(a).cast("double"),
+        "sumDifference": lambda a, b: _vsum(
+            F.zip_with(a, b, lambda x, y: x - y)
+        ),
+        # CopyOfEvaluator: Arrays.copyOf semantics — truncate to n, or
+        # zero-pad when n > len(a)
+        "copyOf": lambda a, n: F.transform(
+            F.sequence(F.lit(1), F.lit(int(n))),
+            lambda i: F.coalesce(
+                F.when(i <= F.size(a), F.element_at(a, i)), F.lit(0.0)
+            ),
+        ),
+        "copyOfRange": VECTOR.get("copyOfRange")
+        or (lambda a, lo, hi: F.slice(a, int(lo) + 1, int(hi) - int(lo))),
+        # FindDelayEvaluator: full cross-correlation (convolution of a
+        # with reversed b — reversing twice = correlation), delay =
+        # argmax|xcorr| + 1 - len(b).  Reuses the existing "conv" entry.
+        "finddelay": lambda a, b: F.aggregate(
+            F.transform(
+                VECTOR["conv"](a, F.reverse(b)),
+                lambda v: F.abs(v),
+            ),
+            F.struct(
+                F.lit(0).alias("i"),
+                F.lit(-1).alias("argmax"),
+                F.lit(float("-inf")).alias("best"),
+            ),
+            lambda acc, v: F.struct(
+                (acc["i"] + 1).alias("i"),
+                F.when(v > acc["best"], acc["i"] + 1)
+                .otherwise(acc["argmax"])
+                .alias("argmax"),
+                F.greatest(v, acc["best"]).alias("best"),
+            ),
+            lambda acc: acc["argmax"] - F.size(b),
+        ),
+        # FrequencyTableEvaluator: per distinct (long-cast) value —
+        # struct(value, count, totalFreq, percent), ascending by value
+        "freqTable": lambda a: F.transform(
+            F.array_sort(F.array_distinct(F.transform(a, lambda v: v.cast("bigint")))),
+            lambda u: F.struct(
+                u.alias("value"),
+                F.size(
+                    F.filter(a, lambda v: v.cast("bigint") == u)
+                ).alias("count"),
+                F.size(a).alias("totalFreq"),
+                (
+                    F.size(F.filter(a, lambda v: v.cast("bigint") == u)).cast("double")
+                    / F.size(a).cast("double")
+                ).alias("percent"),
+            ),
+        ),
+        # OscillateEvaluator: 128 samples of amp*sin(om*x + phase), x=0..127
+        "oscillate": lambda amp, om, phase: F.transform(
+            F.sequence(F.lit(0), F.lit(127)),
+            lambda i: amp * F.sin(om * i.cast("double") + phase),
+        ),
+    }
+)

@@ -1,0 +1,749 @@
+"""Math-expression long tail: regression, significance, samplers,
+curve fits, histogram and 2-D computational geometry.
+
+Reference classes (solrj-streaming io/eval):
+  OLSRegressionEvaluator.java:1        — olsRegress / predict
+  KnnEvaluator.java:1                  — knnSearch
+  KnnRegressionEvaluator.java:1        — knnRegress
+  CorrelationSignificanceEvaluator.java:1 — corrPValues
+  MarkovChainEvaluator.java:1          — markovChain + sample
+  MonteCarloEvaluator.java:1           — monteCarlo
+  MultiVariateNormalDistributionEvaluator.java:1 / DensityEvaluator.java:1
+  HistogramEvaluator.java:1            — hist (EmpiricalDistribution bins)
+  HarmonicFitEvaluator.java:1 GaussFitEvaluator.java:1
+  GetAmplitudeEvaluator / GetAngularFrequencyEvaluator / GetPhaseEvaluator
+  ConvexHullEvaluator.java:1 GetVerticesEvaluator GetAreaEvaluator
+  GetBoundarySizeEvaluator GetBaryCenterEvaluator ProjectToBorderEvaluator
+  EnclosingDiskEvaluator.java:1 GetCenterEvaluator GetRadiusEvaluator
+  GetSupportPointsEvaluator LatLonVectorsEvaluator
+  TopFeaturesEvaluator.java:1 PivotEvaluator.java:1
+  GetMembershipMatrixEvaluator.java:1
+
+The reference evaluates these driver-side over in-memory lists/matrices
+(Commons Math).  Here the heavy inputs stay DataFrames: OLS reduces the
+Gram matrix with ONE partial-aggregated pass (no data shuffle — only
+p(p+1)/2+p scalars cross the wire, so the same plan holds at 100 TB);
+knn search/regress reuse the broadcast-query brute kernel from
+similarity.py; per-document geometry/fits run as Arrow-batched pandas
+UDFs over array columns (one hull per row, embarrassingly parallel).
+Samplers are explicitly seeded — determinism is part of the contract.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# --------------------------------------------------------------------------
+# regularized incomplete beta (Lentz continued fraction) — public-domain
+# numerical recipe; needed for Student-t CDF → correlation p-values.
+
+
+def _betacf(a: float, b: float, x: float) -> float:
+    MAXIT, EPS, FPMIN = 200, 3e-12, 1e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c, d = 1.0, 1.0 - qab * x / qap
+    if abs(d) < FPMIN:
+        d = FPMIN
+    d = 1.0 / d
+    h = d
+    for m in range(1, MAXIT + 1):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < FPMIN:
+            d = FPMIN
+        c = 1.0 + aa / c
+        if abs(c) < FPMIN:
+            c = FPMIN
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < FPMIN:
+            d = FPMIN
+        c = 1.0 + aa / c
+        if abs(c) < FPMIN:
+            c = FPMIN
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < EPS:
+            break
+    return h
+
+
+def betainc(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b)."""
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    ln_bt = (
+        math.lgamma(a + b)
+        - math.lgamma(a)
+        - math.lgamma(b)
+        + a * math.log(x)
+        + b * math.log1p(-x)
+    )
+    bt = math.exp(ln_bt)
+    if x < (a + 1.0) / (a + b + 2.0):
+        return bt * _betacf(a, b, x) / a
+    return 1.0 - bt * _betacf(b, a, 1.0 - x) / b
+
+
+def t_sf(t: float, df: float) -> float:
+    """Two-sided Student-t survival p-value P(|T| >= t)."""
+    return betainc(df / 2.0, 0.5, df / (df + t * t))
+
+
+def corr_pvalues(corr: list[list[float]] | np.ndarray, n: int) -> list[list[float]]:
+    """CorrelationSignificanceEvaluator: two-sided p-value for each
+    pairwise correlation in the matrix, sample size n (diagonal → 0)."""
+    c = np.asarray(corr, dtype=float)
+    out = np.zeros_like(c)
+    df = n - 2
+    for i in range(c.shape[0]):
+        for j in range(c.shape[1]):
+            if i == j:
+                continue
+            r = min(max(c[i, j], -0.999999999999), 0.999999999999)
+            t = abs(r) * math.sqrt(df / (1.0 - r * r))
+            out[i, j] = t_sf(t, df)
+    return out.tolist()
+
+
+# --------------------------------------------------------------------------
+# OLS multiple regression — ONE distributed pass builds the Gram matrix
+# (partial aggregation per partition; only scalars shuffle), the p×p
+# solve happens on the driver.  Matches OLSRegressionEvaluator's
+# OLSMultipleLinearRegression outputs (intercept first).
+
+
+def ols_regress(
+    df: DataFrame, x_cols: list[str], y_col: str
+) -> dict[str, object]:
+    p = len(x_cols)
+    terms = [F.lit(1.0)] + [F.col(c).cast("double") for c in x_cols]
+    y = F.col(y_col).cast("double")
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum(y).alias("sy"),
+            F.sum(y * y).alias("syy")]
+    for i in range(p + 1):
+        for j in range(i, p + 1):
+            aggs.append(F.sum(terms[i] * terms[j]).alias(f"g_{i}_{j}"))
+        aggs.append(F.sum(terms[i] * y).alias(f"xy_{i}"))
+    row = df.agg(*aggs).collect()[0]
+    n = row["n"]
+    G = np.zeros((p + 1, p + 1))
+    for i in range(p + 1):
+        for j in range(i, p + 1):
+            G[i, j] = G[j, i] = row[f"g_{i}_{j}"]
+    Xy = np.array([row[f"xy_{i}"] for i in range(p + 1)])
+    beta = np.linalg.solve(G, Xy)
+    syy, sy = row["syy"], row["sy"]
+    sst = syy - sy * sy / n
+    # residual SS via the normal equations: SSE = y'y - beta' X'y
+    sse = syy - float(beta @ Xy)
+    r2 = 1.0 - sse / sst if sst > 0 else float("nan")
+    adj = 1.0 - (sse / (n - p - 1)) / (sst / (n - 1)) if n > p + 1 else r2
+    # parameter covariance = sigma² (X'X)^-1
+    sigma2 = sse / (n - p - 1) if n > p + 1 else float("nan")
+    try:
+        Ginv = np.linalg.inv(G)
+        se = np.sqrt(np.maximum(np.diag(Ginv) * sigma2, 0.0)).tolist()
+    except np.linalg.LinAlgError:
+        se = None
+    return {
+        "regressionParameters": beta.tolist(),
+        "RSquared": r2,
+        "adjustedRSquared": adj,
+        "residualSumSquares": sse,
+        "regressandVariance": sst / (n - 1),
+        "regressionParametersStandardErrors": se,
+        "n": int(n),
+    }
+
+
+def ols_predict(df: DataFrame, params: list[float], x_cols: list[str],
+                out_col: str = "prediction") -> DataFrame:
+    """PredictEvaluator over an olsRegress model: intercept + Σ beta_i x_i,
+    folded into a single Catalyst expression."""
+    expr = F.lit(float(params[0]))
+    for b, c in zip(params[1:], x_cols):
+        expr = expr + F.lit(float(b)) * F.col(c).cast("double")
+    return df.withColumn(out_col, expr)
+
+
+# --------------------------------------------------------------------------
+# knnSearch / knnRegress — broadcast the query point, score corpus-side.
+
+
+def _dist_expr(vec_col: str, q: list[float], measure: str) -> Column:
+    qa = F.array(*[F.lit(float(v)) for v in q])
+    a = F.col(vec_col)
+    if measure == "euclidean":
+        return F.sqrt(F.aggregate(
+            F.zip_with(a, qa, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, v: acc + v))
+    if measure == "manhattan":
+        return F.aggregate(F.zip_with(a, qa, lambda x, y: F.abs(x - y)),
+                           F.lit(0.0), lambda acc, v: acc + v)
+    if measure == "cosine":
+        dot = F.aggregate(F.zip_with(a, qa, lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, v: acc + v)
+        na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                                F.lit(0.0), lambda acc, v: acc + v))
+        nq = float(np.sqrt(np.dot(q, q)))
+        return F.lit(1.0) - dot / (na * F.lit(nq))
+    raise ValueError(f"unknown distance measure {measure!r}")
+
+
+def knn_search(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int,
+    vec_col: str = "embedding",
+    measure: str = "euclidean",
+) -> DataFrame:
+    """KnnEvaluator: the k corpus rows nearest to one query vector.
+    The query broadcasts inside the plan as literals; the scan is a
+    single map + TakeOrdered(k) — no shuffle of the corpus."""
+    return (
+        corpus.withColumn("__dist", _dist_expr(vec_col, query_vec, measure))
+        .orderBy(F.asc("__dist"), *[F.asc(c) for c in corpus.columns
+                                    if c != vec_col][:1])
+        .limit(k)
+    )
+
+
+def knn_regress(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    y_col: str,
+    corpus_vec: str = "embedding",
+    query_vec: str = "embedding",
+    query_id: str = "query_id",
+    measure: str = "euclidean",
+    robust: bool = False,
+    round_to: int | None = None,
+) -> DataFrame:
+    """KnnRegressionEvaluator: predict y(query) as the mean (median when
+    robust, matching the reference's robust flag) of the k nearest
+    neighbors' outcomes.  Broadcast the (small) query batch against the
+    corpus, rank per query, aggregate — corpus never shuffles."""
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(query_id), F.col(query_vec).alias("__q"))
+    a, b = F.col(corpus_vec), F.col("__q")
+    if measure == "euclidean":
+        d = F.sqrt(F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                               F.lit(0.0), lambda acc, v: acc + v))
+    elif measure == "manhattan":
+        d = F.aggregate(F.zip_with(a, b, lambda x, y: F.abs(x - y)),
+                        F.lit(0.0), lambda acc, v: acc + v)
+    else:
+        raise ValueError(f"unknown distance measure {measure!r}")
+    if round_to is not None:
+        # rounded ranking key: kills cross-engine fp ranking wobble when
+        # an oracle mirrors this query (same pattern as brute_force_topk)
+        d = F.round(d, round_to)
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        query_id, F.col(y_col).cast("double").alias("__y"), d.alias("__d")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.asc("__d"), F.asc("__y"))
+    top = scored.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    agg = (F.percentile_approx("__y", 0.5, 10000) if robust
+           else F.avg("__y"))
+    return top.groupBy(query_id).agg(agg.alias("prediction"))
+
+
+# --------------------------------------------------------------------------
+# seeded samplers (markovChain / monteCarlo / multiVariateNormal).  The
+# reference seeds from java.util.Random(); here the seed is explicit so
+# results are reproducible across runs and cluster sizes.
+
+
+def markov_chain_sample(
+    transition: list[list[float]], n: int, state: int = 0, seed: int = 0
+) -> list[int]:
+    """MarkovChainEvaluator + sample(chain, n): walk the (square,
+    row-stochastic) transition matrix n steps from `state`."""
+    P = np.asarray(transition, dtype=float)
+    if P.shape[0] != P.shape[1]:
+        raise ValueError("markovChain must be initialized with a square matrix")
+    rng = np.random.default_rng(seed)
+    out, s = [], state
+    for _ in range(n):
+        s = int(rng.choice(P.shape[0], p=P[s] / P[s].sum()))
+        out.append(s)
+    return out
+
+
+def monte_carlo(fn, samplers: list, n: int, seed: int = 0) -> list[float]:
+    """MonteCarloEvaluator: n evaluations of fn(*draws) where each draw
+    comes from the matching sampler callable(rng) -> float."""
+    rng = np.random.default_rng(seed)
+    return [float(fn(*[s(rng) for s in samplers])) for _ in range(n)]
+
+
+def mvn_sample(means: list[float], cov: list[list[float]], n: int,
+               seed: int = 0) -> list[list[float]]:
+    """multiVariateNormalDistribution + sample."""
+    rng = np.random.default_rng(seed)
+    return rng.multivariate_normal(
+        np.asarray(means, float), np.asarray(cov, float), size=n
+    ).tolist()
+
+
+def mvn_density(means: list[float], cov: list[list[float]],
+                x: list[float]) -> float:
+    """DensityEvaluator over a multiVariateNormalDistribution."""
+    mu = np.asarray(means, float)
+    S = np.asarray(cov, float)
+    d = np.asarray(x, float) - mu
+    k = len(mu)
+    det = np.linalg.det(S)
+    inv = np.linalg.inv(S)
+    return float(
+        math.exp(-0.5 * float(d @ inv @ d))
+        / math.sqrt(((2 * math.pi) ** k) * det)
+    )
+
+
+# --------------------------------------------------------------------------
+# hist — EmpiricalDistribution-style equal-width bins; per-row over an
+# array column (Arrow-batched).  cumProb is the discrete empirical CDF
+# at the bin mean (the reference interpolates with within-bin normal
+# kernels; documented stand-in).
+
+_HIST_SCHEMA = (
+    "array<struct<N:bigint,min:double,max:double,mean:double,var:double,"
+    "stdev:double,sum:double,prob:double,cumProb:double>>"
+)
+
+
+def hist_col(arr: Column, bins: int = 10) -> Column:
+    @pandas_udf(_HIST_SCHEMA)
+    def _hist(vals: pd.Series) -> pd.Series:
+        out = []
+        for v in vals:
+            a = np.asarray(v, dtype=float)
+            lo, hi = a.min(), a.max()
+            edges = np.linspace(lo, hi, bins + 1)
+            idx = np.clip(np.searchsorted(edges, a, side="right") - 1, 0,
+                          bins - 1)
+            rows, cum = [], 0
+            for b in range(bins):
+                x = a[idx == b]
+                nb = int(x.size)
+                cum += nb
+                rows.append(
+                    {
+                        "N": nb,
+                        "min": float(x.min()) if nb else float("nan"),
+                        "max": float(x.max()) if nb else float("nan"),
+                        "mean": float(x.mean()) if nb else float("nan"),
+                        "var": float(x.var(ddof=1)) if nb > 1 else 0.0,
+                        "stdev": float(x.std(ddof=1)) if nb > 1 else 0.0,
+                        "sum": float(x.sum()) if nb else 0.0,
+                        "prob": nb / a.size,
+                        "cumProb": (cum - nb / 2.0) / a.size,
+                    }
+                )
+            out.append(rows)
+        return pd.Series(out)
+
+    return _hist(arr)
+
+
+# --------------------------------------------------------------------------
+# curve fits — harmonicFit / gaussFit, numpy Gauss-Newton with an
+# FFT-based (harmonic) / moment-based (gauss) initial guess.  Return a
+# struct carrying the fitted curve plus the parameters so the
+# getAmplitude/getAngularFrequency/getPhase accessors are plain
+# getField()s.
+
+_HARM_SCHEMA = (
+    "struct<fitted:array<double>,amplitude:double,"
+    "angularFrequency:double,phase:double>"
+)
+
+
+def _harm_sse(om: float, x: np.ndarray, yc: np.ndarray):
+    """For fixed omega the model a·sin(ωx+φ) = A sin(ωx) + B cos(ωx) is
+    linear — profile out (A, B) and return the SSE."""
+    S, C = np.sin(om * x), np.cos(om * x)
+    M = np.column_stack([S, C])
+    (A, B), *_ = np.linalg.lstsq(M, yc, rcond=None)
+    r = yc - (A * S + B * C)
+    return float(r @ r), A, B
+
+
+def _harm_fit_one(x: np.ndarray, y: np.ndarray):
+    # initial omega from the dominant FFT frequency (uniform x assumed
+    # for the guess only), then a grid + golden-section refinement of
+    # the profiled SSE over one FFT bin on either side
+    # NOTE: the model a*sin(om x + phi) has no offset term
+    # (HarmonicOscillator), so the least-squares runs on raw y; only the
+    # FFT guess uses the centered series.
+    n = len(x)
+    yc = y - y.mean()
+    d = (x[-1] - x[0]) / max(n - 1, 1)
+    freqs = np.fft.rfftfreq(n, d=d)
+    mag = np.abs(np.fft.rfft(yc))
+    mag[0] = 0.0
+    om0 = 2 * math.pi * freqs[int(np.argmax(mag))]
+    yc = y  # fit the un-centered series from here on
+    binw = 2 * math.pi / (n * d)
+    lo, hi = max(om0 - binw, 1e-9), om0 + binw
+    grid = np.linspace(lo, hi, 64)
+    sses = [_harm_sse(om, x, yc)[0] for om in grid]
+    i = int(np.argmin(sses))
+    a_om = grid[max(i - 1, 0)]
+    b_om = grid[min(i + 1, len(grid) - 1)]
+    gr = (math.sqrt(5) - 1) / 2
+    c_om = b_om - gr * (b_om - a_om)
+    d_om = a_om + gr * (b_om - a_om)
+    fc, fd = _harm_sse(c_om, x, yc)[0], _harm_sse(d_om, x, yc)[0]
+    for _ in range(60):
+        if fc < fd:
+            b_om, d_om, fd = d_om, c_om, fc
+            c_om = b_om - gr * (b_om - a_om)
+            fc = _harm_sse(c_om, x, yc)[0]
+        else:
+            a_om, c_om, fc = c_om, d_om, fd
+            d_om = a_om + gr * (b_om - a_om)
+            fd = _harm_sse(d_om, x, yc)[0]
+        if b_om - a_om < 1e-12:
+            break
+    om = (a_om + b_om) / 2.0
+    _, A, B = _harm_sse(om, x, yc)
+    amp = math.hypot(A, B)
+    phase = math.atan2(B, A)
+    fitted = (amp * np.sin(om * x + phase)).tolist()
+    return fitted, amp, om, phase
+
+
+def harmonic_fit(df: DataFrame, x_col: str, y_col: str,
+                 out_col: str = "harmfit") -> DataFrame:
+    @pandas_udf(_HARM_SCHEMA)
+    def _fit(xs: pd.Series, ys: pd.Series) -> pd.DataFrame:
+        rows = []
+        for xv, yv in zip(xs, ys):
+            f, a, o, p = _harm_fit_one(np.asarray(xv, float),
+                                       np.asarray(yv, float))
+            rows.append({"fitted": f, "amplitude": a,
+                         "angularFrequency": o, "phase": p})
+        return pd.DataFrame(rows)
+
+    return df.withColumn(out_col, _fit(F.col(x_col), F.col(y_col)))
+
+
+_GAUSS_SCHEMA = (
+    "struct<fitted:array<double>,a:double,b:double,c:double>"
+)
+
+
+def gauss_fit(df: DataFrame, x_col: str, y_col: str,
+              out_col: str = "gaussfit") -> DataFrame:
+    """GaussFitEvaluator: fit y = a·exp(−(x−b)²/(2c²)).  Moment guess +
+    damped Gauss-Newton; per-row Arrow batches."""
+
+    @pandas_udf(_GAUSS_SCHEMA)
+    def _fit(xs: pd.Series, ys: pd.Series) -> pd.DataFrame:
+        rows = []
+        for xv, yv in zip(xs, ys):
+            x = np.asarray(xv, float)
+            y = np.asarray(yv, float)
+            w = np.clip(y - y.min(), 0, None) + 1e-12
+            b = float((x * w).sum() / w.sum())
+            c = math.sqrt(float((w * (x - b) ** 2).sum() / w.sum())) or 1.0
+            a = float(y.max())
+            for _ in range(60):
+                e = np.exp(-((x - b) ** 2) / (2 * c * c))
+                r = y - a * e
+                J = np.column_stack([
+                    e,
+                    a * e * (x - b) / (c * c),
+                    a * e * ((x - b) ** 2) / (c ** 3),
+                ])
+                JTJ = J.T @ J + 1e-9 * np.eye(3)
+                try:
+                    step = np.linalg.solve(JTJ, J.T @ r)
+                except np.linalg.LinAlgError:
+                    break
+                a, b, c = a + step[0], b + step[1], c + step[2]
+                if float(np.abs(step).max()) < 1e-12:
+                    break
+            fitted = (a * np.exp(-((x - b) ** 2) / (2 * c * c))).tolist()
+            rows.append({"fitted": fitted, "a": a, "b": b, "c": abs(c)})
+        return pd.DataFrame(rows)
+
+    return df.withColumn(out_col, _fit(F.col(x_col), F.col(y_col)))
+
+
+# accessors (GetAmplitude/GetAngularFrequency/GetPhase over the structs)
+def get_amplitude(c: Column) -> Column:
+    return c.getField("amplitude")
+
+
+def get_angular_frequency(c: Column) -> Column:
+    return c.getField("angularFrequency")
+
+
+def get_phase(c: Column) -> Column:
+    return c.getField("phase")
+
+
+# --------------------------------------------------------------------------
+# 2-D computational geometry — per-row over array<array<double>> point
+# sets.  Monotone-chain hull and Welzl's minimal enclosing disk are the
+# textbook algorithms (the reference delegates to Commons Math geometry).
+
+_HULL_SCHEMA = (
+    "struct<vertices:array<array<double>>,area:double,"
+    "boundarySize:double,baryCenter:array<double>>"
+)
+
+
+def _hull_one(pts: np.ndarray):
+    P = np.unique(pts, axis=0)
+    P = P[np.lexsort((P[:, 1], P[:, 0]))]
+    if len(P) <= 2:
+        verts = P.tolist()
+        per = 2 * float(np.linalg.norm(P[-1] - P[0])) if len(P) == 2 else 0.0
+        return verts, 0.0, per, P.mean(axis=0).tolist()
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower, upper = [], []
+    for p in P:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    for p in P[::-1]:
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    hull = np.array(lower[:-1] + upper[:-1])
+    x, y = hull[:, 0], hull[:, 1]
+    area = 0.5 * abs(float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))))
+    per = float(np.linalg.norm(np.roll(hull, -1, axis=0) - hull, axis=1).sum())
+    return hull.tolist(), area, per, hull.mean(axis=0).tolist()
+
+
+def convex_hull(points: Column) -> Column:
+    @pandas_udf(_HULL_SCHEMA)
+    def _hull(ps: pd.Series) -> pd.DataFrame:
+        rows = []
+        for p in ps:
+            pts = np.array([np.asarray(r, dtype=float) for r in p])
+            v, a, per, bc = _hull_one(pts)
+            rows.append({"vertices": v, "area": a, "boundarySize": per,
+                         "baryCenter": bc})
+        return pd.DataFrame(rows)
+
+    return _hull(points)
+
+
+def get_vertices(c: Column) -> Column:
+    return c.getField("vertices")
+
+
+def get_area(c: Column) -> Column:
+    return c.getField("area")
+
+
+def get_boundary_size(c: Column) -> Column:
+    return c.getField("boundarySize")
+
+
+def get_bary_center(c: Column) -> Column:
+    return c.getField("baryCenter")
+
+
+def project_to_border(hull_vertices: Column, point: Column) -> Column:
+    """ProjectToBorderEvaluator: the closest point on the hull boundary
+    (segment-wise orthogonal projection, clamped to segment ends)."""
+
+    @pandas_udf("array<double>")
+    def _proj(vs: pd.Series, ps: pd.Series) -> pd.Series:
+        out = []
+        for v, p in zip(vs, ps):
+            V = np.array([np.asarray(r, dtype=float) for r in v])
+            q = np.asarray(p, float)
+            best, bd = None, float("inf")
+            for i in range(len(V)):
+                a, b = V[i], V[(i + 1) % len(V)]
+                ab = b - a
+                t = 0.0 if not ab.any() else float(
+                    np.clip(np.dot(q - a, ab) / np.dot(ab, ab), 0.0, 1.0))
+                proj = a + t * ab
+                d = float(np.linalg.norm(q - proj))
+                if d < bd:
+                    bd, best = d, proj
+            out.append(best.tolist())
+        return pd.Series(out)
+
+    return _proj(hull_vertices, point)
+
+
+_DISK_SCHEMA = (
+    "struct<center:array<double>,radius:double,"
+    "supportPoints:array<array<double>>>"
+)
+
+
+def _disk_two(a, b):
+    c = (a + b) / 2.0
+    return c, float(np.linalg.norm(a - c)), [a, b]
+
+
+def _disk_three(a, b, c):
+    ax, ay = a
+    bx, by = b
+    cx, cy = c
+    d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+    if abs(d) < 1e-18:
+        return None
+    ux = ((ax**2 + ay**2) * (by - cy) + (bx**2 + by**2) * (cy - ay)
+          + (cx**2 + cy**2) * (ay - by)) / d
+    uy = ((ax**2 + ay**2) * (cx - bx) + (bx**2 + by**2) * (ax - cx)
+          + (cx**2 + cy**2) * (bx - ax)) / d
+    ctr = np.array([ux, uy])
+    return ctr, float(np.linalg.norm(a - ctr)), [a, b, c]
+
+
+def _welzl(pts: np.ndarray):
+    # deterministic (input-order) Welzl, iterative move-to-front
+    EPS = 1e-9
+    ctr, r, sup = pts[0].copy(), 0.0, [pts[0]]
+    for i in range(1, len(pts)):
+        if np.linalg.norm(pts[i] - ctr) <= r + EPS:
+            continue
+        ctr, r, sup = pts[i].copy(), 0.0, [pts[i]]
+        for j in range(i):
+            if np.linalg.norm(pts[j] - ctr) <= r + EPS:
+                continue
+            ctr, r, sup = _disk_two(pts[i], pts[j])
+            for k2 in range(j):
+                if np.linalg.norm(pts[k2] - ctr) <= r + EPS:
+                    continue
+                got = _disk_three(pts[i], pts[j], pts[k2])
+                if got is not None:
+                    ctr, r, sup = got
+    return ctr.tolist(), r, [s.tolist() for s in sup]
+
+
+def enclosing_disk(points: Column) -> Column:
+    @pandas_udf(_DISK_SCHEMA)
+    def _disk(ps: pd.Series) -> pd.DataFrame:
+        rows = []
+        for p in ps:
+            pts = np.array([np.asarray(r, dtype=float) for r in p])
+            c, r, sup = _welzl(pts)
+            rows.append({"center": c, "radius": r, "supportPoints": sup})
+        return pd.DataFrame(rows)
+
+    return _disk(points)
+
+
+def get_center(c: Column) -> Column:
+    return c.getField("center")
+
+
+def get_radius(c: Column) -> Column:
+    return c.getField("radius")
+
+
+def get_support_points(c: Column) -> Column:
+    return c.getField("supportPoints")
+
+
+def latlon_vectors(lat: Column, lon: Column) -> Column:
+    """LatLonVectorsEvaluator: zip parallel lat/lon arrays into a 2-column
+    matrix (array of [lat, lon] rows)."""
+    return F.zip_with(lat, lon, lambda a, b: F.array(a, b))
+
+
+# --------------------------------------------------------------------------
+# labeled matrices + topFeatures + pivot + membership matrix
+
+
+def with_labels(data: Column, row_labels: Column | None = None,
+                col_labels: Column | None = None) -> Column:
+    """setRowLabels/setColumnLabels: a labeled matrix is a struct of
+    (data, rowLabels, colLabels) — labels ride the value, no shuffle."""
+    return F.struct(
+        data.alias("data"),
+        (row_labels if row_labels is not None
+         else F.lit(None).cast("array<string>")).alias("rowLabels"),
+        (col_labels if col_labels is not None
+         else F.lit(None).cast("array<string>")).alias("colLabels"),
+    )
+
+
+def get_row_labels(m: Column) -> Column:
+    return m.getField("rowLabels")
+
+
+def get_col_labels(m: Column) -> Column:
+    return m.getField("colLabels")
+
+
+def top_features(m: Column, k: int) -> Column:
+    """TopFeaturesEvaluator: per matrix row, the column labels of the k
+    largest strictly-positive entries, descending."""
+
+    @pandas_udf("array<array<string>>")
+    def _top(ms: pd.DataFrame) -> pd.Series:
+        # struct-typed input arrives as a pandas DataFrame of fields
+        out = []
+        for _, rec in ms.iterrows():
+            data = np.array([np.asarray(r, dtype=float) for r in rec["data"]])
+            labels = list(rec["colLabels"])
+            rows = []
+            for r in data:
+                idx = [i for i in np.argsort(-r, kind="stable")
+                       if r[i] > 0][:k]
+                rows.append([labels[i] for i in idx])
+            out.append(rows)
+        return pd.Series(out)
+
+    return _top(m)
+
+
+def pivot_matrix(df: DataFrame, x: str, y: str, value: str) -> DataFrame:
+    """PivotEvaluator: tuples → labeled matrix frame (one row per x,
+    one column per y, first(value) in the cell, 0.0 where absent)."""
+    return (
+        df.groupBy(x).pivot(y).agg(F.first(F.col(value).cast("double")))
+        .na.fill(0.0)
+        .orderBy(x)
+    )
+
+
+def membership_matrix(memberships: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """GetMembershipMatrixEvaluator over fuzzy_kmeans output
+    (id, cluster_id, membership): one row per id, membership vector
+    ordered by cluster_id."""
+    return (
+        memberships.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("cluster_id", "membership"))),
+                lambda s: s.getField("membership"),
+            ).alias("memberships")
+        )
+        .orderBy(id_col)
+    )

@@ -1044,6 +1044,10 @@ _PRIORITY = [
     "fts_payload_score", "fts_payload_check",
     "a_distribution", "a_ks_test", "a_anova",
     "a_kmeans", "a_convolution", "a_polyfit",
+    # evaluator batch 6 (freqTable/hist/olsRegress/knnRegress/scoreNodes
+    # + geometry and fuzzy-kmeans rows-only) — new machinery this round
+    "a_freq_table", "a_hist", "a_ols2", "a_knn_regress", "a_score_nodes",
+    "a_convex_hull", "a_fuzzy_kmeans",
     # LLM-data-pipeline ops (dedup / similarity / media / text analysis).
     # t_minhash_pairs changed this round (LSH bucket-size cap in the band
     # self-join); t_quality / t_lang_id / s_media_features /
@@ -1064,14 +1068,17 @@ _PRIORITY = [
     "fts_prefix_term", "fts_fuzzy",
     # u_delete_by_key spills: trivial anti-join, round-1 pass* + pytest.
     # u_atomic_update spills: r2-green, updates.py untouched in round 3.
+    # w_rerank / a_geodist / a_percentile_rank / a_facet2d / a_igain /
+    # fts_spellcheck / fts_highlight spill this round to make room for
+    # evaluator batch 6: all r2-green, their modules (windowed.py rerank,
+    # geo.py, relational percentile, rollup facet2d/igain, spellcheck/
+    # highlight components) are untouched in round 3, and all stay
+    # exercised by tests/test_gate.py against the same oracles.
     "u_incremental_index", "u_merge_segments",
-    # w_ltr_trees spills: r2-green, ltr.py untouched in round 3 and
-    # w_ltr_linear (same model-store machinery) keeps driver evidence
-    "w_rerank", "w_ltr_linear",
+    "w_ltr_linear",  # LTR external-model slot added round 3 — keep fresh
     # a_hll_approx spills: its driver check is rows-only either way and
     # a_unique_exact (round-1 green) is the exact counterpart
-    "a_frange", "a_geodist",
-    "a_percentile_rank", "a_facet2d",
+    "a_frange",
     # positional postings (round-2 machinery, now the DEFAULT phrase/
     # proximity plan + payload stream added) — must hold driver rows
     "fts_phrase_pos", "fts_phrase3_pos", "fts_proximity_pos",
@@ -1079,8 +1086,7 @@ _PRIORITY = [
     # (fts_suggest spills: prefix top-k over the same term dictionary
     # machinery as in-window fts_prefix_term, green in tests/test_gate.py)
     "fts_complexphrase", "fts_proximity",
-    "fts_spellcheck", "fts_highlight",
-    "fts_maxscore", "a_igain",
+    "fts_maxscore",
     # a_facet_query / a_facet_heatmap spill: r2-green, rollup.py facet
     # machinery untouched in round 3 (a_facet_pivot keeps driver evidence
     # for the family)
@@ -1107,6 +1113,9 @@ _PRIORITY = [
     # still exercised by tests/test_gate.py against the same oracles.
     "t_quality", "t_lang_id", "s_media_features", "s_topic_incremental",
     "u_atomic_update", "w_ltr_trees", "a_facet_query", "a_facet_heatmap",
+    "w_rerank", "a_geodist",
+    "a_percentile_rank", "a_facet2d", "a_igain", "fts_spellcheck",
+    "fts_highlight",
     "a_moving_avg",
     "fts_single_term", "fts_conjunction", "fts_dismax_tie",
     "fts_term_dictionary",
@@ -2721,4 +2730,265 @@ def a_geodist(spark, sf_dir):
         _t(spark, sf_dir, "customer")
         .select("c_custkey", d.alias("dist_km"))
         .filter(F.col("dist_km") <= 3000.0)
+    )
+
+
+# ===========================================================================
+# 12. Round-3 evaluator batch 6: freqTable / hist / olsRegress / knnRegress
+#     / scoreNodes / convexHull / fuzzyKmeans (mathx.py + evaluators.py b6)
+
+_FREQ_SQL = """WITH src AS (
+  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS value
+  FROM lineitem),
+tot AS (SELECT flag, count(*) AS total FROM src GROUP BY flag)
+SELECT src.flag, src.value, count(*) AS count, tot.total AS totalFreq,
+  round(CAST(count(*) AS DOUBLE) / tot.total, 6) AS percent
+FROM src JOIN tot USING (flag)
+GROUP BY src.flag, src.value, tot.total"""
+
+
+@entry("a_freq_table", _FREQ_SQL)
+def a_freq_table(spark, sf_dir):
+    """freqTable evaluator (FrequencyTableEvaluator.java:1): per-value
+    counts + percent over the long-cast quantity, one table per
+    returnflag group. The per-group array is built with collect_list
+    (order-free: freqTable sorts distinct values itself)."""
+    from solr_spark.functions.evaluators import VECTOR
+
+    li = _t(spark, sf_dir, "lineitem")
+    grouped = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.collect_list(F.col("l_quantity").cast("double")).alias("vals")
+    )
+    ft = grouped.select(
+        "flag", F.explode(VECTOR["freqTable"](F.col("vals"))).alias("t")
+    )
+    return ft.select(
+        "flag",
+        F.col("t.value").alias("value"),
+        F.col("t.count").cast("long").alias("count"),
+        F.col("t.totalFreq").cast("long").alias("totalFreq"),
+        F.round(F.col("t.percent"), 6).alias("percent"),
+    )
+
+
+_HIST_GATE_SQL = """WITH b AS (
+  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders),
+binned AS (
+  SELECT least(CAST(floor((o_totalprice - b.lo) / ((b.hi - b.lo) / 8)) AS INT), 7)
+    AS bin, o_totalprice AS x FROM orders, b),
+tot AS (SELECT count(*) AS n FROM orders)
+SELECT bin, count(*) AS n_bin, min(x) AS bin_min, max(x) AS bin_max,
+  round(CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE), 2) AS bin_sum,
+  round(CAST(count(*) AS DOUBLE) / tot.n, 6) AS prob
+FROM binned, tot GROUP BY bin, tot.n"""
+
+
+@entry("a_hist", _HIST_GATE_SQL)
+def a_hist(spark, sf_dir):
+    """hist evaluator (HistogramEvaluator.java:1 — Commons Math
+    EmpiricalDistribution equal-width bins): 8 bins over o_totalprice;
+    per-bin N/min/max/sum/prob. numpy's pairwise summation keeps the
+    float bin sums within 1e-6 of the oracle's exact decimal sums, far
+    inside the round-2 contract."""
+    from solr_spark.functions.mathx import hist_col
+
+    o = _t(spark, sf_dir, "orders")
+    arr = o.agg(
+        F.collect_list(F.col("o_totalprice").cast("double")).alias("vals")
+    )
+    bins = arr.select(
+        F.posexplode(hist_col(F.col("vals"), 8)).alias("bin", "b")
+    )
+    return bins.select(
+        F.col("bin").cast("int").alias("bin"),
+        F.col("b.N").alias("n_bin"),
+        F.col("b.min").alias("bin_min"),
+        F.col("b.max").alias("bin_max"),
+        F.round(F.col("b.sum"), 2).alias("bin_sum"),
+        F.round(F.col("b.prob"), 6).alias("prob"),
+    )
+
+
+def _cramer3_sql() -> str:
+    """Oracle for a_ols2: exact decimal moments + Cramer's rule, the
+    identical double expression tree the Spark entry evaluates."""
+    dec = "CAST(sum(CAST({a} AS DECIMAL(18,4)) * CAST({b} AS DECIMAL(18,4))) AS DOUBLE)"
+    m = {
+        "s11": dec.format(a="l_quantity", b="l_quantity"),
+        "s12": dec.format(a="l_quantity", b="l_discount"),
+        "s22": dec.format(a="l_discount", b="l_discount"),
+        "s1y": dec.format(a="l_quantity", b="l_extendedprice"),
+        "s2y": dec.format(a="l_discount", b="l_extendedprice"),
+        "s1": "CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)",
+        "s2": "CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)",
+        "sy": "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)",
+        "n": "CAST(count(*) AS DOUBLE)",
+    }
+    mom = ", ".join(f"{v} AS {k}" for k, v in m.items())
+    det = ("(n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) "
+           "+ s2 * (s1 * s12 - s11 * s2))")
+    b0 = ("(sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) "
+          "+ s2 * (s1y * s12 - s11 * s2y))")
+    b1 = ("(n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) "
+          "+ s2 * (s1 * s2y - s1y * s2))")
+    b2 = ("(n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) "
+          "+ sy * (s1 * s12 - s11 * s2))")
+    return (
+        f"WITH m AS (SELECT {mom} FROM lineitem) "
+        f"SELECT round({b0} / {det}, 6) AS beta0, "
+        f"round({b1} / {det}, 6) AS beta1, "
+        f"round({b2} / {det}, 6) AS beta2 FROM m"
+    )
+
+
+@entry("a_ols2", _cramer3_sql())
+def a_ols2(spark, sf_dir):
+    """olsRegress with two regressors (OLSRegressionEvaluator.java:1):
+    l_extendedprice ~ l_quantity + l_discount. Moments accumulate as
+    exact decimals in ONE partial-aggregated pass (only 9 scalars cross
+    the wire — the plan that still holds at 100 TB); the 3×3 solve is
+    Cramer's rule on the driver, the same double expression tree as the
+    oracle so the rounded betas match bit-for-bit."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def dec(c):
+        return F.col(c).cast("decimal(18,4)")
+
+    row = li.agg(
+        F.sum(dec("l_quantity") * dec("l_quantity")).cast("double").alias("s11"),
+        F.sum(dec("l_quantity") * dec("l_discount")).cast("double").alias("s12"),
+        F.sum(dec("l_discount") * dec("l_discount")).cast("double").alias("s22"),
+        F.sum(dec("l_quantity") * dec("l_extendedprice")).cast("double").alias("s1y"),
+        F.sum(dec("l_discount") * dec("l_extendedprice")).cast("double").alias("s2y"),
+        F.sum(dec("l_quantity")).cast("double").alias("s1"),
+        F.sum(dec("l_discount")).cast("double").alias("s2"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sy"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    ).collect()[0]
+    n, s1, s2, sy = row["n"], row["s1"], row["s2"], row["sy"]
+    s11, s12, s22 = row["s11"], row["s12"], row["s22"]
+    s1y, s2y = row["s1y"], row["s2y"]
+    det = (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s12 - s11 * s2))
+    b0 = (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+          + s2 * (s1y * s12 - s11 * s2y))
+    b1 = (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+          + s2 * (s1 * s2y - s1y * s2))
+    b2 = (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+          + sy * (s1 * s12 - s11 * s2))
+    return spark.createDataFrame(
+        [(round(b0 / det, 6), round(b1 / det, 6), round(b2 / det, 6))],
+        "beta0 double, beta1 double, beta2 double",
+    )
+
+
+_KNN_REGRESS_SQL = """WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    CAST(vec_id % 7 AS DOUBLE) AS y FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+s AS (SELECT q.query_id, e.y,
+  round(list_distance(e.v, q.qv), 4) AS d
+  FROM e CROSS JOIN q),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY d, y) AS rn FROM s)
+SELECT query_id, round(avg(y), 6) AS prediction
+FROM r WHERE rn <= 5 GROUP BY query_id"""
+
+
+@entry("a_knn_regress", _KNN_REGRESS_SQL)
+def a_knn_regress(spark, sf_dir):
+    """knnRegress (KnnRegressionEvaluator.java:1): mean outcome of the 5
+    Euclidean-nearest neighbors per query vector (synthetic outcome
+    y = vec_id % 7; rounded ranking key kills fp ranking wobble)."""
+    from solr_spark.functions.mathx import knn_regress
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        (F.col("vec_id") % 7).cast("double").alias("y"),
+    )
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = knn_regress(emb, qs, 5, "y", round_to=4)
+    return out.select("query_id", F.round("prediction", 6).alias("prediction"))
+
+
+_SCORE_NODES_SQL = """WITH n AS (
+  SELECT o_orderpriority AS node, count(*) AS cnt FROM orders GROUP BY 1),
+s AS (SELECT o_orderpriority AS node,
+  count(DISTINCT o_custkey) AS docFreq FROM orders GROUP BY 1),
+t AS (SELECT count(*) AS numDocs FROM orders)
+SELECT n.node, n.cnt,
+  round(CAST(n.cnt AS DOUBLE) *
+        (ln((t.numDocs + 1.0) / (s.docFreq + 1.0)) + 1.0), 6) AS nodeScore
+FROM n JOIN s USING (node), t"""
+
+
+@entry("a_score_nodes", _SCORE_NODES_SQL)
+def a_score_nodes(spark, sf_dir):
+    """scoreNodes() tf-idf node scoring (ScoreNodesStream.java:239-261):
+    nodeScore = cnt * (log((numDocs+1)/(docFreq+1)) + 1) over a node
+    aggregation, docFreq joined broadcast-style from a dictionary frame."""
+    from solr_spark.operators.graph import score_nodes
+
+    o = _t(spark, sf_dir, "orders")
+    nodes = o.groupBy(F.col("o_orderpriority").alias("node")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = o.groupBy(F.col("o_orderpriority").alias("term")).agg(
+        F.countDistinct("o_custkey").alias("df")
+    )
+    n_docs = o.count()
+    out = score_nodes(nodes, stats, n_docs)
+    return out.select(
+        "node", "cnt", F.round("nodeScore", 6).alias("nodeScore")
+    )
+
+
+@entry("a_convex_hull", None)  # geometry has no SQL analog; pytest covers
+def a_convex_hull(spark, sf_dir):
+    """convexHull + getArea/getBoundarySize/getBaryCenter
+    (ConvexHullEvaluator.java:1, Commons Math geometry hull): hull of the
+    synthesized per-nation customer coordinate cloud. Rows-only driver
+    check by design; exactness (shoelace area, perimeter) is pinned in
+    tests/test_evaluators_b6.py."""
+    from solr_spark.functions.mathx import convex_hull
+
+    c = _t(spark, sf_dir, "customer")
+    pts = c.groupBy(F.col("c_nationkey").alias("nation")).agg(
+        F.collect_list(
+            F.array(
+                (F.col("c_custkey") % 120).cast("double") - F.lit(60.0),
+                (F.col("c_custkey") % 300).cast("double") - F.lit(150.0),
+            )
+        ).alias("points")
+    )
+    h = pts.select("nation", convex_hull(F.col("points")).alias("h"))
+    return h.select(
+        "nation",
+        F.round(F.col("h.area"), 6).alias("hull_area"),
+        F.round(F.col("h.boundarySize"), 6).alias("hull_perimeter"),
+        F.size(F.col("h.vertices")).alias("n_vertices"),
+    ).orderBy("nation")
+
+
+@entry("a_fuzzy_kmeans", None)  # iterative FCM has no tractable SQL mirror
+def a_fuzzy_kmeans(spark, sf_dir):
+    """fuzzyKmeans + getMembershipMatrix (FuzzyKmeansEvaluator.java:1,
+    GetMembershipMatrixEvaluator.java:1): deterministic lowest-id seeds,
+    2 iterations, k=3; memberships sum to 1 per point (pinned in
+    tests/test_evaluators_b6.py). Rows-only driver check by design."""
+    from solr_spark.functions.mathx import membership_matrix
+    from solr_spark.functions.similarity import fuzzy_kmeans
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    m = fuzzy_kmeans(emb, 3, iters=2)
+    mm = membership_matrix(m)
+    return mm.select(
+        "vec_id",
+        F.transform("memberships", lambda v: F.round(v, 4)).alias("memberships"),
     )

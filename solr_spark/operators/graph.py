@@ -135,3 +135,40 @@ def more_like_this_terms(
         .limit(top_terms)
         .select("term", "mlt_score")
     )
+
+
+def score_nodes(
+    nodes: DataFrame,
+    term_stats: DataFrame,
+    n_docs: int,
+    node_col: str = "node",
+    freq_col: str = "cnt",
+) -> DataFrame:
+    """scoreNodes(): tf-idf scoring of a gatherNodes()/nodes() result
+    (solrj-streaming/.../io/stream/ScoreNodesStream.java:239-261):
+    nodeScore = termFreq * (log((numDocs+1)/(docFreq+1)) + 1), where
+    termFreq is the node's traversal count and docFreq the node term's
+    document frequency in the collection.
+
+    nodes: (node, cnt) from graph_expand aggregation; term_stats:
+    (term, df) — the same broadcast-sized dictionary the searcher uses,
+    so the join broadcasts and the nodes frame never shuffles."""
+    df_map = term_stats.select(
+        F.col("term").alias(node_col), F.col("df").alias("docFreq")
+    )
+    return (
+        nodes.join(F.broadcast(df_map), node_col, "left")
+        .na.fill({"docFreq": 0})
+        .withColumn(
+            "nodeScore",
+            F.col(freq_col).cast("double")
+            * (
+                F.log(
+                    (F.lit(float(n_docs)) + 1.0)
+                    / (F.col("docFreq").cast("double") + 1.0)
+                )
+                + 1.0
+            ),
+        )
+        .withColumn("numDocs", F.lit(n_docs))
+    )

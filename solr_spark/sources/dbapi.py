@@ -1,0 +1,159 @@
+"""DB-API relational source — the jdbc() stream re-expressed for PySpark.
+
+Reference: solrj-streaming/src/java/org/apache/solr/client/solrj/io/stream/
+JDBCStream.java:1 (the 752-LoC type-mapping/result-iteration core:
+ResultSetValueSelector construction at JDBCStream.java:290-430 maps
+JDBC column types → tuple values; open() executes the SQL and read()
+walks the ResultSet).
+
+Here the same surface is built on Python's DB-API (PEP 249) so it is
+testable in-sandbox with sqlite3 and works with any DB-API driver:
+
+- ``read_dbapi``            — driver-side fetch of one query (the small-
+                              dimension path; result becomes a DataFrame).
+- ``read_dbapi_partitioned``— the scale path: mirrors Spark's own
+  JDBCRelation.columnPartition WHERE-clause ranges (first partition
+  ``col < b1 OR col IS NULL``, last ``col >= bN``), with ONE connection
+  opened per partition ON THE EXECUTOR (mapInPandas) — the same shape
+  Spark's JVM JDBC source uses, so a 1000-executor cluster fans out
+  1000 independent range scans instead of funneling rows through the
+  driver.
+
+Type mapping (JDBCStream's ResultSetValueSelector analog):
+int → long, float/real → double, str → string, bytes/blob → binary,
+bool → boolean, datetime → timestamp, date → date, Decimal →
+decimal(38,18), None-only columns → string.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import decimal as _decimal
+from typing import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_PY_TO_SPARK = [
+    (bool, T.BooleanType()),
+    (int, T.LongType()),
+    (float, T.DoubleType()),
+    (_decimal.Decimal, T.DecimalType(38, 18)),
+    (_dt.datetime, T.TimestampType()),
+    (_dt.date, T.DateType()),
+    (bytes, T.BinaryType()),
+    (str, T.StringType()),
+]
+
+
+def _spark_type(value) -> T.DataType | None:
+    for py, st in _PY_TO_SPARK:
+        if isinstance(value, py):
+            return st
+    return None
+
+
+def infer_schema(col_names: list[str], rows: list[tuple]) -> T.StructType:
+    """First non-null value per column decides its Spark type
+    (JDBCStream decides from ResultSetMetaData; DB-API description
+    types are driver-specific, so values are the portable signal)."""
+    fields = []
+    for i, name in enumerate(col_names):
+        st: T.DataType | None = None
+        for r in rows:
+            if r[i] is not None:
+                st = _spark_type(r[i])
+                break
+        fields.append(T.StructField(name, st or T.StringType(), True))
+    return T.StructType(fields)
+
+
+def read_dbapi(
+    spark: SparkSession,
+    connect: Callable[[], object],
+    query: str,
+    params: tuple = (),
+) -> DataFrame:
+    """One-shot driver-side read — for dimension-sized results (the
+    JDBCStream use case: joining a small RDBMS table into a stream).
+    Big tables belong on ``read_dbapi_partitioned``."""
+    con = connect()
+    try:
+        cur = con.cursor()
+        cur.execute(query, params)
+        names = [d[0] for d in cur.description]
+        rows = cur.fetchall()
+    finally:
+        con.close()
+    schema = infer_schema(names, rows)
+    return spark.createDataFrame([tuple(r) for r in rows], schema)
+
+
+def partition_predicates(
+    column: str, lower: int, upper: int, num_partitions: int
+) -> list[str]:
+    """JDBCRelation.columnPartition semantics: num_partitions stride
+    ranges over [lower, upper); the first also captures NULLs and
+    everything below, the last everything above."""
+    if num_partitions <= 1:
+        return ["1=1"]
+    stride = (upper - lower) // num_partitions or 1
+    preds, bound = [], lower
+    for i in range(num_partitions):
+        lo, hi = bound, bound + stride
+        if i == 0:
+            preds.append(f"{column} < {hi} OR {column} IS NULL")
+        elif i == num_partitions - 1:
+            preds.append(f"{column} >= {lo}")
+        else:
+            preds.append(f"{column} >= {lo} AND {column} < {hi}")
+        bound = hi
+    return preds
+
+
+def read_dbapi_partitioned(
+    spark: SparkSession,
+    connect: Callable[[], object],
+    table: str,
+    partition_column: str,
+    lower: int,
+    upper: int,
+    num_partitions: int,
+) -> DataFrame:
+    """Distributed range-partitioned read: each Spark partition opens its
+    OWN DB-API connection executor-side and scans one WHERE range —
+    rows never pass through the driver.  The schema is probed once with
+    a LIMIT-1 driver-side query."""
+    probe = connect()
+    try:
+        cur = probe.cursor()
+        cur.execute(f"SELECT * FROM {table} LIMIT 1")
+        names = [d[0] for d in cur.description]
+        sample = cur.fetchall()
+    finally:
+        probe.close()
+    schema = infer_schema(names, sample)
+    preds = partition_predicates(partition_column, lower, upper,
+                                 num_partitions)
+    # exactly one predicate per Spark partition (parallelize with explicit
+    # slice count — repartition() round-robin can double-pack)
+    pred_df = spark.createDataFrame(
+        spark.sparkContext.parallelize([(p,) for p in preds], len(preds)),
+        "pred string",
+    )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for pred in b["pred"]:
+                con = connect()
+                try:
+                    c = con.cursor()
+                    c.execute(f"SELECT * FROM {table} WHERE {pred}")
+                    rows = c.fetchall()
+                finally:
+                    con.close()
+                yield pd.DataFrame(list(rows) or None, columns=names)
+
+    return pred_df.mapInPandas(scan, schema)

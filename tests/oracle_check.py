@@ -46,7 +46,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    prefix = sys.argv[1] if len(sys.argv) > 1 else ""
+    prefixes = sys.argv[1:] or [""]
     import __spark_entry__ as e
     from solr_spark.session import get_spark
 
@@ -57,7 +57,7 @@ def main() -> int:
     qs, osql = e.queries(), e.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
     for name in sorted(qs):
-        if not name.startswith(prefix):
+        if not name.startswith(tuple(prefixes)):
             continue
         t0 = time.time()
         got = qs[name](spark, SF_DIR).toPandas()

@@ -96,6 +96,9 @@ def test_driver_window_composition():
         "fts_payload_score", "fts_payload_check",
         "a_distribution", "a_ks_test", "a_anova",
         "a_kmeans", "a_convolution", "a_polyfit",
+        # evaluator batch 6 — new machinery, no earlier driver rows
+        "a_freq_table", "a_hist", "a_ols2", "a_knn_regress",
+        "a_score_nodes", "a_convex_hull", "a_fuzzy_kmeans",
         "a_funcquery2", "a_ttest", "a_mannwhitney",
         "fts_phrase_pos", "fts_phrase3_pos", "fts_proximity_pos",
         "fts_phrase", "fts_mixed_phrase", "fts_complexphrase",
