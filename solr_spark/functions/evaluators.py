@@ -1236,3 +1236,70 @@ VECTOR.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# batch 6b — the last Lang.java evaluator stragglers: convert (unit
+# conversion, the exact factor table of ConversionEvaluator.java:95-185),
+# getValue/setValue/withField/withValue tuple ops (struct columns here),
+# recNum (RecNumEvaluator: a 0-based record counter), cell (CellStream:
+# wrap a stream's tuples into one list-valued tuple).
+
+_CONVERT_FACTORS = {
+    ("inches", "millimeters"): 25.4,
+    ("inches", "centimeters"): 2.54,
+    ("inches", "meters"): 0.0254,
+    ("feet", "meters"): 0.30,
+    ("yards", "meters"): 0.91,
+    ("yards", "kilometers"): 0.00091,
+    ("miles", "kilometers"): 1.61,
+    ("millimeters", "inches"): 0.039,
+    ("centimeters", "inches"): 0.39,
+    ("meters", "feet"): 3.28,
+    ("kilometers", "miles"): 0.62,
+    ("kilometers", "feet"): 3280.8,
+}
+
+
+def convert_units(frm: str, to: str, value: Column) -> Column:
+    """convert(from, to, x) — only the reference's published pairs are
+    legal; anything else raises, matching its EvaluatorException."""
+    key = (frm.lower(), to.lower())
+    if key not in _CONVERT_FACTORS:
+        raise ValueError(f"No conversion available from {frm} to {to}")
+    return value * F.lit(_CONVERT_FACTORS[key])
+
+
+SCALAR.update(
+    {
+        "convert": convert_units,
+        # tuple/struct field ops (GetValueEvaluator/SetValueEvaluator,
+        # and the let-context withField/withValue): structs are the
+        # Tuple analog, so these are plain Catalyst field ops
+        "getValue": lambda t, name: t.getField(name),
+        "setValue": lambda t, name, v: t.withField(name, v),
+        "withField": lambda t, name, v: t.withField(name, v),
+        "withValue": lambda t, name, v: t.withField(name, v),
+    }
+)
+
+
+def recnum(df: DataFrame, order_by: str | list[str],
+           out_col: str = "recNum") -> DataFrame:
+    """recNum() (RecNumEvaluator: ++index per tuple, 0-based).  The
+    reference counts tuples as they stream past in one process; a
+    distributed analog needs an explicit total order, so order_by is
+    required — same contract as export()'s global rank."""
+    cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    w = Window.orderBy(*[F.asc(c) for c in cols])
+    return df.withColumn(out_col, F.row_number().over(w) - 1)
+
+
+def cell(df: DataFrame, name: str = "cell") -> DataFrame:
+    """cell() (CellStream): gather a (small) stream's tuples into ONE
+    list-of-struct tuple — the let()-context building block. Only for
+    dimension-sized frames by construction (single reducer, like the
+    reference's in-memory list)."""
+    return df.agg(
+        F.collect_list(F.struct(*[F.col(c) for c in df.columns])).alias(name)
+    )

@@ -277,3 +277,30 @@ def test_score_nodes(spark):
     assert got["spark"] == pytest.approx(
         5 * (math.log(1001 / 101) + 1.0))
     assert got["rare"] == pytest.approx(2 * (math.log(1001 / 3) + 1.0))
+
+
+def test_convert_units(spark, unit):
+    assert _one(unit, ev.SCALAR["convert"]("miles", "kilometers",
+                                           F.lit(10.0))) == pytest.approx(16.1)
+    assert _one(unit, ev.SCALAR["convert"]("KILOMETERS", "FEET",
+                                           F.lit(2.0))) == pytest.approx(6561.6)
+    with pytest.raises(ValueError):
+        ev.SCALAR["convert"]("miles", "meters", F.lit(1.0))
+
+
+def test_struct_field_ops(spark, unit):
+    t = F.struct(F.lit(1).alias("a"), F.lit("x").alias("b"))
+    assert _one(unit, ev.SCALAR["getValue"](t, "b")) == "x"
+    got = _one(unit, ev.SCALAR["setValue"](t, "b", F.lit("y")))
+    assert got["b"] == "y" and got["a"] == 1
+    got2 = _one(unit, ev.SCALAR["withField"](t, "c", F.lit(9)))
+    assert got2["c"] == 9
+
+
+def test_recnum_and_cell(spark):
+    df = spark.createDataFrame([("c", 1), ("a", 2), ("b", 3)], "k string, v int")
+    rows = ev.recnum(df, "k").orderBy("recNum").collect()
+    assert [(r["k"], r["recNum"]) for r in rows] == [
+        ("a", 0), ("b", 1), ("c", 2)]
+    c = ev.cell(df, "tuples").collect()[0]["tuples"]
+    assert len(c) == 3 and {t["k"] for t in c} == {"a", "b", "c"}
