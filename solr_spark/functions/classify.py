@@ -150,3 +150,41 @@ def classify(
     return features.withColumn("probability", p).withColumn(
         "prediction", (p >= F.lit(float(threshold))).cast("int")
     )
+
+
+def term_vectors(
+    doc_terms: DataFrame,
+    id_col: str,
+    term_col: str,
+    min_df: int = 1,
+    max_df_ratio: float = 1.0,
+) -> tuple[DataFrame, list[str]]:
+    """termVectors (TermVectorsEvaluator): tf-idf document/term matrix
+    with column labels. ``doc_terms`` is a (doc, term) stream (duplicates
+    = term frequency, like the reference's analyzed field); terms are
+    pruned by ``min_df`` / ``max_df_ratio`` exactly as the evaluator's
+    minDocFreq/maxDocFreq knobs. Returns (rows, vocab): one row per doc
+    with a dense vector positioned by the sorted vocab — the labeled
+    matrix the reference feeds to kmeans/clustering evaluators.
+
+    The vocab is collected to the driver, but only AFTER the df pruning —
+    the same bound the reference accepts (its matrix is driver-side
+    entirely; here only the label list is)."""
+    n_docs = doc_terms.select(id_col).distinct().count()
+    max_df = int(max_df_ratio * n_docs)
+    dfs = (
+        doc_terms.select(id_col, term_col)
+        .distinct()
+        .groupBy(term_col)
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter((F.col("__df") >= min_df) & (F.col("__df") <= max_df))
+    )
+    pairs = [(r[0], int(r[1])) for r in dfs.collect()]
+    vocab = sorted(t for t, _ in pairs)
+    df_map = dict(pairs)
+    tf = (
+        doc_terms.groupBy(id_col, term_col)
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    vecs = tfidf_vectors(tf, id_col, term_col, "__tf", vocab, n_docs, df_map)
+    return vecs, vocab

@@ -1303,3 +1303,153 @@ def cell(df: DataFrame, name: str = "cell") -> DataFrame:
     return df.agg(
         F.collect_list(F.struct(*[F.col(c) for c in df.columns])).alias(name)
     )
+
+
+# --- batch 7: paired tests, count-dataset tests, moving MAD, misc ---------
+
+
+def paired_ttest(df: DataFrame, x: str, y: str, scale: int = 2) -> DataFrame:
+    """Paired t-test (PairedTTestEvaluator → Commons Math TTest.pairedTTest):
+    one row (t_stat, df, p_value) from the exact decimal moments of the
+    per-row difference d = x − y; t = mean(d)/(sd(d)/√n), df = n−1.
+    p uses the same documented large-sample normal approximation (shared
+    erf polynomial) as welch_ttest, so a SQL oracle can mirror it."""
+    d = _dec(x, scale, 18) - _dec(y, scale, 18)
+    m = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(d).cast("double").alias("sd"),
+        F.sum(d * d).cast("double").alias("sdd"),
+    )
+    n, sd, sdd = F.col("n"), F.col("sd"), F.col("sdd")
+    var = (sdd - sd * sd / n) / (n - 1)
+    t = (sd / n) / F.sqrt(var / n)
+    z = F.abs(t) / F.lit(1.4142135623730951)
+    p = F.lit(2.0) * (F.lit(0.5) * (F.lit(1.0) - erf_approx(z)))
+    return m.select(t.alias("t_stat"), (n - 1).alias("df"), p.alias("p_value"))
+
+
+def chi_square_dataset(df: DataFrame, a: str, b: str) -> DataFrame:
+    """chiSquareDataSet (ChiSquareDataSetEvaluator → Commons Math
+    ChiSquareTest.chiSquareDataSetsComparison): two observed count
+    columns, statistic Σ (√(N2/N1)·o1 − √(N1/N2)·o2)² / (o1+o2) over
+    categories with o1+o2 > 0; df = k−1. The statistic is plain
+    arithmetic (SQL-mirrorable); the p-value needs the regularized
+    incomplete gamma and rides mathx.chi2_sf driver-side via
+    chi_square_dataset_p."""
+    oa = F.col(a).cast("double")
+    ob = F.col(b).cast("double")
+    tot = df.agg(
+        F.sum(oa).alias("n1"),
+        F.sum(ob).alias("n2"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+    )
+    joined = df.crossJoin(F.broadcast(tot))
+    r12 = F.sqrt(F.col("n2") / F.col("n1"))
+    r21 = F.sqrt(F.col("n1") / F.col("n2"))
+    term = F.when(
+        oa + ob > 0, (r12 * oa - r21 * ob) * (r12 * oa - r21 * ob) / (oa + ob)
+    ).otherwise(0.0)
+    return joined.agg(
+        F.sum(term).alias("chisq"),
+        (F.first(F.col("k")) - 1).alias("df"),
+    )
+
+
+def gtest_dataset(df: DataFrame, a: str, b: str) -> DataFrame:
+    """gtestDataSet (GTestDataSetEvaluator → Commons Math
+    GTest.gDataSetsComparison): G = 2·[Σ o·ln o − Σ row·ln row
+    − Σ col·ln col + N·ln N] over the 2×k table of the two count
+    columns; df = k−1. Pure logs and sums — SQL-mirrorable."""
+    oa = F.col(a).cast("double")
+    ob = F.col(b).cast("double")
+    xlogx = lambda c: F.when(c > 0, c * F.log(c)).otherwise(0.0)  # noqa: E731
+    cell = df.agg(
+        F.sum(xlogx(oa) + xlogx(ob)).alias("s_cell"),
+        F.sum(xlogx(oa + ob)).alias("s_row"),
+        F.sum(oa).alias("n1"),
+        F.sum(ob).alias("n2"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+    )
+    n = F.col("n1") + F.col("n2")
+    g = 2.0 * (
+        F.col("s_cell")
+        - F.col("s_row")
+        - (xlogx(F.col("n1")) + xlogx(F.col("n2")))
+        + xlogx(n)
+    )
+    return cell.select(g.alias("g_stat"), (F.col("k") - 1).alias("df"))
+
+
+def moving_mad(
+    df: DataFrame,
+    part_cols: list[str],
+    order: list[Column],
+    value: str,
+    window: int,
+    out_col: str = "moving_mad",
+) -> DataFrame:
+    """movingMAD (MovingMADEvaluator): mean absolute deviation from the
+    frame mean over a trailing row window — the reference's definition
+    is the MEAN deviation (Commons Math DescriptiveStatistics-based),
+    not the median-of-deviations, and it only emits once the slider
+    holds a full window — partial frames yield NULL here to match."""
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(*order)
+        .rowsBetween(-(window - 1), 0)
+    )
+    v = F.col(value).cast("double")
+    mean = F.avg(v).over(w)
+    arr = F.collect_list(v).over(w)
+    dev = F.aggregate(
+        F.transform(arr, lambda x: F.abs(x - mean)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.size(arr)
+    full = F.size(arr) >= window
+    return df.withColumn(out_col, F.when(full, dev))
+
+
+def pair_sort(a: Column, b: Column) -> Column:
+    """pairSort (PairSortEvaluator): sort two parallel numeric arrays by
+    the first; returns struct(x, y) of the re-ordered arrays."""
+    zipped = F.array_sort(F.arrays_zip(a.alias("x"), b.alias("y")))
+    return F.struct(
+        F.transform(zipped, lambda s: s.getField("x")).alias("x"),
+        F.transform(zipped, lambda s: s.getField("y")).alias("y"),
+    )
+
+
+def outliers(
+    df: DataFrame, value: str, low: float = 0.01, high: float = 0.99,
+    scale: int = 2,
+) -> DataFrame:
+    """outliers (OutliersEvaluator): fit a normal to ``value`` and keep
+    rows whose CDF falls below ``low`` or above ``high``, with the
+    cumulative probability attached (the reference's contract: filter a
+    tuple stream by distribution tail probability)."""
+    fit = normal_fit(df, value, scale=scale)
+    joined = df.crossJoin(F.broadcast(fit))
+    cdf = norm_cdf(F.col(value).cast("double"), F.col("mu"), F.col("sigma"))
+    return (
+        joined.withColumn("cum_prob", cdf)
+        .filter((F.col("cum_prob") < low) | (F.col("cum_prob") > high))
+        .drop("mu", "sigma")
+    )
+
+
+def enumerated_pmf(k: Column, values: list, probs: list[float]) -> Column:
+    """enumeratedDistribution pmf over an explicit (value, prob) table."""
+    expr = F.lit(0.0)
+    for v, p in zip(values, probs):
+        expr = F.when(k == F.lit(v), F.lit(float(p))).otherwise(expr)
+    return expr
+
+
+def constant_pdf(x: Column, c: float) -> Column:
+    """constantDistribution: a point mass at c (pmf form)."""
+    return F.when(x.cast("double") == F.lit(float(c)), F.lit(1.0)).otherwise(0.0)
+
+
+def constant_cdf(x: Column, c: float) -> Column:
+    return F.when(x.cast("double") >= F.lit(float(c)), F.lit(1.0)).otherwise(0.0)

@@ -362,3 +362,36 @@ def _vector_similarity(a: Column, b: Column) -> Column:
 
 
 REGISTRY["vectorSimilarity"] = _vector_similarity
+
+
+# --------------------------------------------------------------------------
+# agg_* parser names (ValueSourceParser.java:1195-1390 registers the JSON
+# facet aggregates under "agg_<name>" so function-query syntax can call
+# them): bridge each name to the rollup metric registry so a user of the
+# reference's `agg_sum(field)` spelling lands on the same Column builder
+# as rollup()'s `sum`. agg_hll additionally exposes the from-scratch
+# cross-engine HyperLogLog (functions/sketch.py) as agg_hll_sketch.
+
+
+def _agg_aliases() -> dict[str, "callable"]:
+    from solr_spark.operators.rollup import AGG_FUNCS
+
+    out = {}
+    for name, fn in AGG_FUNCS.items():
+        if fn is None:
+            continue
+        out[f"agg_{name}"] = fn
+    out["agg_uniqueBlock"] = AGG_FUNCS["unique"]  # uniqueBlock: see rollup.unique_block
+    return out
+
+
+REGISTRY.update(_agg_aliases())
+
+
+def _agg_hll_sketch(df, value_col: str, keys=None, p: int = 12):
+    from solr_spark.functions.sketch import hll_count_distinct
+
+    return hll_count_distinct(df, value_col, keys, p)
+
+
+REGISTRY["agg_hll_sketch"] = _agg_hll_sketch

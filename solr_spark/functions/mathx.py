@@ -747,3 +747,242 @@ def membership_matrix(memberships: DataFrame, id_col: str = "vec_id") -> DataFra
         )
         .orderBy(id_col)
     )
+
+
+# --------------------------------------------------------------------------
+# regularized incomplete gamma — series for x < a+1, Lentz continued
+# fraction otherwise (the classic pair of public-domain algorithms; same
+# Lentz scheme as _betacf above).  Needed for gamma/chi-square CDFs.
+
+
+def _gamma_series(a: float, x: float) -> float:
+    ap, summ = a, 1.0 / a
+    delta = summ
+    for _ in range(500):
+        ap += 1.0
+        delta *= x / ap
+        summ += delta
+        if abs(delta) < abs(summ) * 3e-12:
+            break
+    return summ * math.exp(-x + a * math.log(x) - math.lgamma(a))
+
+
+def _gamma_cf(a: float, x: float) -> float:
+    FPMIN = 1e-300
+    b = x + 1.0 - a
+    c = 1.0 / FPMIN
+    d = 1.0 / b
+    h = d
+    for i in range(1, 500):
+        an = -i * (i - a)
+        b += 2.0
+        d = an * d + b
+        if abs(d) < FPMIN:
+            d = FPMIN
+        c = b + an / c
+        if abs(c) < FPMIN:
+            c = FPMIN
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 3e-12:
+            break
+    return math.exp(-x + a * math.log(x) - math.lgamma(a)) * h
+
+
+def gammainc_lower_reg(a: float, x: float) -> float:
+    """Regularized lower incomplete gamma P(a, x)."""
+    if x <= 0.0:
+        return 0.0
+    if x < a + 1.0:
+        return _gamma_series(a, x)
+    return 1.0 - _gamma_cf(a, x)
+
+
+def gamma_cdf_value(x: float, shape: float, scale: float) -> float:
+    """Gamma(shape, scale) CDF (GammaDistributionEvaluator's
+    cumulativeProbability; Commons Math GammaDistribution)."""
+    if x <= 0.0:
+        return 0.0
+    return gammainc_lower_reg(shape, x / scale)
+
+
+def chi2_sf(x: float, k: float) -> float:
+    """Chi-square survival P(X >= x) with k degrees of freedom."""
+    return 1.0 - gammainc_lower_reg(k / 2.0, x / 2.0)
+
+
+def beta_cdf_value(x: float, a: float, b: float) -> float:
+    """Beta(a, b) CDF (BetaDistributionEvaluator)."""
+    return betainc(a, b, min(max(x, 0.0), 1.0))
+
+
+def gamma_cdf(x: Column, shape: float, scale: float) -> Column:
+    """Arrow-batched gamma CDF column (no Catalyst incomplete gamma)."""
+
+    @pandas_udf("double")
+    def _f(s: pd.Series) -> pd.Series:
+        return s.astype(float).map(lambda v: gamma_cdf_value(v, shape, scale))
+
+    return _f(x)
+
+
+def beta_cdf(x: Column, a: float, b: float) -> Column:
+    @pandas_udf("double")
+    def _f(s: pd.Series) -> pd.Series:
+        return s.astype(float).map(lambda v: beta_cdf_value(v, a, b))
+
+    return _f(x)
+
+
+def gamma_pdf(x: Column, shape: float, scale: float) -> Column:
+    """Gamma pdf as a pure Catalyst closed form — Γ(shape) folds to a
+    driver constant, so the hot path stays in whole-stage codegen."""
+    lg = math.lgamma(shape)
+    xx = x.cast("double")
+    return F.when(xx <= 0.0, F.lit(0.0)).otherwise(
+        F.exp(
+            (shape - 1.0) * F.log(xx)
+            - xx / scale
+            - F.lit(lg + shape * math.log(scale))
+        )
+    )
+
+
+def beta_pdf(x: Column, a: float, b: float) -> Column:
+    lb = math.lgamma(a) + math.lgamma(b) - math.lgamma(a + b)
+    xx = x.cast("double")
+    return F.when((xx <= 0.0) | (xx >= 1.0), F.lit(0.0)).otherwise(
+        F.exp((a - 1.0) * F.log(xx) + (b - 1.0) * F.log(F.lit(1.0) - xx) - lb)
+    )
+
+
+# --------------------------------------------------------------------------
+# DBSCAN over an in-tuple point set (DbscanEvaluator — the reference
+# clusters a matrix held in one stream tuple, so the per-row Arrow batch
+# mirrors its execution shape; corpus-scale clustering is kmeans's job).
+
+
+def _dbscan_one(pts: np.ndarray, eps: float, min_pts: int) -> list[int]:
+    n = len(pts)
+    labels = [-1] * n  # -1 = noise
+    if n == 0:
+        return labels
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(axis=2)
+    neigh = [np.flatnonzero(row <= eps * eps) for row in d2]
+    cluster = 0
+    for i in range(n):
+        if labels[i] != -1 or len(neigh[i]) < min_pts:
+            continue
+        cluster += 1
+        labels[i] = cluster
+        stack = list(neigh[i])
+        while stack:
+            j = stack.pop()
+            if labels[j] == -1:
+                labels[j] = cluster
+                if len(neigh[j]) >= min_pts:
+                    stack.extend(int(q) for q in neigh[j] if labels[q] == -1)
+    return labels
+
+
+def dbscan(points: Column, eps: float, min_pts: int) -> Column:
+    """Cluster labels (1..k, -1 = noise) for an array<array<double>>
+    column of points — deterministic: seeds scan in row order."""
+
+    @pandas_udf("array<int>")
+    def _f(s: pd.Series) -> pd.Series:
+        out = []
+        for pts in s:
+            if pts is None or len(pts) == 0:
+                out.append([])
+                continue
+            out.append(_dbscan_one(np.asarray([list(p) for p in pts], float),
+                                   eps, min_pts))
+        return pd.Series(out)
+
+    return _f(points)
+
+
+# --------------------------------------------------------------------------
+# Akima spline (AkimaEvaluator → Commons Math AkimaSplineInterpolator;
+# Akima 1970): slope at each knot is the weighted average of adjacent
+# secant slopes, weights = |m_{i+1} − m_i|.  Fitted per row, predicted
+# with a cubic Hermite segment — all from the published formulas.
+
+
+def _akima_slopes(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    n = len(x)
+    m = np.diff(y) / np.diff(x)
+    # extend secant slopes per Akima's end conditions
+    mm = np.empty(n + 3)
+    mm[2 : n + 1] = m
+    mm[1] = 2.0 * mm[2] - mm[3]
+    mm[0] = 2.0 * mm[1] - mm[2]
+    mm[n + 1] = 2.0 * mm[n] - mm[n - 1]
+    mm[n + 2] = 2.0 * mm[n + 1] - mm[n]
+    w1 = np.abs(mm[3:] - mm[2:-1])  # |m_{i+1} - m_i|
+    w2 = np.abs(mm[1:-2] - mm[:-3])  # |m_{i-1} - m_{i-2}|
+    t = np.empty(n)
+    for i in range(n):
+        if w1[i] + w2[i] == 0.0:
+            t[i] = 0.5 * (mm[i + 1] + mm[i + 2])
+        else:
+            t[i] = (w1[i] * mm[i + 1] + w2[i] * mm[i + 2]) / (w1[i] + w2[i])
+    return t
+
+
+def akima_predict_values(
+    x: list[float], y: list[float], at: list[float]
+) -> list[float]:
+    """Evaluate the Akima spline through (x, y) at the points ``at``."""
+    xa, ya = np.asarray(x, float), np.asarray(y, float)
+    order = np.argsort(xa)
+    xa, ya = xa[order], ya[order]
+    t = _akima_slopes(xa, ya)
+    out = []
+    for v in at:
+        i = int(np.clip(np.searchsorted(xa, v, side="right") - 1, 0, len(xa) - 2))
+        h = xa[i + 1] - xa[i]
+        s = (v - xa[i]) / h
+        h00 = 2 * s**3 - 3 * s**2 + 1
+        h10 = s**3 - 2 * s**2 + s
+        h01 = -2 * s**3 + 3 * s**2
+        h11 = s**3 - s**2
+        out.append(
+            float(h00 * ya[i] + h10 * h * t[i] + h01 * ya[i + 1] + h11 * h * t[i + 1])
+        )
+    return out
+
+
+def akima_predict(x: Column, y: Column, at: Column) -> Column:
+    """Per-row Akima interpolation: three array columns → array of
+    predictions (the reference evaluates the interpolator inside one
+    stream tuple the same way)."""
+
+    @pandas_udf("array<double>")
+    def _f(xs: pd.Series, ys: pd.Series, ats: pd.Series) -> pd.Series:
+        out = []
+        for xv, yv, av in zip(xs, ys, ats):
+            if xv is None or yv is None or av is None or len(xv) < 3:
+                out.append(None)
+                continue
+            out.append(akima_predict_values(list(xv), list(yv), list(av)))
+        return pd.Series(out)
+
+    return _f(x, y, at)
+
+
+# --------------------------------------------------------------------------
+# primes (PrimesEvaluator): first n primes >= start.
+
+
+def primes(n: int, start: int = 2) -> list[int]:
+    out: list[int] = []
+    cand = max(2, int(start))
+    while len(out) < n:
+        is_p = cand >= 2 and all(cand % p for p in range(2, int(cand**0.5) + 1))
+        if is_p:
+            out.append(cand)
+        cand += 1
+    return out

@@ -340,6 +340,7 @@ def kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    seed_offset: int = 0,
 ) -> DataFrame:
     """Deterministic Lloyd k-means (KmeansEvaluator, Lang.java — the
     reference wraps Commons Math KMeansPlusPlusClusterer; the random
@@ -356,6 +357,8 @@ def kmeans(
     aggregation — no all-pairs stage, centroids never leave the plan."""
     seeds = (
         corpus.orderBy(F.asc(id_col))
+        .limit(k * (seed_offset + 1))
+        .orderBy(F.desc(id_col))
         .limit(k)
         .select(
             F.row_number().over(Window.orderBy(F.asc(id_col))).alias("cluster_id"),
@@ -418,6 +421,8 @@ def fuzzy_kmeans(
     expo = 2.0 / (fuzziness - 1.0)
     seeds = (
         corpus.orderBy(F.asc(id_col))
+        .limit(k * (seed_offset + 1))
+        .orderBy(F.desc(id_col))
         .limit(k)
         .select(
             F.row_number().over(Window.orderBy(F.asc(id_col))).alias("cluster_id"),
@@ -468,3 +473,50 @@ def fuzzy_kmeans(
             )
         )
     return memberships(cents).select(id_col, "cluster_id", "membership")
+
+
+def multi_kmeans(
+    corpus: DataFrame,
+    k: int,
+    trials: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """multiKmeans (MultiKmeansEvaluator → repeated Commons Math
+    KMeansPlusPlusClusterer, keep-lowest-SSE): run :func:`kmeans`
+    ``trials`` times and keep the assignment with the lowest total
+    within-cluster squared error. The reference restarts with random
+    seeds; here trial t seeds from the t-th block of k lowest-id vectors
+    (``seed_offset``), so the winner is deterministic and reproducible
+    across cluster sizes. Per trial: the kmeans plan plus ONE scalar
+    collect (the SSE) — the corpus never leaves the cluster."""
+    best: DataFrame | None = None
+    best_sse: float | None = None
+    for t in range(trials):
+        assign = kmeans(corpus, k, iters, id_col, vec_col, round_to, seed_offset=t)
+        flat = assign.join(corpus.select(id_col, vec_col), id_col).select(
+            "cluster_id", vec_col
+        )
+        cents = (
+            flat.select("cluster_id", F.posexplode(F.col(vec_col)).alias("pos", "val"))
+            .groupBy("cluster_id", "pos")
+            .agg(F.round(F.avg(F.col("val").cast("double")), round_to).alias("m"))
+            .groupBy("cluster_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "cluster_id",
+                F.transform("pm", lambda s: s.getField("m")).alias("c_vec"),
+            )
+        )
+        row = (
+            flat.join(F.broadcast(cents), "cluster_id")
+            .agg(F.sum(sq_euclidean(F.col(vec_col), F.col("c_vec"))).alias("sse"))
+            .collect()[0]
+        )
+        sse = float(row.sse or 0.0)
+        if best_sse is None or sse < best_sse:
+            best_sse, best = sse, assign
+    assert best is not None
+    return best

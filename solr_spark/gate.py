@@ -1038,6 +1038,12 @@ def s_media_features(spark, sf_dir):
 # tests/test_gate.py against the same oracles) follow.
 
 _PRIORITY = [
+    # ROUND-3 batch 7 — newest machinery first: the cross-engine
+    # HyperLogLog sketch (functions/sketch.py), paired/count-dataset
+    # hypothesis tests, moving MAD, outliers, the incomplete-gamma
+    # distribution path, and the postings-decoded totaltermfreq
+    "a_hll_sketch", "a_paired_ttest", "a_chisq_dataset", "a_gtest_dataset",
+    "a_moving_mad", "a_outliers", "a_gamma_dist", "fts_ttf",
     # ROUND-3 NEW machinery — must hold driver rows: per-position payload
     # stream + payload_score/payload_check kernels, and evaluator batch 4
     # (distributions/KS/ANOVA/kmeans/convolution/polyfit)
@@ -1054,8 +1060,10 @@ _PRIORITY = [
     # s_topic_incremental spill — r2-green, pure-Catalyst plans untouched
     # in round 3, still exercised by tests/test_gate.py.
     # t_token_stats / t_fingerprint spill as before (round-1 green rows).
+    # t_dup_clusters spills this round (batch 7 takes its row): r2-green
+    # with the recursive-CTE oracle, duplicate_clusters untouched in
+    # round 3, still exercised by tests/test_gate.py.
     "t_minhash_pairs", "t_jaccard_pairs", "t_simhash_pairs", "t_exact_dups",
-    "t_dup_clusters",
     "e_knn_brute", "e_knn_ivf", "e_near_dup",
     # round-3 CHANGED plans: every gate_search / dismax / phrase /
     # proximity path now uses unsorted component mode + positional
@@ -1090,7 +1098,6 @@ _PRIORITY = [
     # a_facet_query / a_facet_heatmap spill: r2-green, rollup.py facet
     # machinery untouched in round 3 (a_facet_pivot keeps driver evidence
     # for the family)
-    "w_elevate", "a_facet_pivot",
     # stream evaluators (Lang.java family) + round-3 funcquery parity
     # batch (hypot/atan2/sqedist/dist/ord/rord — new machinery) + rank
     # tests (Welch t / Mann-Whitney U — new machinery).
@@ -1098,6 +1105,15 @@ _PRIORITY = [
     # spill: r2-green, decimal-exact machinery untouched in round 3,
     # green in tests/test_gate.py
     "a_funcquery2", "a_ttest", "a_mannwhitney",
+    # ---- 50-entry window edge (a_mannwhitney is row 50) ----
+    # Spilled to make room for batch 7, all r1/r2-green with machinery
+    # untouched since their last driver evidence, all still exercised by
+    # tests/test_gate.py against the same oracles: w_elevate,
+    # a_facet_pivot (facet family keeps a_facet_range's r2 row... see
+    # below), a_frange family note above, a_facet_range, a_unique_block,
+    # fts_synonyms, fts_stemmed, r_export_sorted (round-2 changed plan,
+    # r2-green driver row already recorded).
+    "w_elevate", "a_facet_pivot",
     # a_percent_rank / a_moving_median spill: SQL-standard machinery
     # identical in both engines, r1/r2-green, tests/test_gate.py.
     # a_covariance / a_describe spill: the same decimal-exact agg
@@ -1105,7 +1121,7 @@ _PRIORITY = [
     # range facet / block agg / synonyms / stemmed analyzer
     "a_facet_range", "a_unique_block", "fts_synonyms", "fts_stemmed",
     # sorted-export distributed global_rank (round-2 changed plan)
-    "r_export_sorted",
+    "r_export_sorted", "t_dup_clusters",
     # spilled with r2 evidence (plans untouched in round 3): t_quality,
     # t_lang_id, s_media_features, s_topic_incremental, u_atomic_update,
     # w_ltr_trees, a_facet_query, a_facet_heatmap — then the core BM25 /
@@ -2651,11 +2667,57 @@ def a_frange(spark, sf_dir):
 def a_hll_approx(spark, sf_dir):
     """hll agg (facet/HLLAgg.java): HyperLogLog cardinality sketch —
     approx values differ per implementation, so the gate records the
-    rows-only check; the exact counterpart is a_unique_exact."""
+    rows-only check; the exact counterpart is a_unique_exact and the
+    cross-engine-reproducible sketch is a_hll_sketch."""
     return rollup.rollup(
         _t(spark, sf_dir, "orders"),
         ["o_orderstatus"],
         [F.approx_count_distinct("o_custkey").alias("n_cust_approx")],
+    )
+
+
+# From-scratch HyperLogLog whose registers derive from md5, so DuckDB can
+# mirror every step and the driver check is an exact triple match (unlike
+# a_hll_approx's engine-specific sketch).  The scaled denominator
+# sum(2^(53-rho)) is an exact HUGEINT/DECIMAL sum — order-independent —
+# so the final double expression is bit-identical across engines.
+_HLL_SQL = """WITH h AS (SELECT o_orderstatus AS g,
+  md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders WHERE o_custkey IS NOT NULL),
+b AS (SELECT g, ('0x' || substr(h, 1, 3))::INT AS bucket, substr(h, 4, 13) AS w FROM h),
+r AS (SELECT g, bucket,
+  CASE WHEN ltrim(w, '0') = '' THEN 53
+       ELSE 4 * (13 - length(ltrim(w, '0')))
+          + (CASE WHEN ('0x' || substr(ltrim(w, '0'), 1, 1))::INT >= 8 THEN 0
+                  WHEN ('0x' || substr(ltrim(w, '0'), 1, 1))::INT >= 4 THEN 1
+                  WHEN ('0x' || substr(ltrim(w, '0'), 1, 1))::INT >= 2 THEN 2
+                  ELSE 3 END) + 1 END AS rho
+  FROM b),
+reg AS (SELECT g, bucket, max(rho) AS rho FROM r GROUP BY 1, 2),
+ag AS (SELECT g, sum((1::HUGEINT << (53 - rho))) AS s53, count(*) AS c
+  FROM reg GROUP BY 1),
+fin AS (SELECT g, CAST(s53 AS DOUBLE) / 9007199254740992.0 AS s,
+  CAST(4096 - c AS DOUBLE) AS zeros FROM ag)
+SELECT g AS o_orderstatus,
+  CAST(round(CASE WHEN (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 / (s + zeros)
+                       <= 2.5 * 4096.0 AND zeros > 0
+             THEN 4096.0 * ln(4096.0 / zeros)
+             ELSE (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 / (s + zeros)
+        END, 0) AS BIGINT) AS n_hll
+FROM fin"""
+
+
+@entry("a_hll_sketch", _HLL_SQL)
+def a_hll_sketch(spark, sf_dir):
+    """hll agg (facet/HLLAgg.java → java-hll; Flajolet et al. 2007),
+    re-derived from the paper as DataFrame algebra
+    (functions/sketch.py): md5-bucketed registers, groupBy-max sketch
+    (≤4096 rows per group shuffle regardless of input size), exact
+    integer-scaled harmonic mean + linear-counting correction — the
+    estimate is bit-identical in Spark and DuckDB."""
+    from solr_spark.functions import sketch
+
+    return sketch.hll_count_distinct(
+        _t(spark, sf_dir, "orders"), "o_custkey", ["o_orderstatus"]
     )
 
 
@@ -2991,4 +3053,209 @@ def a_fuzzy_kmeans(spark, sf_dir):
     return mm.select(
         "vec_id",
         F.transform("memberships", lambda v: F.round(v, 4)).alias("memberships"),
+    )
+
+
+# ===========================================================================
+# Round-3 batch 7: paired/count-dataset tests, moving MAD, outliers,
+# gamma distribution, totaltermfreq — each with a full DuckDB oracle.
+
+
+_PAIRED_T_SQL = f"""WITH m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sd,
+  CAST(sum((CAST(l_quantity AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+         * (CAST(l_quantity AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sdd
+  FROM lineitem),
+t AS (SELECT (sd / n) / sqrt(((sdd - sd * sd / n) / (n - 1)) / n) AS t_stat, n - 1 AS df FROM m),
+zz AS (SELECT t_stat, df, abs(t_stat) / 1.4142135623730951 AS z FROM t)
+SELECT round(t_stat, 6) AS t_stat, round(df, 1) AS df,
+ round(2.0 * (0.5 * (1.0 - {_ERF_Z})), 6) AS p_value
+FROM zz"""
+
+
+@entry("a_paired_ttest", _PAIRED_T_SQL)
+def a_paired_ttest(spark, sf_dir):
+    """Paired t-test (PairedTTestEvaluator → Commons Math
+    TTest.pairedTTest) of l_quantity against l_discount per lineitem
+    row: exact decimal moments of the difference, p via the documented
+    large-sample normal approximation (shared erf polynomial)."""
+    from solr_spark.functions import evaluators as ev
+
+    out = ev.paired_ttest(_t(spark, sf_dir, "lineitem"), "l_quantity", "l_discount")
+    return out.select(
+        F.round("t_stat", 6).alias("t_stat"),
+        F.round("df", 1).alias("df"),
+        F.round("p_value", 6).alias("p_value"),
+    )
+
+
+_CHISQ_SQL = """WITH c AS (SELECT o_orderpriority,
+  CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS DOUBLE) AS a,
+  CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS DOUBLE) AS b
+  FROM orders GROUP BY 1),
+tot AS (SELECT sum(a) AS n1, sum(b) AS n2, CAST(count(*) AS DOUBLE) AS k FROM c),
+s AS (SELECT sum(CASE WHEN a + b > 0
+        THEN (sqrt(n2 / n1) * a - sqrt(n1 / n2) * b)
+           * (sqrt(n2 / n1) * a - sqrt(n1 / n2) * b) / (a + b)
+        ELSE 0 END) AS chisq, any_value(k) AS k
+  FROM c, tot)
+SELECT round(chisq, 6) AS chisq, round(k - 1, 1) AS df FROM s"""
+
+
+@entry("a_chisq_dataset", _CHISQ_SQL)
+def a_chisq_dataset(spark, sf_dir):
+    """chiSquareDataSet (ChiSquareDataSetEvaluator → Commons Math
+    ChiSquareTest.chiSquareDataSetsComparison) comparing the per-priority
+    count vectors of F-status vs O-status orders. The statistic is plain
+    arithmetic (exact SQL mirror); the p-value needs the regularized
+    incomplete gamma (mathx.chi2_sf) and is exercised in pytest."""
+    from solr_spark.functions import evaluators as ev
+
+    counts = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("a"),
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("b"),
+        )
+    )
+    out = ev.chi_square_dataset(counts, "a", "b")
+    return out.select(
+        F.round("chisq", 6).alias("chisq"), F.round("df", 1).alias("df")
+    )
+
+
+_GTEST_SQL = """WITH c AS (SELECT o_orderpriority,
+  CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS DOUBLE) AS a,
+  CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS DOUBLE) AS b
+  FROM orders GROUP BY 1),
+ag AS (SELECT
+  sum((CASE WHEN a > 0 THEN a * ln(a) ELSE 0 END)
+    + (CASE WHEN b > 0 THEN b * ln(b) ELSE 0 END)) AS s_cell,
+  sum(CASE WHEN a + b > 0 THEN (a + b) * ln(a + b) ELSE 0 END) AS s_row,
+  sum(a) AS n1, sum(b) AS n2, CAST(count(*) AS DOUBLE) AS k FROM c)
+SELECT round(2.0 * (s_cell - s_row
+  - ((CASE WHEN n1 > 0 THEN n1 * ln(n1) ELSE 0 END)
+   + (CASE WHEN n2 > 0 THEN n2 * ln(n2) ELSE 0 END))
+  + (CASE WHEN n1 + n2 > 0 THEN (n1 + n2) * ln(n1 + n2) ELSE 0 END)), 6) AS g_stat,
+ round(k - 1, 1) AS df
+FROM ag"""
+
+
+@entry("a_gtest_dataset", _GTEST_SQL)
+def a_gtest_dataset(spark, sf_dir):
+    """gtestDataSet (GTestDataSetEvaluator → Commons Math
+    GTest.gDataSetsComparison) over the same two count vectors: G from
+    x·ln x sums — logs only, exact SQL mirror."""
+    from solr_spark.functions import evaluators as ev
+
+    counts = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("a"),
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("b"),
+        )
+    )
+    out = ev.gtest_dataset(counts, "a", "b")
+    return out.select(
+        F.round("g_stat", 6).alias("g_stat"), F.round("df", 1).alias("df")
+    )
+
+
+_MOVING_MAD_SQL = """WITH e AS (SELECT event_id, value,
+  date_trunc('day', ts) AS d,
+  row_number() OVER (PARTITION BY date_trunc('day', ts) ORDER BY ts, event_id) AS rn
+  FROM events),
+p AS (SELECT a.event_id, b.value AS bv
+  FROM e a JOIN e b ON a.d = b.d AND b.rn BETWEEN a.rn - 2 AND a.rn),
+g AS (SELECT event_id, avg(bv) AS mu, count(*) AS c FROM p GROUP BY 1),
+mad AS (SELECT p.event_id, avg(abs(p.bv - g.mu)) AS mad, any_value(g.c) AS c
+  FROM p JOIN g USING (event_id) GROUP BY 1)
+SELECT event_id, round(CASE WHEN c >= 3 THEN mad END, 6) AS moving_mad FROM mad"""
+
+
+@entry("a_moving_mad", _MOVING_MAD_SQL)
+def a_moving_mad(spark, sf_dir):
+    """movingMAD (MovingMADEvaluator): mean absolute deviation from the
+    frame mean over a trailing 3-row window per day — the reference
+    emits full windows only, partial frames are NULL."""
+    from solr_spark.functions import evaluators
+
+    ev_df = _t(spark, sf_dir, "events").withColumn(
+        "__day", F.date_trunc("day", F.col("ts"))
+    )
+    out = evaluators.moving_mad(
+        ev_df, ["__day"], [F.asc("ts"), F.asc("event_id")], "value", 3
+    )
+    return out.select(
+        "event_id", F.round(F.col("moving_mad"), 6).alias("moving_mad")
+    )
+
+
+_OUTLIERS_SQL = f"""WITH m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+  CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+  FROM events),
+f AS (SELECT sx / n AS mu, sqrt(sxx / n - (sx / n) * (sx / n)) AS sigma FROM m),
+zs AS (SELECT event_id, value, mu, sigma,
+  (value - mu) / (sigma * 1.4142135623730951) AS z FROM events, f),
+cd AS (SELECT event_id, value, 0.5 * (1.0 + {_ERF_Z}) AS cum_prob FROM zs)
+SELECT event_id, round(cum_prob, 6) AS cum_prob FROM cd
+WHERE cum_prob < 0.003 OR cum_prob > 0.997"""
+
+
+@entry("a_outliers", _OUTLIERS_SQL)
+def a_outliers(spark, sf_dir):
+    """outliers (OutliersEvaluator): normal fit over events.value from
+    exact decimal moments, keep rows in the distribution tails
+    (cum_prob < 0.003 or > 0.997) — cdf via the shared erf polynomial."""
+    from solr_spark.functions import evaluators as ev
+
+    out = ev.outliers(_t(spark, sf_dir, "events"), "value", 0.003, 0.997)
+    return out.select("event_id", F.round("cum_prob", 6).alias("cum_prob"))
+
+
+_GAMMA_SQL = """WITH xs AS (SELECT CAST(t.x AS DOUBLE) AS x FROM generate_series(1, 30) t(x))
+SELECT x,
+ round(exp(2.0 * ln(x) - x / 2.0 - (0.6931471805599453 + 3.0 * 0.6931471805599453)), 6) AS gamma_pdf,
+ round(1.0 - exp(-x / 2.0) * (1.0 + (x / 2.0) + (x / 2.0) * (x / 2.0) / 2.0), 6) AS gamma_cdf
+FROM xs"""
+
+
+@entry("a_gamma_dist", _GAMMA_SQL)
+def a_gamma_dist(spark, sf_dir):
+    """gammaDistribution (GammaDistributionEvaluator → Commons Math
+    GammaDistribution) with shape k=3, scale θ=2 on x = 1..30: pdf is
+    the Catalyst closed form (lgamma folds to a driver constant:
+    ln Γ(3) = ln 2); the cdf comes from the from-scratch regularized
+    incomplete gamma (mathx.gammainc_lower_reg, Arrow-batched), which
+    for integer shape equals the Erlang closed form the oracle runs."""
+    from solr_spark.functions import mathx
+
+    xs = spark.range(1, 31).select(F.col("id").cast("double").alias("x"))
+    return xs.select(
+        "x",
+        F.round(mathx.gamma_pdf(F.col("x"), 3.0, 2.0), 6).alias("gamma_pdf"),
+        F.round(mathx.gamma_cdf(F.col("x"), 3.0, 2.0), 6).alias("gamma_cdf"),
+    )
+
+
+@entry(
+    "fts_ttf",
+    f"""WITH tok AS (SELECT unnest({TOKS_SQL}) AS term FROM documents)
+SELECT term, count(*) AS ttf FROM tok WHERE term IN ('spark', 'index', 'query')
+GROUP BY term""",
+)
+def fts_ttf(spark, sf_dir):
+    """totaltermfreq/ttf (ValueSourceParser 'totaltermfreq'): corpus-wide
+    occurrence counts decoded from the inverted index's tf stream
+    (kernel.total_term_freq) — the oracle recounts from the raw analyzed
+    corpus, so this cross-checks the postings codec end-to-end."""
+    from solr_spark.engine import ensure_index
+    from solr_spark.kernel import total_term_freq
+
+    meta = ensure_index(spark, sf_dir)
+    return total_term_freq(spark, meta, ["spark", "index", "query"]).select(
+        "term", F.col("ttf").cast("long").alias("ttf")
     )

@@ -607,3 +607,25 @@ def dismax_search(
         # ordering is discarded anyway
         return scored
     return scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+
+
+def total_term_freq(
+    spark: SparkSession, meta: IndexMeta, terms: list[str]
+) -> DataFrame:
+    """totaltermfreq/ttf (ValueSourceParser 'totaltermfreq' →
+    TotalTermFreqValueSource): corpus-wide occurrence count per term.
+    One pruned postings scan (PushedFilters: In(term, ...)) feeding the
+    same varint decode kernel the scorer uses; the per-term sum is a
+    partial-aggregated groupBy — no doc rows reach the driver."""
+    rows = postings_rows(spark, meta, sorted(set(terms)))
+    return rows.groupBy("term").agg(F.sum("tf").alias("ttf"))
+
+
+def sum_total_term_freq(spark: SparkSession, meta: IndexMeta) -> DataFrame:
+    """sumtotaltermfreq/sttf (SumTotalTermFreqValueSource): Σ ttf over
+    every term of the field = Σ doclen over the docs table — computed
+    from the 1-column doc-stats scan, NOT by decoding all postings (at
+    100 TB the docs table is ~1e9 rows of one long vs postings in the
+    trillions)."""
+    docs = spark.read.parquet(meta.docs_path)
+    return docs.agg(F.sum("doclen").cast("long").alias("sttf"))

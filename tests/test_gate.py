@@ -93,6 +93,10 @@ def test_driver_window_composition():
     # default, unsorted component mode, LSH bucket cap) that must keep
     # fresh driver evidence
     must_hold = {
+        # round-3 batch 7 — newest machinery, no earlier driver rows
+        "a_hll_sketch", "a_paired_ttest", "a_chisq_dataset",
+        "a_gtest_dataset", "a_moving_mad", "a_outliers", "a_gamma_dist",
+        "fts_ttf",
         "fts_payload_score", "fts_payload_check",
         "a_distribution", "a_ks_test", "a_anova",
         "a_kmeans", "a_convolution", "a_polyfit",
@@ -114,4 +118,4 @@ def test_driver_window_composition():
     missing = must_hold - set(window)
     assert not missing, f"outside the driver window: {sorted(missing)}"
     # the window edge itself (documented in gate._PRIORITY)
-    assert window[49] == "r_export_sorted"
+    assert window[49] == "a_mannwhitney"
