@@ -2305,10 +2305,26 @@ def a_describe(spark, sf_dir):
     )
 
 
-@entry("a_ema", None)  # rows-only: the EMA recurrence is not closed-form SQL
+_EMA_SQL = """WITH e AS (SELECT event_id, value, date_trunc('day', ts) AS d,
+  row_number() OVER (PARTITION BY date_trunc('day', ts) ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT a.event_id,
+ round(sum(CASE WHEN b.rn = 1 THEN power(0.7, a.rn - 1) * b.value
+       ELSE 0.3 * power(0.7, a.rn - b.rn) * b.value END), 6) AS ema
+FROM e a JOIN e b ON a.d = b.d AND b.rn <= a.rn
+GROUP BY a.event_id"""
+
+
+@entry("a_ema", _EMA_SQL)
 def a_ema(spark, sf_dir):
     """expMovingAvg evaluator — per-day-partition array fold (verified
-    against pandas ewm(adjust=False) in tests/test_functions.py)."""
+    against pandas ewm(adjust=False) in tests/test_functions.py).
+
+    Round-3 oracle upgrade (was rows-only): the recurrence unrolls to the
+    closed form ema_i = (1−α)^(i−1)·x_1 + Σ_{j≥2} α(1−α)^(i−j)·x_j, whose
+    exponents are all ≤ 0 — numerically stable — so DuckDB mirrors it
+    with an O(n²)-per-day triangular self-join (day groups are bounded;
+    the engine itself keeps the O(n) sequential fold)."""
     from solr_spark.functions import evaluators
 
     ev = _t(spark, sf_dir, "events").withColumn(

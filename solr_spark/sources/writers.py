@@ -1,9 +1,11 @@
-"""Response writers beyond JSON/CSV: XML, CBOR, javabin, GeoJSON, GraphML.
+"""Response writers beyond JSON/CSV: XML, CBOR, javabin, Smile, GeoJSON,
+GraphML.
 
 Reference (paths under /root/reference/solr/core/src/java/org/apache/solr/response/):
 - XMLWriter.java / XMLResponseWriter.java (wt=xml envelope)
 - CborResponseWriter.java (wt=cbor)
 - BinaryResponseWriter.java (wt=javabin)
+- SmileResponseWriter.java (wt=smile — sources/smile.py from-scratch codec)
 - GeoJSONResponseWriter.java (wt=geojson — features from a lat/lon or
   geometry field)
 - GraphMLResponseWriter.java (streams a gatherNodes() traversal as
@@ -196,4 +198,24 @@ def write_graphml(
         + "".join(nodes)
         + "".join(edges)
         + "</graph></graphml>"
+    )
+
+
+def write_smile_response(
+    df: DataFrame, rows: int | None = 10, start: int = 0
+) -> bytes:
+    """wt=smile (SmileResponseWriter.java): the same envelope encoded
+    with the from-scratch Smile codec (sources/smile.py)."""
+    from . import smile
+
+    pdf, n_found = _page(df, rows, start)
+    docs = [
+        {k: (v.tolist() if hasattr(v, "tolist") else v) for k, v in r.items()}
+        for r in pdf.to_dict(orient="records")
+    ]
+    return smile.dumps(
+        {
+            "responseHeader": {"status": 0},
+            "response": {"numFound": n_found, "start": start, "docs": docs},
+        }
     )

@@ -82,3 +82,34 @@ def test_graphml(spark):
     }
     assert nodes == {"a", "b", "c"}
     assert edges == {("a", "b"), ("a", "c"), ("b", "c")}
+
+
+def test_smile_roundtrip_values():
+    from solr_spark.sources import smile
+
+    cases = [
+        None, True, False, 0, 7, -16, 15, 16, -17, 1000, -100000,
+        2**40, -(2**40), 3.14159, -2.5e-300, 0.0,
+        "", "a", "x" * 32, "y" * 33, "z" * 64, "w" * 65, "long" * 100,
+        "café", "ünïcode" * 3, "é" * 40,
+        {"k": 1, "nested": {"a": [1, 2.5, "s", None, True]}},
+        [[], {}, [{"x": "y"}]],
+        {"ключ": "значение", "k" * 70: "v"},  # unicode + long key forms
+    ]
+    for c in cases:
+        assert smile.loads(smile.dumps(c)) == c
+    assert smile.dumps(1)[:4] == smile.HEADER
+
+
+def test_smile_response_envelope(spark):
+    from solr_spark.sources import smile
+    from solr_spark.sources.writers import write_smile_response
+
+    df = spark.createDataFrame(
+        [(1, "hello", 1.5), (2, "wörld", -2.0)], "id long, s string, v double"
+    )
+    blob = write_smile_response(df, rows=10)
+    env = smile.loads(blob)
+    assert env["responseHeader"]["status"] == 0
+    assert env["response"]["numFound"] == 2
+    assert env["response"]["docs"][1]["s"] == "wörld"
