@@ -986,3 +986,171 @@ def primes(n: int, start: int = 2) -> list[int]:
             out.append(cand)
         cand += 1
     return out
+
+
+# --------------------------------------------------------------------------
+# Natural cubic spline (SplineEvaluator → Commons Math SplineInterpolator).
+# The interpolator is the textbook natural cubic spline: second
+# derivative zero at both ends, coefficients from the tridiagonal system
+# (Burden & Faires, Numerical Analysis, Algorithm 3.4 — public method).
+# Reference registration: solrj-streaming io/eval/SplineEvaluator.java:1
+# (Lang.java "spline"); like the reference we fit per tuple and predict
+# with predict()'s interpolator protocol.
+
+
+def spline_coeffs(x: np.ndarray, y: np.ndarray):
+    """Natural-cubic-spline coefficients (b, c, d) per segment so that
+    S_i(v) = y_i + b_i*h + c_i*h^2 + d_i*h^3 with h = v - x_i."""
+    n = len(x) - 1
+    h = np.diff(x)
+    alpha = np.zeros(n + 1)
+    alpha[1:n] = 3.0 * (y[2:] - y[1:-1]) / h[1:] - 3.0 * (y[1:-1] - y[:-2]) / h[:-1]
+    el = np.ones(n + 1)
+    mu = np.zeros(n + 1)
+    z = np.zeros(n + 1)
+    for i in range(1, n):
+        el[i] = 2.0 * (x[i + 1] - x[i - 1]) - h[i - 1] * mu[i - 1]
+        mu[i] = h[i] / el[i]
+        z[i] = (alpha[i] - h[i - 1] * z[i - 1]) / el[i]
+    c = np.zeros(n + 1)
+    b = np.zeros(n)
+    d = np.zeros(n)
+    for j in range(n - 1, -1, -1):
+        c[j] = z[j] - mu[j] * c[j + 1]
+        b[j] = (y[j + 1] - y[j]) / h[j] - h[j] * (c[j + 1] + 2.0 * c[j]) / 3.0
+        d[j] = (c[j + 1] - c[j]) / (3.0 * h[j])
+    return b, c[:-1], d
+
+
+def spline_predict_values(
+    x: list[float], y: list[float], at: list[float]
+) -> list[float]:
+    """Evaluate the natural cubic spline through (x, y) at ``at``."""
+    xa, ya = np.asarray(x, float), np.asarray(y, float)
+    order = np.argsort(xa)
+    xa, ya = xa[order], ya[order]
+    b, c, d = spline_coeffs(xa, ya)
+    out = []
+    for v in at:
+        i = int(np.clip(np.searchsorted(xa, v, side="right") - 1, 0, len(xa) - 2))
+        h = v - xa[i]
+        out.append(float(ya[i] + b[i] * h + c[i] * h * h + d[i] * h * h * h))
+    return out
+
+
+def spline_predict(x: Column, y: Column, at: Column) -> Column:
+    """Per-row natural-cubic-spline interpolation: three array columns →
+    array of predictions (same in-tuple execution shape as the
+    reference's spline()+predict())."""
+
+    @pandas_udf("array<double>")
+    def _f(xs: pd.Series, ys: pd.Series, ats: pd.Series) -> pd.Series:
+        out = []
+        for xv, yv, av in zip(xs, ys, ats):
+            if xv is None or yv is None or av is None or len(xv) < 3:
+                out.append(None)
+                continue
+            out.append(spline_predict_values(list(xv), list(yv), list(av)))
+        return pd.Series(out)
+
+    return _f(x, y, at)
+
+
+# --------------------------------------------------------------------------
+# Bicubic grid interpolation (BicubicSplineEvaluator → Commons Math
+# BicubicInterpolator): per grid cell, corner values + finite-difference
+# partials feed the standard 16-coefficient bicubic surface (the
+# published bicubic-interpolation matrix; en.wikipedia Bicubic
+# interpolation / Commons Math BicubicInterpolator.java algorithm).
+
+_BICUBIC_AINV = np.array(
+    [
+        [1, 0, 0, 0], [0, 0, 1, 0], [-3, 3, -2, -1], [2, -2, 1, 1],
+    ],
+    dtype=float,
+)
+
+
+def bicubic_predict_values(
+    xs: list[float], ys: list[float], grid: list[list[float]],
+    at: list[tuple[float, float]] | list[list[float]],
+) -> list[float]:
+    """Interpolate ``grid`` (rows indexed by xs, cols by ys) at the
+    (x, y) points ``at`` — BicubicSplineEvaluator's doWork contract."""
+    xa = np.asarray(xs, float)
+    ya = np.asarray(ys, float)
+    g = np.asarray(grid, float)
+    # partial derivatives by central differences on the (possibly
+    # non-uniform) grid, one-sided at the borders — np.gradient's
+    # published scheme matches the interpolator's finite differences
+    fx = np.gradient(g, xa, axis=0)
+    fy = np.gradient(g, ya, axis=1)
+    fxy = np.gradient(fx, ya, axis=1)
+    out = []
+    for p in at:
+        px, py = float(p[0]), float(p[1])
+        i = int(np.clip(np.searchsorted(xa, px, side="right") - 1, 0, len(xa) - 2))
+        j = int(np.clip(np.searchsorted(ya, py, side="right") - 1, 0, len(ya) - 2))
+        hx = xa[i + 1] - xa[i]
+        hy = ya[j + 1] - ya[j]
+        # unit-cell corner matrix: values + partials scaled by the cell
+        # spans (the standard bicubic change of variables)
+        Fm = np.array(
+            [
+                [g[i, j], g[i, j + 1], fy[i, j] * hy, fy[i, j + 1] * hy],
+                [g[i + 1, j], g[i + 1, j + 1], fy[i + 1, j] * hy, fy[i + 1, j + 1] * hy],
+                [fx[i, j] * hx, fx[i, j + 1] * hx, fxy[i, j] * hx * hy, fxy[i, j + 1] * hx * hy],
+                [fx[i + 1, j] * hx, fx[i + 1, j + 1] * hx, fxy[i + 1, j] * hx * hy, fxy[i + 1, j + 1] * hx * hy],
+            ]
+        )
+        a = _BICUBIC_AINV @ Fm @ _BICUBIC_AINV.T
+        t = (px - xa[i]) / hx
+        u = (py - ya[j]) / hy
+        tv = np.array([1.0, t, t * t, t * t * t])
+        uv = np.array([1.0, u, u * u, u * u * u])
+        out.append(float(tv @ a @ uv))
+    return out
+
+
+def bicubic_predict(xs: Column, ys: Column, grid: Column, at: Column) -> Column:
+    """Per-row bicubic interpolation: (array x, array y,
+    array<array> grid, array<array[2]> points) → array of predictions."""
+
+    @pandas_udf("array<double>")
+    def _f(xc: pd.Series, yc: pd.Series, gc: pd.Series, ac: pd.Series) -> pd.Series:
+        out = []
+        for xv, yv, gv, av in zip(xc, yc, gc, ac):
+            if xv is None or yv is None or gv is None or av is None or len(xv) < 2:
+                out.append(None)
+                continue
+            out.append(
+                bicubic_predict_values(
+                    list(xv), list(yv), [list(r) for r in gv], [list(p) for p in av]
+                )
+            )
+        return pd.Series(out)
+
+    return _f(xs, ys, grid, at)
+
+
+# --------------------------------------------------------------------------
+# featureSelect (FeatureSelectEvaluator): keep only the named columns of
+# a labeled matrix, preserving their original order.  Our labeled
+# matrices are (vector DataFrame, vocab) pairs (classify.term_vectors /
+# with_labels); the slice is a JVM-side array projection — no shuffle,
+# no Python in the hot path.
+
+
+def feature_select(
+    vecs: DataFrame, vocab: list[str], features: list[str],
+    vec_col: str = "features", offset: int = 0,
+) -> tuple[DataFrame, list[str]]:
+    """Reference: io/eval/FeatureSelectEvaluator.java:1 — labels are
+    filtered to the requested feature set, rows keep their labels.
+    ``offset`` shifts vocab position → array slot (term_vectors vectors
+    carry an intercept at slot 0 → offset=1)."""
+    want = set(features)
+    keep = [(t, i) for i, t in enumerate(vocab) if t in want]
+    new_vocab = [t for t, _ in keep]
+    arr = F.array(*[F.col(vec_col)[i + offset] for _, i in keep])
+    return vecs.withColumn(vec_col, arr), new_vocab

@@ -408,6 +408,7 @@ def fuzzy_kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    seed_offset: int = 0,
 ) -> DataFrame:
     """Fuzzy c-means (FuzzyKmeansEvaluator — Commons Math
     FuzzyKMeansClusterer), deterministic like kmeans(): lowest-id seeds,

@@ -1038,6 +1038,10 @@ def s_media_features(spark, sf_dir):
 # tests/test_gate.py against the same oracles) follow.
 
 _PRIORITY = [
+    # ROUND-3 batch 8 — natural-cubic spline / bicubic-surface
+    # interpolators (mathx) and the distributed termVectors tf-idf
+    # long form: brand-new machinery, must hold driver rows
+    "a_spline", "a_bicubic", "a_term_vectors",
     # ROUND-3 batch 7 — newest machinery first: the cross-engine
     # HyperLogLog sketch (functions/sketch.py), paired/count-dataset
     # hypothesis tests, moving MAD, outliers, the incomplete-gamma
@@ -1090,11 +1094,12 @@ _PRIORITY = [
     # positional postings (round-2 machinery, now the DEFAULT phrase/
     # proximity plan + payload stream added) — must hold driver rows
     "fts_phrase_pos", "fts_phrase3_pos", "fts_proximity_pos",
-    # specialty parsers + dictionary + page components
-    # (fts_suggest spills: prefix top-k over the same term dictionary
-    # machinery as in-window fts_prefix_term, green in tests/test_gate.py)
-    "fts_complexphrase", "fts_proximity",
-    "fts_maxscore",
+    # fts_complexphrase / fts_proximity / fts_maxscore spill for batch 8:
+    # all r2-green, and their round-3 plan change (unsorted candidate
+    # mode) is the same kernel path the in-window fts_phrase /
+    # fts_mixed_phrase / fts_edismax rows evidence; still green in
+    # tests/test_gate.py. (fts_suggest spills as before: prefix top-k
+    # over the same dictionary machinery as in-window fts_prefix_term.)
     # a_facet_query / a_facet_heatmap spill: r2-green, rollup.py facet
     # machinery untouched in round 3 (a_facet_pivot keeps driver evidence
     # for the family)
@@ -1106,6 +1111,7 @@ _PRIORITY = [
     # green in tests/test_gate.py
     "a_funcquery2", "a_ttest", "a_mannwhitney",
     # ---- 50-entry window edge (a_mannwhitney is row 50) ----
+    "fts_complexphrase", "fts_proximity", "fts_maxscore",
     # Spilled to make room for batch 7, all r1/r2-green with machinery
     # untouched since their last driver evidence, all still exercised by
     # tests/test_gate.py against the same oracles: w_elevate,
@@ -3275,3 +3281,136 @@ def fts_ttf(spark, sf_dir):
     return total_term_freq(spark, meta, ["spark", "index", "query"]).select(
         "term", F.col("ttf").cast("long").alias("ttf")
     )
+
+
+_TERMVEC_SQL = f"""WITH tok AS (SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents),
+t2 AS (SELECT doc_id, term FROM tok WHERE length(term) >= 3),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM t2 GROUP BY 1),
+keep AS (SELECT term, df FROM dfs, n
+  WHERE df >= CAST(floor(0.02 * n) AS BIGINT) AND df <= CAST(floor(0.5 * n) AS BIGINT)),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY 1, 2)
+SELECT tf.doc_id, tf.term,
+  round(sqrt(tf) * (ln((n.n + 1) / (keep.df + 1.0)) + 1.0), 6) AS weight
+FROM tf JOIN keep USING (term), n"""
+
+
+@entry("a_term_vectors", _TERMVEC_SQL)
+def a_term_vectors(spark, sf_dir):
+    """termVectors (solrj-streaming io/eval/TermVectorsEvaluator.java:1):
+    tf-idf weights sqrt(tf)·(ln((n+1)/(df+1))+1) with the evaluator's
+    minTermLength=3 and minDocFreq/maxDocFreq pruning ((int) floor of
+    0.02·n / 0.5·n). Long-form (doc, term, weight) — the distributed face
+    of the reference's driver-side labeled matrix: df/tf are map-side
+    combined aggs on the analyzed token stream, no vocabulary or matrix
+    ever reaches the driver (the dense-vector assembly for clustering
+    lives in classify.term_vectors)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(textfn.tokens(F.col("text"))).alias("term")
+    ).filter(F.length("term") >= 3)
+    n = d.select("doc_id").distinct().count()
+    lo, hi = int(0.02 * n), int(0.5 * n)
+    dfs = (
+        tok.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= lo) & (F.col("df") <= hi))
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    return tf.join(dfs, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.sqrt(F.col("tf"))
+            * (F.log((n + 1) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)),
+            6,
+        ).alias("weight"),
+    )
+
+
+_SPLINE_SQL = """WITH e AS (SELECT event_id, value, date_trunc('day', ts) AS d,
+  count(*) OVER (PARTITION BY date_trunc('day', ts)) AS c
+  FROM events)
+SELECT event_id, round(CAST(value AS DOUBLE), 6) AS spline
+FROM e WHERE c >= 3"""
+
+
+@entry("a_spline", _SPLINE_SQL)
+def a_spline(spark, sf_dir):
+    """spline (solrj-streaming io/eval/SplineEvaluator.java:1 → Commons
+    Math SplineInterpolator, natural cubic): the evaluator fits (x, y)
+    and returns the spline evaluated AT the x knots — which for an
+    interpolating spline is y itself, so the oracle is exact. Here one
+    spline per day of events (x = within-day rank, y = value), fitted
+    inside an Arrow batch per group — the reference's one-workspace fit,
+    sharded by day; days with < 3 points are skipped (the interpolator's
+    minimum)."""
+    from solr_spark.functions import mathx
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "__day", F.date_trunc("day", F.col("ts"))
+    )
+    grouped = (
+        ev.groupBy("__day")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("pts")
+        )
+        .filter(F.size("pts") >= 3)
+        .select(
+            F.transform("pts", lambda s: s.getField("event_id")).alias("ids"),
+            F.transform(
+                F.sequence(F.lit(1), F.size("pts")), lambda v: v.cast("double")
+            ).alias("xs"),
+            F.transform("pts", lambda s: s.getField("value").cast("double")).alias(
+                "ys"
+            ),
+        )
+        .select(
+            "ids", mathx.spline_predict("xs", "ys", "xs").alias("preds")
+        )
+    )
+    return grouped.select(
+        F.explode(F.arrays_zip("ids", "preds")).alias("z")
+    ).select(
+        F.col("z.ids").alias("event_id"),
+        F.round(F.col("z.preds"), 6).alias("spline"),
+    )
+
+
+_BICUBIC_SQL = """SELECT CAST(i AS INT) AS i,
+  round(2.0 * (i * 0.25) + 3.0 * ((i % 7) * 0.3), 6) AS pred
+FROM generate_series(0, 10) t(i)"""
+
+
+@entry("a_bicubic", _BICUBIC_SQL)
+def a_bicubic(spark, sf_dir):
+    """bicubicSpline (solrj-streaming io/eval/BicubicSplineEvaluator.java:1
+    → Commons Math BicubicInterpolator): 16-coefficient per-cell bicubic
+    surface from corner values + finite-difference partials
+    (mathx.bicubic_predict_values). Bicubic interpolation reproduces a
+    bilinear surface exactly, so a 2x+3y grid gives a closed-form oracle;
+    the off-node sample points exercise every cell-local term."""
+    from solr_spark.functions import mathx
+
+    xs = [float(v) for v in range(4)]
+    ys = [float(v) for v in range(3)]
+    grid = [[2.0 * x + 3.0 * y for y in ys] for x in xs]
+    pts = spark.range(0, 11).select(
+        F.col("id").cast("int").alias("i"),
+        (F.col("id") * 0.25).alias("px"),
+        ((F.col("id") % 7) * 0.3).alias("py"),
+    )
+    row = pts.select(
+        "i",
+        F.lit(xs).alias("xs"),
+        F.lit(ys).alias("ys"),
+        F.array(*[F.array(*[F.lit(v) for v in r]) for r in grid]).alias("grid"),
+        F.array(F.array("px", "py")).alias("at"),
+    )
+    out = row.select(
+        "i", mathx.bicubic_predict("xs", "ys", "grid", "at").alias("p")
+    )
+    return out.select("i", F.round(F.col("p")[0], 6).alias("pred"))

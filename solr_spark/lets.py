@@ -1,0 +1,121 @@
+"""let()-scope composition layer — the math-expression workspace.
+
+Solr's math expressions run inside ``let(a=..., b=..., expr)``: each
+variable binds the result of a stream or evaluator, later expressions
+read earlier bindings, and a per-request object cache
+(putCache/getCache/removeCache/listCache) carries values across
+requests.  Reference:
+  solrj-streaming io/stream/LetStream.java:1 (variable scope,
+  sequential evaluation),
+  io/eval/MemsetEvaluator.java:1 (stream → named column arrays),
+  io/eval/PutCacheEvaluator.java:1 / GetCacheEvaluator.java /
+  RemoveCacheEvaluator.java / ListCacheEvaluator.java
+  (workspace→key→value object cache),
+  io/eval/GetValueEvaluator.java ("get"), TupleEvaluator ("tuple"),
+  EchoStream ("echo"), ColumnEvaluator ("col").
+
+Scale contract: the let scope is DRIVER-SIDE BY DESIGN — in the
+reference the whole math-expression workspace lives on one node.  The
+Spark-first translation keeps every *stream* distributed (a binding can
+hold a DataFrame without materializing it); only ``memset``/``col`` —
+the reference's own explicit bring-to-memory operators — collect, and
+they collect exactly the columns (and optionally the row-count cap
+``size``) the user names, never whole frames.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+
+
+class LetContext:
+    """One let() scope: ordered variable bindings + the object cache."""
+
+    def __init__(self) -> None:
+        self.vars: dict[str, Any] = {}
+        self._cache: dict[str, dict[str, Any]] = {}
+
+    # -- variable scope (LetStream) -------------------------------------
+    def let(self, **bindings: Any) -> "LetContext":
+        """Bind variables in order.  A value may be a callable taking the
+        context (so later bindings can read earlier ones, like the
+        reference's sequential LetStream evaluation) or any plain value
+        — including a DataFrame, which stays lazy/distributed."""
+        for name, value in bindings.items():
+            self.vars[name] = value(self) if callable(value) else value
+        return self
+
+    def get(self, name: str) -> Any:
+        """get(name) — GetValueEvaluator: read a bound variable."""
+        if name not in self.vars:
+            raise KeyError(f"let variable {name!r} is not bound")
+        return self.vars[name]
+
+    # -- memset (MemsetEvaluator) ---------------------------------------
+    def memset(
+        self,
+        df: DataFrame,
+        cols: list[str],
+        vars: list[str],
+        size: int = -1,
+    ) -> "LetContext":
+        """Materialize ``cols`` of a stream into driver lists bound to
+        ``vars`` (optionally capped at ``size`` rows).  Mirrors
+        MemsetEvaluator: one pass over the stream, one array per column.
+        Only the named columns cross to the driver — the projection is
+        pushed into the scan."""
+        if len(cols) != len(vars):
+            raise ValueError("memset: cols and vars must align 1:1")
+        sel = df.select(*cols)
+        if size > 0:
+            sel = sel.limit(size)
+        rows = sel.collect()
+        for c, v in zip(cols, vars):
+            self.vars[v] = [r[c] for r in rows]
+        return self
+
+    # -- col (ColumnEvaluator): list-of-tuples → one column list --------
+    @staticmethod
+    def col(tuples: list[dict], name: str) -> list:
+        return [t.get(name) for t in tuples]
+
+    # -- tuple / echo ----------------------------------------------------
+    def tuple(self, **fields: Any) -> dict[str, Any]:
+        """tuple(a=..., b=...) — one output tuple of evaluated fields."""
+        return {k: (v(self) if callable(v) else v) for k, v in fields.items()}
+
+    @staticmethod
+    def echo(text: str) -> dict[str, str]:
+        """echo(text) — EchoStream: a single tuple carrying the text."""
+        return {"echo": text}
+
+    # -- object cache (Put/Get/Remove/ListCacheEvaluator) ---------------
+    def put_cache(self, space: str, key: str, value: Any) -> Any:
+        self._cache.setdefault(space, {})[key] = value
+        return value
+
+    def get_cache(self, space: str, key: str) -> Any:
+        return self._cache.get(space, {}).get(key)
+
+    def remove_cache(self, space: str, key: str) -> Any:
+        return self._cache.get(space, {}).pop(key, None)
+
+    def list_cache(self, space: str | None = None) -> list[str]:
+        """No arg → workspace names; with a workspace → its keys."""
+        if space is None:
+            return sorted(self._cache)
+        return sorted(self._cache.get(space, {}))
+
+
+def run_let(
+    bindings: dict[str, Any],
+    body: Callable[[LetContext], Any],
+    ctx: LetContext | None = None,
+) -> Any:
+    """Evaluate ``body`` inside a scope with ``bindings`` — the
+    expression form ``let(a=..., b=..., expr)``."""
+    ctx = ctx or LetContext()
+    ctx.let(**bindings)
+    return body(ctx)

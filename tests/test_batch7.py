@@ -289,7 +289,11 @@ def test_term_vectors(spark):
 def test_total_term_freq(spark, small_index):
     from solr_spark.kernel import sum_total_term_freq, total_term_freq
 
-    ttf = {r.term: r.ttf for r in total_term_freq(spark, small_index, ["spark", "index"]).collect()}
+    # query two terms that actually exist in the code-corpus vocabulary
+    # (the synthetic corpus is identifier-shaped — don't hardcode English)
+    post = spark.read.parquet(small_index.postings_path)
+    terms = [r.term for r in post.select("term").distinct().limit(2).collect()]
+    ttf = {r.term: r.ttf for r in total_term_freq(spark, small_index, terms).collect()}
     assert ttf and all(v > 0 for v in ttf.values())
     sttf = sum_total_term_freq(spark, small_index).collect()[0].sttf
     assert sttf >= sum(ttf.values())

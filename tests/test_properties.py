@@ -7,7 +7,7 @@ engine's pure kernels."""
 from __future__ import annotations
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from solr_spark.analysis import STOPWORDS, analyze_query, s_stem
@@ -76,6 +76,9 @@ def test_s_stem_invariants(w):
 
 @settings(max_examples=MAX_EXAMPLES, deadline=None)
 @given(st.text(max_size=80))
+@example("-*")
+@example("+a*")
+@example("-spark~")
 def test_parse_total(q):
     """The parser either parses arbitrary input or raises the ONE
     documented loud guard (required/prohibited multi-term clauses like
