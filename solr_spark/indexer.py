@@ -578,3 +578,41 @@ def build_index(
         meta.postings_bytes = int(pb["bytes"] or 0)
     meta.save()
     return meta
+
+
+def verify_content_integrity(
+    spark: SparkSession,
+    meta: "IndexMeta",
+    source: DataFrame,
+    id_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    content_col: str = "content",
+) -> DataFrame:
+    """Per-row content-sha256 invariant vs the source table (the north
+    rule's row-level check; the reference's analog is Solr's index
+    checksum verification, solr/core CheckIndex lifecycle).
+
+    Recomputes sha256 over the source's content JVM-side and joins it to
+    the doc store on the composite key — one co-partitioned join, no
+    content ever collected. Returns a one-row frame
+    (n_docs, n_matched, n_sha_mismatch, n_missing_in_index,
+    n_missing_in_source); a clean build has n_docs == n_matched and
+    zeros elsewhere."""
+    docs = spark.read.parquet(meta.docs_path).select(*id_cols, "sha256")
+    src = source.select(
+        *id_cols, F.sha2(F.coalesce(F.col(content_col), F.lit("")), 256).alias("__sha")
+    )
+    j = docs.join(src, list(id_cols), "full_outer")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("sha256") == F.col("__sha"), 1)).alias("n_matched"),
+        F.count(
+            F.when(
+                F.col("sha256").isNotNull()
+                & F.col("__sha").isNotNull()
+                & (F.col("sha256") != F.col("__sha")),
+                1,
+            )
+        ).alias("n_sha_mismatch"),
+        F.count(F.when(F.col("sha256").isNull(), 1)).alias("n_missing_in_index"),
+        F.count(F.when(F.col("__sha").isNull(), 1)).alias("n_missing_in_source"),
+    )

@@ -93,6 +93,8 @@ def test_driver_window_composition():
     # default, unsorted component mode, LSH bucket cap) that must keep
     # fresh driver evidence
     must_hold = {
+        # round-3 batch 8 — newest machinery, no earlier driver rows
+        "a_spline", "a_bicubic", "a_term_vectors",
         # round-3 batch 7 — newest machinery, no earlier driver rows
         "a_hll_sketch", "a_paired_ttest", "a_chisq_dataset",
         "a_gtest_dataset", "a_moving_mad", "a_outliers", "a_gamma_dist",
@@ -105,8 +107,10 @@ def test_driver_window_composition():
         "a_score_nodes", "a_convex_hull", "a_fuzzy_kmeans",
         "a_funcquery2", "a_ttest", "a_mannwhitney",
         "fts_phrase_pos", "fts_phrase3_pos", "fts_proximity_pos",
-        "fts_phrase", "fts_mixed_phrase", "fts_complexphrase",
-        "fts_proximity", "fts_maxscore",
+        # fts_complexphrase / fts_proximity / fts_maxscore spilled for
+        # batch 8 (r2-green; unsorted-mode change evidenced in-window by
+        # the phrase/edismax family)
+        "fts_phrase", "fts_mixed_phrase",
         "fts_edismax_mm", "fts_edismax_pf2", "fts_prefix_term", "fts_fuzzy",
         "u_incremental_index", "u_merge_segments",
         "w_ltr_linear",

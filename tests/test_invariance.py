@@ -242,3 +242,24 @@ def test_add_segment_inherits_analyzer_and_bigrams(spark, small_corpus, tmp_path
     )
     assert view.segments[1].analyzer == "code_stem"
     assert view.segments[1].has_bigrams == view.segments[0].has_bigrams
+
+
+def test_verify_content_integrity(spark, small_corpus, small_index):
+    from pyspark.sql import functions as F
+
+    from solr_spark.indexer import verify_content_integrity
+
+    src = spark.read.parquet(small_corpus)
+    row = verify_content_integrity(spark, small_index, src).collect()[0]
+    assert row.n_docs == 600
+    assert row.n_matched == 600
+    assert row.n_sha_mismatch == 0
+    assert row.n_missing_in_index == 0 and row.n_missing_in_source == 0
+    # a tampered source row is caught
+    bad = src.withColumn(
+        "content",
+        F.when(F.col("path") == src.select("path").first().path, F.lit("tampered"))
+        .otherwise(F.col("content")),
+    )
+    row2 = verify_content_integrity(spark, small_index, bad).collect()[0]
+    assert row2.n_sha_mismatch >= 1
