@@ -210,24 +210,27 @@ AUTO_BUCKET_CAP = 512  # LSH band buckets larger than this are dropped whole
 def _cap_buckets(banded: DataFrame, max_bucket_size: int | str | None) -> DataFrame:
     """Drop (band, bucket) groups with more than ``max_bucket_size``
     members from an LSH banding table (columns id, band, bucket), so the
-    survivors' self-join is bounded at cap² rows per bucket. One window
-    count over the join key — the shuffle it adds hash-partitions the
-    table by exactly the key the candidate self-join needs, and the
-    banding pipeline upstream (the 64-column signature aggregate) runs
-    ONCE instead of once per branch. Shared by the MinHash and SRP
-    banding paths."""
-    from pyspark.sql import Window
+    survivors' self-join is bounded at cap² rows per bucket.
 
+    Implemented as a map-side-combined count of bucket sizes, filtered
+    to the OVERSIZED buckets only (a handful of hot buckets by
+    construction), broadcast back as an anti-join. This beats the
+    window-count formulation: WindowExec must sort the whole banded
+    table within partitions, while the anti-join streams it unsorted and
+    the aggregate's exchange carries (band, bucket, count) rows — one
+    per bucket, not one per member. Shared by the MinHash and SRP
+    banding paths."""
     if max_bucket_size == "auto":
         max_bucket_size = AUTO_BUCKET_CAP
     if max_bucket_size is None:
         return banded
-    w = Window.partitionBy("band", "bucket")
-    return (
-        banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
-        .filter(F.col("__bsz") <= int(max_bucket_size))
-        .drop("__bsz")
+    oversized = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__bsz"))
+        .filter(F.col("__bsz") > int(max_bucket_size))
+        .select("band", "bucket")
     )
+    return banded.join(F.broadcast(oversized), ["band", "bucket"], "left_anti")
 
 
 def lsh_oversized_buckets(
