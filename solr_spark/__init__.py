@@ -28,7 +28,13 @@ Layout
   (reference: solr/core/src/java/org/apache/solr/search/QParser.java:320)
 - ``operators``  — streaming-expression-plane relational operators
   (reference: solr/solrj-streaming/.../io/stream/*, Lang.java:337-498)
-- ``functions``  — text analysis / dedup / similarity functions
+- ``functions``  — text analysis / dedup / similarity / evaluator functions
+- ``lets``       — let()-scope composition: bindings, memset, object cache
+  (reference: solrj-streaming io/stream/LetStream.java, io/eval caches)
+- ``segments``   — incremental delta segments + live-docs deletes + merge
+- ``positions``  — positional postings + per-position payload stream
+- ``sources``    — loaders/writers (json/csv/xml/cbor/javabin/smile), topic()
+- ``streaming``  — daemon loop, micro-batch stream_index
 """
 
 __version__ = "0.1.0"

@@ -120,6 +120,9 @@ REGISTRY: dict[str, "callable"] = {
 # search results (score columns ARE columns here). testfunc/threadid/
 # sleep are test/diagnostic parsers with no data semantics — out of
 # scope. currency() needs an exchange-rate provider — not implemented.
+# childfield(field) is the block-join projection of a child doc's field
+# onto its parent hit — operators/joins.py block_parent/block_child
+# (a join + first() agg here, not a scalar function).
 
 import math as _math
 
