@@ -114,12 +114,15 @@ REGISTRY: dict[str, "callable"] = {
 # --------------------------------------------------------------------------
 # round-3 parity batch — the remaining ValueSourceParser names
 # (CORE/search/ValueSourceParser.java:163-1397). Index-stat names
-# (docfreq/idf/tf/norm/maxdoc/numdocs) live in kernel.py; agg_* live in
-# rollup.py; payload(...) routes to positions.payload_score_frame;
-# query()/boost()/cscore() take a subquery score column from engine
-# search results (score columns ARE columns here). testfunc/threadid/
-# sleep are test/diagnostic parsers with no data semantics — out of
-# scope. currency() needs an exchange-rate provider — not implemented.
+# (docfreq/idf/tf/termfreq/norm/maxdoc/numdocs/totaltermfreq/
+# sumtotaltermfreq) and query()/boost() are registered below as bridges
+# into kernel.py so values are bit-identical to the scoring kernel;
+# agg_* live in rollup.py; payload(...) routes to
+# positions.payload_score_frame; cscore() is the collapse-time score —
+# operators/windowed.collapse's score column, not a standalone scalar.
+# testfunc/threadid/sleep are test/diagnostic parsers with no data
+# semantics — out of scope. currency() needs an exchange-rate provider
+# — not implemented.
 # childfield(field) is the block-join projection of a child doc's field
 # onto its parent hit — operators/joins.py block_parent/block_child
 # (a join + first() agg here, not a scalar function).
@@ -398,3 +401,160 @@ def _agg_hll_sketch(df, value_col: str, keys=None, p: int = 12):
 
 
 REGISTRY["agg_hll_sketch"] = _agg_hll_sketch
+
+
+# agg_percentile(field, pct): the one AGG_FUNCS special case (rollup
+# computes it via its exact percentile path) exposed under the parser
+# name as Spark's exact percentile aggregate.
+REGISTRY["agg_percentile"] = lambda c, pct: F.percentile(
+    c, F.lit(float(pct) / 100.0)
+)
+
+
+# --------------------------------------------------------------------------
+# Index-stat parser names (ValueSourceParser.java 'docfreq'/'idf'/
+# 'termfreq'/'tf'/'norm'/'maxdoc'/'numdocs'/'totaltermfreq'/
+# 'sumtotaltermfreq' — DocFreqValueSource.java and siblings). These read
+# index statistics, so their builders take (spark, meta) and return
+# DataFrames/columns over the index tables — the "index-statistic
+# functions are columns of our postings/stats tables" stance of
+# SURVEY §2.7. All delegate to kernel.py so values are bit-identical to
+# the scoring kernel's.
+
+
+def docfreq_frame(spark, meta, terms: list[str]):
+    """docfreq(field,term) per term: one pruned scan of the terms
+    dictionary (PushedFilters: In(term, ...)); absent terms → df 0."""
+    got = (
+        spark.read.parquet(meta.terms_path)
+        .where(F.col("term").isin(sorted(set(terms))))
+        .select("term", F.col("df").cast("long").alias("docfreq"))
+    )
+    want = spark.createDataFrame([(t,) for t in sorted(set(terms))], "term string")
+    return want.join(got, "term", "left").na.fill({"docfreq": 0})
+
+
+def idf_frame(spark, meta, terms: list[str]):
+    """idf(field,term): the exact BM25 idf the scorer uses
+    (scoring.idf — ln(1 + (N - df + 0.5) / (df + 0.5)))."""
+    n = float(meta.n_docs)
+    d = F.col("docfreq").cast("double")
+    return docfreq_frame(spark, meta, terms).withColumn(
+        "idf", F.log((F.lit(n) - d + F.lit(0.5)) / (d + F.lit(0.5)) + F.lit(1.0))
+    )
+
+
+def termfreq_frame(spark, meta, terms: list[str]):
+    """termfreq(field,term) per (docid, term): raw within-doc counts
+    from the pruned postings decode (TermFreqValueSource)."""
+    from solr_spark.kernel import postings_rows
+
+    return postings_rows(spark, meta, sorted(set(terms))).select(
+        "term", "docid", F.col("tf").cast("long").alias("termfreq")
+    )
+
+
+def tf_frame(spark, meta, terms: list[str]):
+    """tf(field,term): the similarity-normalized tf — for our BM25
+    contract the k1/b-saturated factor, identical to the scoring
+    kernel's per-term contribution divided by idf (TFValueSource applies
+    Similarity.tf; kernel.term_contributions IS idf*tfnorm)."""
+    from solr_spark.kernel import term_contributions
+
+    contrib = term_contributions(spark, meta, sorted(set(terms)))
+    stats = idf_frame(spark, meta, terms).select("term", "idf")
+    return (
+        contrib.join(F.broadcast(stats), "term")
+        .withColumn("tf", F.col("contrib") / F.col("idf"))
+        .select("term", "docid", "tf")
+    )
+
+
+def norm_frame(spark, meta):
+    """norm(field): the reference decodes Lucene's lossy 1-byte length
+    norm; our docs table keeps the EXACT doclen (norm's information
+    content, losslessly), so norm is a 2-column scan."""
+    return spark.read.parquet(meta.docs_path).select(
+        "docid", F.col("doclen").cast("long").alias("norm")
+    )
+
+
+def maxdoc_value(meta) -> Column:
+    """maxdoc(): docs-in-index including deleted (MaxDocValueSource) —
+    a literal from the build manifest, no scan."""
+    return F.lit(int(meta.n_docs))
+
+
+def numdocs_value(meta) -> Column:
+    """numdocs(): maxdoc minus deletions; base-segment metas carry no
+    live-docs mask (segments.py overlays deletes), so this equals
+    maxdoc here."""
+    return F.lit(int(meta.n_docs))
+
+
+def query_score_frame(spark, meta, q: str, default: float = 0.0):
+    """query(subquery, default): the subquery's score as a value source
+    (QueryValueSource) — engine search in unsorted component mode (no
+    corpus-sized TakeOrdered), non-matches get ``default`` when joined
+    via ``join_query_score``."""
+    from solr_spark.kernel import search
+
+    return search(spark, meta, q, unsorted=True).select(
+        "docid", F.col("score").alias("qscore")
+    )
+
+
+def join_query_score(df, qframe, default: float = 0.0):
+    """Attach query()'s score to a docid-keyed frame, defaulting
+    non-matches (the QueryValueSource defVal contract)."""
+    return df.join(qframe, "docid", "left").withColumn(
+        "qscore", F.coalesce(F.col("qscore"), F.lit(float(default)))
+    )
+
+
+def boost_frame(spark, meta, q: str, factor: float):
+    """boost(q, f): query score scaled by f (BoostQParserPlugin /
+    'boost' parser)."""
+    qf = query_score_frame(spark, meta, q)
+    return qf.withColumn("qscore", F.col("qscore") * F.lit(float(factor)))
+
+
+REGISTRY.update(
+    {
+        "cbrt": F.cbrt,
+        "scale": scale_to,          # DataFrame-level: observed [min,max] → target range
+        "ord": ord_rord,            # DataFrame-level: adds ord + rord columns
+        "rord": ord_rord,
+        "joindf": joindf,
+        # top(fn): evaluate fn against the top-level reader context
+        # (TopValueSource) — one logical table here, so identity
+        "top": lambda x: x,
+        "docfreq": docfreq_frame,
+        "idf": idf_frame,
+        "termfreq": termfreq_frame,
+        "tf": tf_frame,
+        "norm": norm_frame,
+        "maxdoc": maxdoc_value,
+        "numdocs": numdocs_value,
+        "totaltermfreq": None,      # kernel.total_term_freq (set below)
+        "sumtotaltermfreq": None,   # kernel.sum_total_term_freq (set below)
+        "query": query_score_frame,
+        "boost": boost_frame,
+    }
+)
+
+
+def _ttf_bridge(spark, meta, terms):
+    from solr_spark.kernel import total_term_freq
+
+    return total_term_freq(spark, meta, terms)
+
+
+def _sttf_bridge(spark, meta):
+    from solr_spark.kernel import sum_total_term_freq
+
+    return sum_total_term_freq(spark, meta)
+
+
+REGISTRY["totaltermfreq"] = _ttf_bridge
+REGISTRY["sumtotaltermfreq"] = _sttf_bridge

@@ -1075,9 +1075,13 @@ _PRIORITY = [
     # driver evidence for the whole family.
     "fts_phrase", "fts_mixed_phrase", "fts_mlt",
     "fts_edismax_mm", "fts_edismax_pf2",
-    # fts_mixed_wildcard spills: fts_prefix_term/fts_fuzzy cover the
-    # dictionary expansion and fts_mixed_phrase the additive combination
-    "fts_prefix_term", "fts_fuzzy",
+    # fts_mixed_wildcard spills: fts_prefix_term covers the dictionary
+    # expansion and fts_mixed_phrase the additive combination. fts_fuzzy
+    # spills this round for a_funcquery3 (registry-parity closers —
+    # new machinery): fts_fuzzy is r2-green and its Levenshtein
+    # dictionary expansion is the same _multiterm_component path the
+    # in-window fts_prefix_term evidences; still green in test_gate.py.
+    "fts_prefix_term",
     # u_delete_by_key spills: trivial anti-join, round-1 pass* + pytest.
     # u_atomic_update spills: r2-green, updates.py untouched in round 3.
     # w_rerank / a_geodist / a_percentile_rank / a_facet2d / a_igain /
@@ -1109,9 +1113,9 @@ _PRIORITY = [
     # a_moving_avg / a_cumulative_sum / a_diff_lag / a_corr_regress
     # spill: r2-green, decimal-exact machinery untouched in round 3,
     # green in tests/test_gate.py
-    "a_funcquery2", "a_ttest", "a_mannwhitney",
+    "a_funcquery2", "a_funcquery3", "a_ttest", "a_mannwhitney",
     # ---- 50-entry window edge (a_mannwhitney is row 50) ----
-    "fts_complexphrase", "fts_proximity", "fts_maxscore",
+    "fts_fuzzy", "fts_complexphrase", "fts_proximity", "fts_maxscore",
     # Spilled to make room for batch 7, all r1/r2-green with machinery
     # untouched since their last driver evidence, all still exercised by
     # tests/test_gate.py against the same oracles: w_elevate,
@@ -2169,6 +2173,40 @@ def a_funcquery2(spark, sf_dir):
         F.round(dist(1.0, x, y, c3, c4), 6).alias("l1"),
         "ord",
         "rord",
+    )
+
+
+_FUNCQ3_SQL = """WITH s AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders),
+b AS (SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+SELECT o_orderkey,
+ round(CASE WHEN mx = mn THEN 0.0
+       ELSE (o_totalprice - mn) / (mx - mn) END, 6) AS scaled,
+ (b.c_custkey IS NOT NULL) AS joined,
+ round(cbrt(o_totalprice), 6) AS cr
+FROM orders CROSS JOIN s LEFT JOIN b ON o_custkey = b.c_custkey"""
+
+
+@entry("a_funcquery3", _FUNCQ3_SQL)
+def a_funcquery3(spark, sf_dir):
+    """Registry-parity closers (ValueSourceParser 'scale', 'joindf',
+    'cbrt'): scale() computes the observed [min,max] as a one-row
+    aggregate broadcast into the plan (ScaleFloatFunction reads index
+    stats — no driver round-trip here), joindf() is a broadcast
+    semi-join membership flag (JoinDocFreqValueSource's domain shape),
+    cbrt a JVM builtin."""
+    from solr_spark.functions.funcquery import REGISTRY, joindf, scale_to
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    scaled = scale_to(orders, F.col("o_totalprice"), 0.0, 1.0)
+    j = joindf(scaled, cust, "c_custkey", "o_custkey")
+    return j.select(
+        "o_orderkey",
+        F.round(F.col("scaled"), 6).alias("scaled"),
+        "joined",
+        F.round(REGISTRY["cbrt"](F.col("o_totalprice")), 6).alias("cr"),
     )
 
 

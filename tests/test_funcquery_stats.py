@@ -1,0 +1,155 @@
+"""Index-stat function-query bridges (ValueSourceParser 'docfreq'/'idf'/
+'termfreq'/'tf'/'norm'/'maxdoc'/'numdocs'/'query'/'boost' —
+CORE/search/ValueSourceParser.java DocFreqValueSource and siblings),
+differentially tested against a raw pandas recount of the same corpus,
+plus the registry name-parity contract."""
+
+import math
+from collections import Counter
+
+import pytest
+
+from solr_spark.analysis import tokenize_lists
+from solr_spark.corpus import corpus_pandas
+
+N_DOCS = 600
+
+
+@pytest.fixture(scope="module")
+def raw_toks():
+    pdf = corpus_pandas(0, N_DOCS)
+    pdf = pdf.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    return tokenize_lists(pdf["content"]).tolist()
+
+
+def test_docfreq_idf_termfreq(spark, small_index, raw_toks):
+    from solr_spark.functions.funcquery import (
+        docfreq_frame,
+        idf_frame,
+        termfreq_frame,
+    )
+
+    terms = ["license", "int", "zz_definitely_absent"]
+    got_df = {
+        r["term"]: r["docfreq"]
+        for r in docfreq_frame(spark, small_index, terms).collect()
+    }
+    exp_df = {
+        t: sum(1 for ts in raw_toks if t in ts) for t in terms
+    }
+    assert got_df == exp_df
+    assert got_df["zz_definitely_absent"] == 0
+
+    n = small_index.n_docs
+    got_idf = {
+        r["term"]: r["idf"] for r in idf_frame(spark, small_index, terms).collect()
+    }
+    for t in terms:
+        exp = math.log(1.0 + (n - exp_df[t] + 0.5) / (exp_df[t] + 0.5))
+        assert got_idf[t] == pytest.approx(exp, rel=1e-12)
+
+    got_tf = {
+        (r["docid"], r["term"]): r["termfreq"]
+        for r in termfreq_frame(spark, small_index, ["license"]).collect()
+    }
+    exp_tf = {
+        (i, "license"): Counter(ts)["license"]
+        for i, ts in enumerate(raw_toks)
+        if "license" in ts
+    }
+    assert got_tf == exp_tf
+
+
+def test_tf_norm_maxdoc_sttf(spark, small_index, raw_toks):
+    from solr_spark.functions.funcquery import (
+        REGISTRY,
+        maxdoc_value,
+        norm_frame,
+        numdocs_value,
+        tf_frame,
+    )
+
+    # norm == exact doclen (lossless vs Lucene's 1-byte norm)
+    got_norm = {
+        r["docid"]: r["norm"] for r in norm_frame(spark, small_index).collect()
+    }
+    assert got_norm == {i: len(ts) for i, ts in enumerate(raw_toks)}
+
+    # maxdoc/numdocs literals
+    row = (
+        spark.range(1)
+        .select(
+            maxdoc_value(small_index).alias("md"),
+            numdocs_value(small_index).alias("nd"),
+        )
+        .first()
+    )
+    assert row["md"] == N_DOCS and row["nd"] == N_DOCS
+
+    # tf = BM25-saturated tf: tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+    avgdl = small_index.avgdl
+    got_tf = {
+        r["docid"]: r["tf"]
+        for r in tf_frame(spark, small_index, ["license"]).collect()
+    }
+    for i, ts in enumerate(raw_toks):
+        c = Counter(ts)["license"]
+        if not c:
+            continue
+        exp = c * 2.2 / (c + 1.2 * (1 - 0.75 + 0.75 * len(ts) / avgdl))
+        assert got_tf[i] == pytest.approx(exp, rel=1e-9), i
+
+    # sumtotaltermfreq from the docs table equals sum of doclens
+    sttf = REGISTRY["sumtotaltermfreq"](spark, small_index).first()["sttf"]
+    assert sttf == sum(len(ts) for ts in raw_toks)
+
+
+def test_query_boost_bridges(spark, small_index):
+    from solr_spark.functions.funcquery import (
+        boost_frame,
+        join_query_score,
+        query_score_frame,
+    )
+    from solr_spark.kernel import search
+
+    qf = query_score_frame(spark, small_index, "license")
+    top = search(spark, small_index, "license", k=5).collect()
+    got = {r["docid"]: r["qscore"] for r in qf.collect()}
+    for r in top:
+        assert got[r["docid"]] == pytest.approx(r["score"], rel=1e-12)
+
+    # non-matches default to 0.0 when joined onto the docs frame
+    docs = spark.read.parquet(small_index.docs_path).select("docid")
+    joined = join_query_score(docs, qf, default=0.0)
+    n_zero = joined.where("qscore = 0.0").count()
+    assert n_zero == N_DOCS - len(got)
+
+    bf = {r["docid"]: r["qscore"] for r in boost_frame(
+        spark, small_index, "license", 2.5
+    ).collect()}
+    for d, s in got.items():
+        assert bf[d] == pytest.approx(2.5 * s, rel=1e-12)
+
+
+def test_registry_name_parity():
+    """Every ValueSourceParser.addParser name is either registered or on
+    the documented exclusion list (test/diagnostic parsers, currency,
+    names owned by other modules)."""
+    from solr_spark.functions.funcquery import REGISTRY
+
+    reference_names = set(
+        """abs acos agg_avg agg_count agg_countvals agg_hll agg_max agg_min
+        agg_missing agg_percentile agg_stddev agg_sum agg_sumsq agg_unique
+        agg_uniqueBlock agg_variance and asin atan atan2 boost cbrt ceil
+        concat cos cosh def deg dist div docfreq e eq exists exp false field
+        floor geodist geohash ghhsin gt gte hsin hypot idf if isnan joindf
+        linear literal ln log lt lte map max maxdoc min mod ms norm not
+        numdocs or ord pi pow product query rad recip rint rord scale sin
+        sinh sqedist sqrt strdist sub sum sumtotaltermfreq tan tanh termfreq
+        tf top totaltermfreq true vector vectorSimilarity xor""".split()
+    )
+    # documented exclusions: test/diagnostic (testfunc/threadid/sleep),
+    # currency (needs an exchange-rate provider), payload (positions.py),
+    # cscore/childfield (collapse / block-join operators, not scalars)
+    missing = reference_names - set(REGISTRY)
+    assert not missing, f"unregistered parser names: {sorted(missing)}"
