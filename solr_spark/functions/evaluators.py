@@ -1035,6 +1035,29 @@ def fft_cols(df: DataFrame, arr_col: str, out_col: str = "fft") -> DataFrame:
     )
 
 
+def ifft_cols(df: DataFrame, fft_col: str, out_col: str = "signal") -> DataFrame:
+    """ifft (IFFTEvaluator): inverse of fft_cols — takes the
+    [real[], imag[]] 2-row matrix column and returns the real part of
+    the inverse DFT (the reference discards the residual imaginary
+    part of a round-trip the same way)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _ifft(s: pd.Series) -> pd.Series:
+        out = []
+        for m in s:
+            c = np.asarray(m[0], dtype=np.float64) + 1j * np.asarray(
+                m[1], dtype=np.float64
+            )
+            out.append(np.fft.ifft(c).real.tolist())
+        return pd.Series(out)
+
+    return df.withColumn(
+        out_col, pandas_udf(_ifft, "array<double>")(F.col(fft_col))
+    )
+
+
 def loess_smooth(
     df: DataFrame,
     x_col: str,

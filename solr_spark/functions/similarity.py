@@ -341,6 +341,7 @@ def kmeans(
     vec_col: str = "embedding",
     round_to: int = 6,
     seed_offset: int = 0,
+    _with_centroids: bool = False,
 ) -> DataFrame:
     """Deterministic Lloyd k-means (KmeansEvaluator, Lang.java — the
     reference wraps Commons Math KMeansPlusPlusClusterer; the random
@@ -397,7 +398,48 @@ def kmeans(
                 F.transform("pm", lambda s: s.getField("m")).alias("c_vec"),
             )
         )
+    if _with_centroids:
+        return assign(cents).select(id_col, "cluster_id"), cents
     return assign(cents).select(id_col, "cluster_id")
+
+
+def kmeans_model(
+    corpus: DataFrame,
+    k: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+    seed_offset: int = 0,
+) -> dict:
+    """kmeans(...) as a model tuple — the reference's KmeansEvaluator
+    returns a clustering result whose attributes feed getCentroids /
+    getCluster / getMembershipMatrix (Lang.java; lets.get_attribute
+    reads them). Both members stay DataFrames (nothing collects):
+    ``assignments`` (id, cluster_id) and ``centroids``
+    (cluster_id, c_vec) — the EXACT centroids that produced the final
+    assignment, not a post-hoc recompute."""
+    assignments, centroids = kmeans(
+        corpus, k, iters, id_col, vec_col, round_to, seed_offset,
+        _with_centroids=True,
+    )
+    return {"assignments": assignments, "centroids": centroids, "k": k}
+
+
+def get_centroids(model: dict) -> DataFrame:
+    """getCentroids(model) (GetCentroidsEvaluator): the centroid matrix
+    as a (cluster_id, c_vec) frame, cluster-ordered."""
+    return model["centroids"].orderBy("cluster_id")
+
+
+def get_cluster(model: dict, corpus: DataFrame, cluster_id: int,
+                id_col: str = "vec_id") -> DataFrame:
+    """getCluster(model, i) (GetClusterEvaluator): the member rows of
+    one cluster — a filtered semi-join, the corpus never collects."""
+    members = model["assignments"].where(
+        F.col("cluster_id") == int(cluster_id)
+    ).select(id_col)
+    return corpus.join(F.broadcast(members), id_col, "left_semi")
 
 
 def fuzzy_kmeans(

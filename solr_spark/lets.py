@@ -119,3 +119,31 @@ def run_let(
     ctx = ctx or LetContext()
     ctx.let(**bindings)
     return body(ctx)
+
+
+def get_attribute(tup: dict, name: str) -> Any:
+    """getAttribute(tuple, name) (GetAttributeEvaluator — reads one
+    attribute off a model/result tuple)."""
+    return tup.get(name)
+
+
+def get_attributes(tup: dict) -> dict:
+    """getAttributes(tuple) (GetAttributesEvaluator — the full
+    attribute map of a model/result tuple)."""
+    return dict(tup)
+
+
+def list_streams(*frames):
+    """list(a, b, ...) (ListStream — concatenate result streams in
+    order). DataFrames with a shared schema union by name; Spark
+    executes the branches in parallel regardless, so plist() (the
+    reference's parallel variant) is the same plan."""
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
+
+
+# plist(...) (PlistStream): identical plan — parallelism is Spark's job,
+# not the operator's.
+plist = list_streams

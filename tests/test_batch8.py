@@ -137,3 +137,56 @@ def test_tuple_echo_run_let():
     assert LetContext.echo("hi") == {"echo": "hi"}
     out = run_let({"xs": [1.0, 2.0, 3.0]}, lambda c: sum(c.get("xs")))
     assert out == 6.0
+
+
+def test_ifft_round_trip(spark):
+    """ifft(fft(x)) == x (IFFTEvaluator inverse contract)."""
+    from solr_spark.functions.evaluators import fft_cols, ifft_cols
+
+    sig = [1.0, 2.0, -1.5, 0.5, 3.0, -2.0, 0.0, 1.0]
+    df = spark.createDataFrame([(1, sig)], "id int, x array<double>")
+    out = ifft_cols(fft_cols(df, "x"), "fft").first()["signal"]
+    assert len(out) == len(sig)
+    for a, b in zip(out, sig):
+        assert abs(a - b) < 1e-9
+
+
+def test_kmeans_model_accessors(spark):
+    """getCentroids/getCluster read the model tuple's frames; the
+    centroids are the exact ones that produced the final assignment."""
+    from solr_spark.functions.similarity import (
+        get_centroids,
+        get_cluster,
+        kmeans_model,
+    )
+    from solr_spark.lets import get_attribute, get_attributes
+
+    pts = (
+        [(i, [0.0 + i * 0.01, 0.0]) for i in range(5)]
+        + [(10 + i, [10.0 + i * 0.01, 10.0]) for i in range(5)]
+    )
+    df = spark.createDataFrame(pts, "vec_id int, embedding array<double>")
+    model = kmeans_model(df, 2, iters=3)
+    cents = get_centroids(model).collect()
+    assert [r["cluster_id"] for r in cents] == [1, 2]
+    # one centroid near each blob
+    xs = sorted(r["c_vec"][0] for r in cents)
+    assert abs(xs[0] - 0.02) < 0.1 and abs(xs[1] - 10.02) < 0.1
+    # every member of a cluster sits in the same blob
+    for cid in (1, 2):
+        members = get_cluster(model, df, cid).collect()
+        blobs = {r["vec_id"] < 10 for r in members}
+        assert len(blobs) == 1
+    # getAttribute/getAttributes on the model tuple
+    assert get_attribute(model, "k") == 2
+    assert set(get_attributes(model)) == {"assignments", "centroids", "k"}
+
+
+def test_list_plist_union(spark):
+    from solr_spark.lets import list_streams, plist
+
+    a = spark.createDataFrame([(1, "a")], "id int, v string")
+    b = spark.createDataFrame([(2, "b")], "id int, v string")
+    got = sorted((r["id"], r["v"]) for r in list_streams(a, b).collect())
+    assert got == [(1, "a"), (2, "b")]
+    assert plist is list_streams
