@@ -3095,13 +3095,54 @@ def a_convex_hull(spark, sf_dir):
     ).orderBy("nation")
 
 
-@entry("a_fuzzy_kmeans", None)  # iterative FCM has no tractable SQL mirror
+def _fuzzy_kmeans_oracle_sql(k: int = 3, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled fuzzy c-means (m=2) as chained CTEs — the oracle mirror
+    of similarity.fuzzy_kmeans: lowest-id seeds, per-point membership
+    u = d^-1 / Σ_j d^-1 (epsilon-floored distances), u²-weighted mean
+    centroids rounded to 6 dp per iteration (quantizing float
+    summation-order wobble in BOTH engines), final memberships rounded
+    to 4 dp."""
+
+    def member(name: str, cents: str) -> str:
+        return f"""{name}w AS (SELECT e.vec_id, c.cid,
+  power(greatest(list_sum(list_transform(range(1, {dim + 1}),
+    i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), 1e-12), -1.0) AS w
+  FROM e CROSS JOIN {cents} c),
+{name} AS (SELECT vec_id, cid,
+  w / sum(w) OVER (PARTITION BY vec_id) AS u FROM {name}w)"""
+
+    def update(name: str, mem: str) -> str:
+        return f"""{name} AS (SELECT cid, list(m ORDER BY i) AS cv FROM (
+  SELECT {mem}.cid, t.i,
+    round(sum(u * u * e.v[t.i]) / sum(u * u), 6) AS m
+  FROM {mem} JOIN e USING (vec_id) CROSS JOIN generate_series(1, {dim}) t(i)
+  GROUP BY {mem}.cid, t.i) GROUP BY cid)"""
+
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))""",
+    ]
+    for it in range(iters):
+        ctes.append(member(f"m{it}", f"c{it}"))
+        ctes.append(update(f"c{it + 1}", f"m{it}"))
+    ctes.append(member(f"m{iters}", f"c{iters}"))
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT vec_id, cid AS cluster_id, round(u, 4) AS membership FROM m{iters}"""
+    )
+
+
+@entry("a_fuzzy_kmeans", _fuzzy_kmeans_oracle_sql(3, 2, 64))
 def a_fuzzy_kmeans(spark, sf_dir):
-    """fuzzyKmeans + getMembershipMatrix (FuzzyKmeansEvaluator.java:1,
-    GetMembershipMatrixEvaluator.java:1): deterministic lowest-id seeds,
-    2 iterations, k=3; memberships sum to 1 per point (pinned in
-    tests/test_evaluators_b6.py). Rows-only driver check by design."""
-    from solr_spark.functions.mathx import membership_matrix
+    """fuzzyKmeans (FuzzyKmeansEvaluator.java:1 — Commons Math
+    FuzzyKMeansClusterer with deterministic lowest-id seeds): m=2,
+    2 iterations, k=3 over the embeddings table; long-form membership
+    rows (vec_id, cluster_id, membership) against an unrolled-CTE
+    DuckDB mirror — the per-iteration 6-dp centroid rounding quantizes
+    float summation-order wobble in both engines (same contract as
+    a_kmeans). getMembershipMatrix stays pinned in
+    tests/test_evaluators_b6.py."""
     from solr_spark.functions.similarity import fuzzy_kmeans
 
     emb = _t(spark, sf_dir, "embeddings").select(
@@ -3109,10 +3150,8 @@ def a_fuzzy_kmeans(spark, sf_dir):
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
     m = fuzzy_kmeans(emb, 3, iters=2)
-    mm = membership_matrix(m)
-    return mm.select(
-        "vec_id",
-        F.transform("memberships", lambda v: F.round(v, 4)).alias("memberships"),
+    return m.select(
+        "vec_id", "cluster_id", F.round("membership", 4).alias("membership")
     )
 
 
