@@ -292,15 +292,30 @@ def dist(power: float, *cols: Column) -> Column:
     return F.pow(acc, F.lit(1.0 / float(power)))
 
 
-def ord_rord(df: DataFrame, col: str) -> DataFrame:
+def ord_rord(df: DataFrame, col: str, high_cardinality: bool = False) -> DataFrame:
     """ord(field)/rord(field): 1-based ordinal of the row's value in the
     field's sorted term order (OrdFieldSource/ReverseOrdFieldSource —
     the reference reads index ords; the distributed equivalent ranks the
-    DISTINCT value table, which is small, and broadcast-joins back, so
-    no corpus-wide window)."""
+    DISTINCT value table and joins back, so no corpus-wide window).
+
+    Default path: single-partition window over the DISTINCT values +
+    broadcast join — right when cardinality ≪ corpus (the enum/keyword
+    fields ord() is used on). ``high_cardinality=True`` switches to the
+    distributed range-shuffle rank (relational.global_rank — the export
+    handler's total-order machinery) and a shuffle join, for fields
+    whose value table is itself corpus-sized (e.g. ord over an id)."""
+    distinct = df.select(col).distinct()
+    if high_cardinality:
+        from solr_spark.operators.relational import global_rank
+
+        ranked = global_rank(distinct, [F.asc(col)], rank_col="ord")
+        n_row = ranked.agg(F.max("ord").alias("n")).first()
+        ranked = ranked.withColumn(
+            "rord", F.lit(int(n_row["n"]) + 1) - F.col("ord")
+        )
+        return df.join(ranked, col)
     from pyspark.sql import Window
 
-    distinct = df.select(col).distinct()
     w = Window.orderBy(F.asc(col))
     n = distinct.count()
     ranked = distinct.select(

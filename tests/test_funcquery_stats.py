@@ -153,3 +153,19 @@ def test_registry_name_parity():
     # cscore/childfield (collapse / block-join operators, not scalars)
     missing = reference_names - set(REGISTRY)
     assert not missing, f"unregistered parser names: {sorted(missing)}"
+
+
+def test_ord_rord_high_cardinality(spark):
+    """The distributed (range-shuffle) ord/rord path agrees with the
+    broadcast-window path."""
+    from solr_spark.functions.funcquery import ord_rord
+
+    df = spark.createDataFrame(
+        [(i, f"v{i % 37:03d}") for i in range(200)], "id int, v string"
+    )
+    a = {(r["id"]): (r["ord"], r["rord"]) for r in ord_rord(df, "v").collect()}
+    b = {
+        (r["id"]): (r["ord"], r["rord"])
+        for r in ord_rord(df, "v", high_cardinality=True).collect()
+    }
+    assert a == b and len(a) == 200
