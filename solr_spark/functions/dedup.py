@@ -207,6 +207,20 @@ def jaccard_dropped_shingles(
 AUTO_BUCKET_CAP = 512  # LSH band buckets larger than this are dropped whole
 
 
+class _CacheHandle:
+    """Releases every persisted frame a dedup pipeline pinned — callers
+    keep the single-call contract ``result._solr_spark_cached.unpersist()``
+    whether the pipeline pinned one frame or several."""
+
+    def __init__(self, *frames):
+        self._frames = [f for f in frames if f is not None]
+
+    def unpersist(self):
+        for f in self._frames:
+            f.unpersist()
+        return self
+
+
 def _cap_buckets(banded: DataFrame, max_bucket_size: int | str | None) -> DataFrame:
     """Drop (band, bucket) groups with more than ``max_bucket_size``
     members from an LSH banding table (columns id, band, bucket), so the
@@ -315,7 +329,6 @@ def minhash_lsh_pairs(
     inv = shingle_rows(df, id_col, text_col, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    cached = inv  # released by callers via result._solr_spark_cached
     sig = inv.groupBy("id").agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
@@ -338,7 +351,14 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    banded = _cap_buckets(banded, max_bucket_size)
+    # persist the banding table: the bucket-size aggregate (cap), the
+    # anti-join probe AND both sides of the candidate self-join consume
+    # it — unpersisted, each re-runs the num_hashes-column min()
+    # signature aggregation (measured 2x wall on the sf0.1 bench).
+    # (id, band, bucket) is ~bands rows/doc of 20 bytes — tiny next to
+    # the shingle table already pinned above.
+    banded_pinned = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    banded = _cap_buckets(banded_pinned, max_bucket_size)
     x = banded.alias("x")
     y = banded.alias("y")
     cand = (
@@ -352,8 +372,14 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     if not verify:
-        cand._solr_spark_cached = cached
+        cand._solr_spark_cached = _CacheHandle(inv, banded_pinned)
         return cand
+    # the candidate set is consumed 3x below (both arms of the id union
+    # + the final verify join) — persist it (tiny by construction: LSH
+    # candidates, not the corpus) so the banded self-join with its cap
+    # subtree runs once, not three times
+    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    cached = _CacheHandle(inv, banded_pinned, cand)
     # exact verify restricted to candidate ids: inverted-index
     # intersection counts (same math as jaccard_pairs / the SQL oracle)
     cand_ids = (

@@ -290,8 +290,15 @@ def srp_near_dup_pairs(
             )
 
     sig = src.mapInPandas(kern, f"id {id_type}, band int, bucket bigint")
-    from .dedup import _cap_buckets
+    from pyspark import StorageLevel
 
+    from .dedup import _CacheHandle, _cap_buckets
+
+    # persist the banding table: the cap's size aggregate, its anti-join
+    # probe and both self-join sides would otherwise each re-run the
+    # projection kernel (same fix as minhash_lsh_pairs)
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    cached = _CacheHandle(sig)
     sig = _cap_buckets(sig, max_bucket_size)
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
@@ -306,13 +313,16 @@ def srp_near_dup_pairs(
     )
     va = src.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
     vb = src.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
-    return (
+    out = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn("cos_sim", F.round(cosine("v_a", "v_b"), 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+    # release with out._solr_spark_cached.unpersist() after materializing
+    out._solr_spark_cached = cached
+    return out
 
 
 # round-1 name kept as an alias (the component-sign variant it named had
