@@ -621,6 +621,48 @@ def total_term_freq(
     return rows.groupBy("term").agg(F.sum("tf").alias("ttf"))
 
 
+def explain_hits(
+    spark: SparkSession, meta: IndexMeta, q: str | Query, k: int = 10
+) -> DataFrame:
+    """``[explain]`` doc transformer (CORE/response/transform/
+    ExplainAugmenterFactory.java:1 — per-hit Lucene score breakdown):
+    the top-k hits augmented with an ``explain`` array of
+    (term, weight, contrib) structs whose weighted contribs sum to the
+    hit's BM25 score. Contribs come from kernel.term_contributions (the
+    exact literal shape of the scoring kernel), weights are the query's
+    per-term clause multiplicities; the join is broadcast on the k-row
+    hit set, so explain touches only the hits' postings."""
+    query = parse(q) if isinstance(q, str) else q
+    res = search(spark, meta, query, k=k)
+    weights = sorted(query.scoring.items())
+    if not weights:
+        return res.withColumn(
+            "explain",
+            F.lit(None).cast(
+                "array<struct<term:string,weight:int,contrib:double>>"
+            ),
+        )
+    wdf = spark.createDataFrame(weights, "term string, weight int")
+    contribs = term_contributions(spark, meta, [t for t, _ in weights])
+    det = (
+        contribs.join(F.broadcast(res.select("docid")), "docid", "left_semi")
+        .join(F.broadcast(wdf), "term")
+        .groupBy("docid")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "term",
+                        "weight",
+                        (F.col("contrib") * F.col("weight")).alias("contrib"),
+                    )
+                )
+            ).alias("explain")
+        )
+    )
+    return res.join(det, "docid", "left")
+
+
 def sum_total_term_freq(spark: SparkSession, meta: IndexMeta) -> DataFrame:
     """sumtotaltermfreq/sttf (SumTotalTermFreqValueSource): Σ ttf over
     every term of the field = Σ doclen over the docs table — computed

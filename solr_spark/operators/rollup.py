@@ -44,6 +44,19 @@ AGG_FUNCS = {
 }
 
 
+def wsum(value_col: str, count_col: str, output_long: bool = False) -> Column:
+    """wsum(valueCol, countCol): count-weighted average — each part
+    contributes value * (count / total_count), i.e.
+    sum(value*count)/sum(count)
+    (STREAM/metrics/WeightedSumMetric.java:104-113 getValue; the
+    reference rounds to long when outputLong). Pure partial-aggregable
+    Catalyst columns — two sums, one division at finalization."""
+    v = F.col(value_col).cast("double")
+    c = F.col(count_col).cast("double")
+    out = F.sum(v * c) / F.sum(c)
+    return F.round(out, 0).cast("long") if output_long else out
+
+
 def rollup(df: DataFrame, group_by: list[str], aggs: list[Column]) -> DataFrame:
     """rollup()/hashRollup(): group-by + metrics (RollupStream.java:1,
     HashRollupStream.java:1). The reference distinguishes sort-agg vs

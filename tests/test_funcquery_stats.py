@@ -169,3 +169,44 @@ def test_ord_rord_high_cardinality(spark):
         for r in ord_rord(df, "v", high_cardinality=True).collect()
     }
     assert a == b and len(a) == 200
+
+
+def test_explain_hits(spark, small_index):
+    """[explain]: the weighted per-term contribs sum to the hit's BM25
+    score (ExplainAugmenterFactory contract)."""
+    from solr_spark.kernel import explain_hits
+
+    rows = explain_hits(spark, small_index, "license int", k=5).collect()
+    assert len(rows) == 5
+    for r in rows:
+        parts = r["explain"]
+        assert parts and all(p["weight"] == 1 for p in parts)
+        assert sum(p["contrib"] for p in parts) == pytest.approx(
+            r["score"], rel=1e-9
+        )
+    # duplicate clause doubles the weight
+    dup = explain_hits(spark, small_index, "license license", k=3).collect()
+    for r in dup:
+        (p,) = r["explain"]
+        assert p["weight"] == 2
+        assert p["contrib"] == pytest.approx(r["score"], rel=1e-9)
+
+
+def test_wsum_metric(spark):
+    from solr_spark.operators.rollup import rollup, wsum
+
+    df = spark.createDataFrame(
+        [("a", 10.0, 1), ("a", 20.0, 3), ("b", 5.0, 2)],
+        "g string, v double, c int",
+    )
+    got = {
+        r["g"]: (r["ws"], r["wl"])
+        for r in rollup(
+            df,
+            ["g"],
+            [wsum("v", "c").alias("ws"), wsum("v", "c", output_long=True).alias("wl")],
+        ).collect()
+    }
+    assert got["a"][0] == pytest.approx((10 * 1 + 20 * 3) / 4.0)
+    assert got["a"][1] == 18
+    assert got["b"][0] == pytest.approx(5.0)
