@@ -121,8 +121,8 @@ REGISTRY: dict[str, "callable"] = {
 # positions.payload_score_frame; cscore() is the collapse-time score —
 # operators/windowed.collapse's score column, not a standalone scalar.
 # testfunc/threadid/sleep are test/diagnostic parsers with no data
-# semantics — out of scope. currency() needs an exchange-rate provider
-# — not implemented.
+# semantics — out of scope. currency() takes its exchange-rate table as
+# a plain dict (the FileExchangeRateProvider analog) — see below.
 # childfield(field) is the block-join projection of a child doc's field
 # onto its parent hit — operators/joins.py block_parent/block_child
 # (a join + first() agg here, not a scalar function).
@@ -557,6 +557,53 @@ REGISTRY.update(
         "boost": boost_frame,
     }
 )
+
+
+def currency(
+    amount: Column,
+    code: Column,
+    target: str,
+    rates: dict,
+    fraction_digits: dict | None = None,
+) -> Column:
+    """currency(field, targetCode) (CORE/schema/CurrencyFieldType.java:
+    477-484 + CurrencyValue.convertAmount:132-152 +
+    FileExchangeRateProvider.getExchangeRate:65-89): convert per-row
+    (amount-in-minor-units, currency-code) to ``target``. Rate
+    resolution follows the reference exactly — same code → 1.0, direct
+    rate, else 1/inverse rate, else no conversion (null, the per-row
+    error-channeling stance instead of the reference's request error).
+    Minor-unit amounts are rescaled by the fraction-digit delta
+    (ISO 4217; default 2 everywhere, e.g. pass {"JPY": 0}).
+
+    ``rates`` is {(from, to): rate} — the reference's currency.xml as a
+    plain dict (its FileExchangeRateProvider analog). Resolution is
+    driver-side (rate tables are tiny by nature) and the conversion
+    compiles to one literal-map lookup × multiply — whole-stage
+    codegen, no UDF, no join."""
+    fraction_digits = fraction_digits or {}
+    codes = {target} | {c for pair in rates for c in pair}
+    factors: dict[str, float] = {}
+    for c in sorted(codes):
+        if c == target:
+            rate = 1.0
+        elif (c, target) in rates:
+            rate = float(rates[(c, target)])
+        elif (target, c) in rates:
+            rate = 1.0 / float(rates[(target, c)])
+        else:
+            continue  # unconvertible code → null result for its rows
+        delta = fraction_digits.get(target, 2) - fraction_digits.get(c, 2)
+        factors[c] = rate * (10.0 ** delta)
+    mapping = F.create_map(
+        *[F.lit(x) for c, f in sorted(factors.items()) for x in (c, f)]
+    )
+    return (
+        amount.cast("double") * F.element_at(mapping, code)
+    ).cast("long")
+
+
+REGISTRY["currency"] = currency
 
 
 def _ttf_bridge(spark, meta, terms):

@@ -146,11 +146,11 @@ def test_registry_name_parity():
         linear literal ln log lt lte map max maxdoc min mod ms norm not
         numdocs or ord pi pow product query rad recip rint rord scale sin
         sinh sqedist sqrt strdist sub sum sumtotaltermfreq tan tanh termfreq
-        tf top totaltermfreq true vector vectorSimilarity xor""".split()
+        tf top totaltermfreq true vector vectorSimilarity xor currency""".split()
     )
     # documented exclusions: test/diagnostic (testfunc/threadid/sleep),
-    # currency (needs an exchange-rate provider), payload (positions.py),
-    # cscore/childfield (collapse / block-join operators, not scalars)
+    # payload (positions.py), cscore/childfield (collapse / block-join
+    # operators, not scalars)
     missing = reference_names - set(REGISTRY)
     assert not missing, f"unregistered parser names: {sorted(missing)}"
 
@@ -210,3 +210,38 @@ def test_wsum_metric(spark):
     assert got["a"][0] == pytest.approx((10 * 1 + 20 * 3) / 4.0)
     assert got["a"][1] == 18
     assert got["b"][0] == pytest.approx(5.0)
+
+
+def test_currency_conversion(spark):
+    """currency(): direct rate, 1/inverse fallback, same-code identity,
+    fraction-digit rescaling (CurrencyValue.convertAmount), null for
+    unconvertible codes."""
+    from pyspark.sql import functions as F
+
+    from solr_spark.functions.funcquery import currency
+
+    rates = {("USD", "EUR"): 0.8, ("EUR", "JPY"): 150.0}
+    df = spark.createDataFrame(
+        [
+            (1, 1000, "USD"),   # 10.00 USD -> 8.00 EUR (direct)
+            (2, 1000, "EUR"),   # same code
+            (3, 15000, "JPY"),  # 1/inverse: JPY->EUR = 1/150; digits 0->2
+            (4, 500, "GBP"),    # no rate either way -> null
+        ],
+        "id int, amount long, code string",
+    )
+    out = {
+        r["id"]: r["eur"]
+        for r in df.select(
+            "id",
+            currency(
+                F.col("amount"), F.col("code"), "EUR", rates,
+                fraction_digits={"JPY": 0},
+            ).alias("eur"),
+        ).collect()
+    }
+    assert out[1] == 800
+    assert out[2] == 1000
+    # 15000 JPY (0 digits) -> 100 EUR -> minor units x100 = 10000
+    assert out[3] == 10000
+    assert out[4] is None
