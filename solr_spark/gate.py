@@ -469,6 +469,30 @@ def a_rollup_q1(spark, sf_dir):
 
 
 @entry(
+    "a_wsum",
+    """SELECT l_returnflag,
+round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS ws,
+CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 0) AS BIGINT) AS wl
+FROM lineitem GROUP BY l_returnflag""",
+)
+def a_wsum(spark, sf_dir):
+    """wsum metric (STREAM/metrics/WeightedSumMetric.java:104-113):
+    quantity-weighted average extended price per returnflag — exact
+    decimal product accumulation (summation-order-free), one division
+    at finalization, mirrored literally by the oracle."""
+    return rollup.rollup(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        [
+            F.round(rollup.wsum("l_extendedprice", "l_quantity", exact=True), 4).alias("ws"),
+            rollup.wsum("l_extendedprice", "l_quantity", output_long=True, exact=True).alias("wl"),
+        ],
+    )
+
+
+@entry(
     "a_facet_top",
     """SELECT o_orderpriority, count(*) AS count FROM orders
 GROUP BY o_orderpriority ORDER BY count(*) DESC, o_orderpriority LIMIT 3""",

@@ -44,16 +44,27 @@ AGG_FUNCS = {
 }
 
 
-def wsum(value_col: str, count_col: str, output_long: bool = False) -> Column:
+def wsum(
+    value_col: str, count_col: str, output_long: bool = False,
+    exact: bool = False,
+) -> Column:
     """wsum(valueCol, countCol): count-weighted average — each part
     contributes value * (count / total_count), i.e.
     sum(value*count)/sum(count)
     (STREAM/metrics/WeightedSumMetric.java:104-113 getValue; the
     reference rounds to long when outputLong). Pure partial-aggregable
-    Catalyst columns — two sums, one division at finalization."""
-    v = F.col(value_col).cast("double")
-    c = F.col(count_col).cast("double")
-    out = F.sum(v * c) / F.sum(c)
+    Catalyst columns — two sums, one division at finalization.
+    ``exact=True`` accumulates decimal(18,2) products (exact integer
+    arithmetic under the hood) so the fold is summation-order-free —
+    the cross-engine-reproducibility mode the DuckDB oracle mirrors."""
+    if exact:
+        v = F.col(value_col).cast("decimal(18,2)")
+        c = F.col(count_col).cast("decimal(18,2)")
+        out = F.sum(v * c).cast("double") / F.sum(c).cast("double")
+    else:
+        v = F.col(value_col).cast("double")
+        c = F.col(count_col).cast("double")
+        out = F.sum(v * c) / F.sum(c)
     return F.round(out, 0).cast("long") if output_long else out
 
 
