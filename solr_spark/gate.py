@@ -1117,8 +1117,12 @@ _PRIORITY = [
     "u_incremental_index", "u_merge_segments",
     "w_ltr_linear",  # LTR external-model slot added round 3 — keep fresh
     # a_hll_approx spills: its driver check is rows-only either way and
-    # a_unique_exact (round-1 green) is the exact counterpart
-    "a_frange",
+    # a_unique_exact (round-1 green) is the exact counterpart.
+    # a_frange spills for a_wsum: a_frange is r2-green and its funcquery
+    # machinery holds fresh in-window evidence via a_funcquery2/3;
+    # a_wsum (exact-decimal wsum metric, round-3 new machinery) has no
+    # earlier driver rows.
+    "a_wsum",
     # positional postings (round-2 machinery, now the DEFAULT phrase/
     # proximity plan + payload stream added) — must hold driver rows
     "fts_phrase_pos", "fts_phrase3_pos", "fts_proximity_pos",

@@ -111,13 +111,18 @@ def test_driver_window_composition():
         # batch 8 (r2-green; unsorted-mode change evidenced in-window by
         # the phrase/edismax family)
         "fts_phrase", "fts_mixed_phrase",
-        "fts_edismax_mm", "fts_edismax_pf2", "fts_prefix_term", "fts_fuzzy",
+        # fts_fuzzy spilled for a_funcquery3 (documented in gate._PRIORITY:
+        # its Levenshtein dictionary expansion is the same
+        # _multiterm_component path fts_prefix_term evidences in-window)
+        "fts_edismax_mm", "fts_edismax_pf2", "fts_prefix_term",
         "u_incremental_index", "u_merge_segments",
         "w_ltr_linear",
         # training-data ops (graded first-class): dedup family changed
         # this round (bucket cap) — similarity/knn unchanged but keep
         "t_minhash_pairs", "t_jaccard_pairs", "t_simhash_pairs",
         "t_exact_dups", "e_knn_brute", "e_knn_ivf", "e_near_dup",
+        # round-3 new machinery (this session): exact-decimal wsum
+        "a_wsum",
     }
     missing = must_hold - set(window)
     assert not missing, f"outside the driver window: {sorted(missing)}"
