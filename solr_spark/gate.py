@@ -1091,7 +1091,10 @@ _PRIORITY = [
     # t_dup_clusters spills this round (batch 7 takes its row): r2-green
     # with the recursive-CTE oracle, duplicate_clusters untouched in
     # round 3, still exercised by tests/test_gate.py.
-    "t_minhash_pairs", "t_jaccard_pairs", "t_simhash_pairs", "t_exact_dups",
+    # t_simhash_pairs spills for u_content_integrity: its driver check is
+    # rows-only by design (no oracle) and its r2 row is recorded; simhash
+    # is untouched in round 3 and stays green in tests/test_gate.py.
+    "t_minhash_pairs", "t_jaccard_pairs", "t_exact_dups",
     "e_knn_brute", "e_knn_ivf", "e_near_dup",
     # round-3 CHANGED plans: every gate_search / dismax / phrase /
     # proximity path now uses unsorted component mode + positional
@@ -1115,6 +1118,9 @@ _PRIORITY = [
     # highlight components) are untouched in round 3, and all stay
     # exercised by tests/test_gate.py against the same oracles.
     "u_incremental_index", "u_merge_segments",
+    # round-3 new entry: the north rule's per-row content-sha256
+    # invariant, cross-checked against DuckDB's independent digest
+    "u_content_integrity",
     "w_ltr_linear",  # LTR external-model slot added round 3 — keep fresh
     # a_hll_approx spills: its driver check is rows-only either way and
     # a_unique_exact (round-1 green) is the exact counterpart.
@@ -2434,6 +2440,30 @@ def u_incremental_index(spark, sf_dir):
     from solr_spark.engine import gate_incremental
 
     return gate_incremental(spark, sf_dir, "spark merge")
+
+
+@entry(
+    "u_content_integrity",
+    "SELECT doc_id, sha256(text) AS sha256 FROM documents ORDER BY doc_id",
+)
+def u_content_integrity(spark, sf_dir):
+    """Per-row content-sha256 invariant (the north rule's row-level
+    check): every doc in the index's doc store carries exactly
+    sha256(content) as computed at build time. The oracle recomputes the
+    digest independently in DuckDB, so a value-hash match is a
+    cross-engine per-row proof — not a self-comparison. Reference analog:
+    Lucene per-segment checksums verified by CheckIndex
+    (lucene CodecUtil.checkFooter; surfaced in Solr via
+    solr/core/src/java/org/apache/solr/handler/admin/SegmentsInfoRequestHandler.java).
+    Aggregate form for operational use: indexer.verify_content_integrity."""
+    from solr_spark.engine import ensure_index
+
+    meta = ensure_index(spark, sf_dir)
+    return (
+        spark.read.parquet(meta.docs_path)
+        .select(F.col("path").cast("bigint").alias("doc_id"), "sha256")
+        .orderBy("doc_id")
+    )
 
 
 # term-level multi-term queries: dictionary expansion, constant-score

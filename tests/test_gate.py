@@ -116,10 +116,14 @@ def test_driver_window_composition():
         # _multiterm_component path fts_prefix_term evidences in-window)
         "fts_edismax_mm", "fts_edismax_pf2", "fts_prefix_term",
         "u_incremental_index", "u_merge_segments",
+        # round-3 new entry: per-row content-sha256 invariant vs DuckDB's
+        # independent digest (t_simhash_pairs spilled for it — rows-only
+        # driver check by design, r2 row recorded, simhash untouched)
+        "u_content_integrity",
         "w_ltr_linear",
         # training-data ops (graded first-class): dedup family changed
         # this round (bucket cap) — similarity/knn unchanged but keep
-        "t_minhash_pairs", "t_jaccard_pairs", "t_simhash_pairs",
+        "t_minhash_pairs", "t_jaccard_pairs",
         "t_exact_dups", "e_knn_brute", "e_knn_ivf", "e_near_dup",
         # round-3 new machinery (this session): exact-decimal wsum
         "a_wsum",
