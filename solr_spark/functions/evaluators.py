@@ -472,8 +472,19 @@ def uniform_cdf(x: Column, lo: Column, hi: Column) -> Column:
 
 
 def poisson_pmf(k: Column, lam: Column) -> Column:
-    """PoissonDistribution probability: e^(−λ)·λ^k / k!."""
-    return F.exp(-lam) * F.pow(lam, k) / F.factorial(k.cast("int"))
+    """PoissonDistribution probability: e^(−λ)·λ^k / k!, computed in log
+    space (Commons Math routes through logGamma the same way) because
+    Spark's factorial() returns NULL past k=20 — well inside the
+    distribution's mass once λ ≳ 15."""
+    ki = k.cast("int")
+    log_kfact = F.when(ki < 2, F.lit(0.0)).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(2), ki),
+            F.lit(0.0),
+            lambda acc, x: acc + F.log(x.cast("double")),
+        )
+    )
+    return F.exp(ki.cast("double") * F.log(lam) - lam - log_kfact)
 
 
 def normal_fit(df: DataFrame, value: str, scale: int = 2) -> DataFrame:
@@ -706,11 +717,12 @@ SCALAR.update(
             F.factorial(n.cast("int"))
             / (F.factorial(k.cast("int")) * F.factorial((n - k).cast("int")))
         ),
-        # round to s significant figures (PrecisionEvaluator)
+        # round to s significant figures (PrecisionEvaluator); s may be a
+        # per-row Column (both args are value sources in the reference)
         "precision": lambda x, s: F.when(x == 0, F.lit(0.0)).otherwise(
             F.round(
                 x,
-                (F.lit(int(s) if not hasattr(s, "cast") else 0) - 1
+                ((s if hasattr(s, "cast") else F.lit(int(s))) - 1
                  - F.floor(F.log10(F.abs(x)))).cast("int"),
             )
         ),

@@ -932,6 +932,7 @@ def t_minhash_pairs(spark, sf_dir):
         num_hashes=64,
         bands=16,
         threshold=0.8,
+        max_bucket_size=None,  # oracle is the UNCAPPED exact pair set
     )
 
 
@@ -957,6 +958,7 @@ def t_dup_clusters(spark, sf_dir):
     pairs = dedup.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text",
         num_hashes=64, bands=16, threshold=0.8,
+        max_bucket_size=None,  # oracle is the UNCAPPED exact pair set
     )
     return dedup.duplicate_clusters(pairs)
 
@@ -1536,14 +1538,12 @@ def a_diff_lag(spark, sf_dir):
 
 # --- batch 4: distributions / hypothesis tests / signal ops -------------
 
-# erf(z) for a column named z — the A&S 7.1.26 polynomial, inlined so
-# DuckDB runs the identical arithmetic as evaluators.erf_approx
-_ERF_Z = (
-    "(CASE WHEN z < 0 THEN -1 ELSE 1 END) * (1.0 - "
-    "((1.0/(1.0+0.3275911*abs(z))) * (0.254829592 + (1.0/(1.0+0.3275911*abs(z))) * "
-    "(-0.284496736 + (1.0/(1.0+0.3275911*abs(z))) * (1.421413741 + (1.0/(1.0+0.3275911*abs(z))) * "
-    "(-1.453152027 + (1.0/(1.0+0.3275911*abs(z))) * 1.061405429))))) * exp(-abs(z)*abs(z)))"
-)
+# erf(z) for a column named z — generated by the SAME function the engine's
+# erf_approx mirrors, so a coefficient change can never desynchronize the
+# six oracles that inline it
+from solr_spark.functions.evaluators import erf_sql as _erf_sql
+
+_ERF_Z = _erf_sql("z")
 
 _DISTRIBUTION_SQL = f"""WITH m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,

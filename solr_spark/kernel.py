@@ -660,7 +660,11 @@ def explain_hits(
             ).alias("explain")
         )
     )
-    return res.join(det, "docid", "left")
+    # the join discards search()'s ordering — restore rank order so pagers
+    # that take row order as-is (write_response) render by score
+    return res.join(det, "docid", "left").orderBy(
+        F.desc("score"), F.asc("docid")
+    )
 
 
 def sum_total_term_freq(spark: SparkSession, meta: IndexMeta) -> DataFrame:

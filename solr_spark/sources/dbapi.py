@@ -125,11 +125,13 @@ def read_dbapi_partitioned(
     """Distributed range-partitioned read: each Spark partition opens its
     OWN DB-API connection executor-side and scans one WHERE range —
     rows never pass through the driver.  The schema is probed once with
-    a LIMIT-1 driver-side query."""
+    a LIMIT-100 driver-side query (first non-null per column decides the
+    type, so a NULL in the leading row cannot mis-type a column the way
+    a single-row probe would)."""
     probe = connect()
     try:
         cur = probe.cursor()
-        cur.execute(f"SELECT * FROM {table} LIMIT 1")
+        cur.execute(f"SELECT * FROM {table} LIMIT 100")
         names = [d[0] for d in cur.description]
         sample = cur.fetchall()
     finally:

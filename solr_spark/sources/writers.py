@@ -52,7 +52,10 @@ def write_xml_response(
         if isinstance(v, (bool, np.bool_)):
             return _xml_val("bool", name, str(bool(v)).lower())
         if isinstance(v, (int, np.integer)):
-            return _xml_val("long" if abs(int(v)) > 2**31 else "int", name, int(v))
+            iv = int(v)
+            # int32 range is [-2**31, 2**31-1]; anything outside is <long>
+            tag = "int" if -(2**31) <= iv <= 2**31 - 1 else "long"
+            return _xml_val(tag, name, iv)
         if isinstance(v, (float, np.floating)):
             return _xml_val("double", name, float(v))
         if isinstance(v, (list, tuple, np.ndarray)):

@@ -87,3 +87,32 @@ def test_read_dbapi_partitioned(spark, db_path):
     # every partition carries rows (the ranges really fan out)
     sizes = df.rdd.glom().map(len).collect()
     assert all(s > 0 for s in sizes)
+
+
+def test_partitioned_probe_survives_leading_nulls(spark):
+    """Schema probe must not type a column from a single row: here the
+    first 50 rows have NULL price/name, so a LIMIT-1 probe would call
+    them strings and the Arrow conversion of later float rows would
+    break."""
+    fd, path = tempfile.mkstemp(suffix=".db")
+    os.close(fd)
+    try:
+        con = sqlite3.connect(path)
+        con.execute("CREATE TABLE n (id INTEGER, price REAL, name TEXT)")
+        con.executemany(
+            "INSERT INTO n VALUES (?,?,?)",
+            [(i, None, None) for i in range(50)]
+            + [(i, i * 0.5, f"r{i}") for i in range(50, 100)],
+        )
+        con.commit()
+        con.close()
+        df = read_dbapi_partitioned(
+            spark, lambda: sqlite3.connect(path), "n",
+            partition_column="id", lower=0, upper=100, num_partitions=4,
+        )
+        assert dict(df.dtypes)["price"] == "double"
+        rows = df.collect()
+        assert len(rows) == 100
+        assert sum(1 for r in rows if r["price"] is not None) == 50
+    finally:
+        os.unlink(path)

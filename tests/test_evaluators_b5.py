@@ -198,3 +198,24 @@ def test_fuzzy_kmeans_memberships(spark):
     arg0 = {max(by_id[i], key=by_id[i].get) for i in range(20)}
     arg1 = {max(by_id[i], key=by_id[i].get) for i in range(20, 40)}
     assert len(arg0) == 1 and len(arg1) == 1 and arg0 != arg1
+
+
+def test_poisson_pmf_large_k(spark, unit):
+    """k > 20 must not NULL out (Spark factorial() does): the log-space
+    form matches scipy/Commons Math pmf(25; λ=20) ≈ 0.0446."""
+    v = _one(unit, ev.poisson_pmf(F.lit(25), F.lit(20.0)))
+    assert v == pytest.approx(0.0446, abs=5e-4)
+    # small-k agreement with the direct factorial form
+    v2 = _one(unit, ev.poisson_pmf(F.lit(3), F.lit(2.0)))
+    assert v2 == pytest.approx(math.exp(-2.0) * 2.0**3 / 6.0, rel=1e-12)
+
+
+def test_precision_column_sigfigs(spark, unit):
+    """PrecisionEvaluator: the significant-figures arg is a value source
+    too — a per-row Column must be honored, not coerced to 0."""
+    assert _one(
+        unit, ev.SCALAR["precision"](F.lit(123.456), F.lit(4))
+    ) == pytest.approx(123.5)
+    assert _one(
+        unit, ev.SCALAR["precision"](F.lit(123.456), 2)
+    ) == pytest.approx(120.0)

@@ -113,3 +113,16 @@ def test_smile_response_envelope(spark):
     assert env["responseHeader"]["status"] == 0
     assert env["response"]["numFound"] == 2
     assert env["response"]["docs"][1]["s"] == "wörld"
+
+
+def test_xml_int_long_boundary(spark):
+    """int32 boundary: 2**31-1 is the largest <int>; 2**31 and -2**31-1
+    must be <long> (XMLWriter's primitive mapping)."""
+    df = spark.createDataFrame(
+        [(2**31 - 1, 2**31, -(2**31), -(2**31) - 1)],
+        "a bigint, b bigint, c bigint, d bigint",
+    )
+    out = writers.write_xml_response(df, rows=1)
+    root = ET.fromstring(out)
+    tags = {e.attrib["name"]: e.tag for e in root.find("result").find("doc")}
+    assert tags == {"a": "int", "b": "long", "c": "int", "d": "long"}
