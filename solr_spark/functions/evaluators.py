@@ -471,20 +471,29 @@ def uniform_cdf(x: Column, lo: Column, hi: Column) -> Column:
     )
 
 
+def log_factorial(c: Column) -> Column:
+    """ln(c!) as an ascending fold Σ ln i (i = 2..c) — the arbitrary-k
+    replacement for Spark's factorial(), which is NULL past 20. Gate
+    oracles mirror the same ascending sum (a recursive CTE in
+    gate._DISCRETE_SQL) so the doubles are bit-identical."""
+    return F.when(c < 2, F.lit(0.0)).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(2), c.cast("int")),
+            F.lit(0.0),
+            lambda acc, x: acc + F.log(x.cast("double")),
+        )
+    )
+
+
 def poisson_pmf(k: Column, lam: Column) -> Column:
     """PoissonDistribution probability: e^(−λ)·λ^k / k!, computed in log
     space (Commons Math routes through logGamma the same way) because
     Spark's factorial() returns NULL past k=20 — well inside the
     distribution's mass once λ ≳ 15."""
     ki = k.cast("int")
-    log_kfact = F.when(ki < 2, F.lit(0.0)).otherwise(
-        F.aggregate(
-            F.sequence(F.lit(2), ki),
-            F.lit(0.0),
-            lambda acc, x: acc + F.log(x.cast("double")),
-        )
+    return F.exp(
+        ki.cast("double") * F.log(lam) - lam - log_factorial(ki)
     )
-    return F.exp(ki.cast("double") * F.log(lam) - lam - log_kfact)
 
 
 def normal_fit(df: DataFrame, value: str, scale: int = 2) -> DataFrame:
@@ -866,10 +875,18 @@ MATRIX = {
 # more distribution pmf/pdf/cdf closed forms (Commons Math wrappers in
 # the reference; plain expressions here)
 def binomial_pmf(k: Column, n: Column, p: Column) -> Column:
+    """BinomialDistribution probability in log space (ln C(n,k) from
+    log_factorial), so n past factorial()'s 20 ceiling still evaluates;
+    p∈{0,1} degenerate cases guarded because ln(0) is NULL in Spark."""
+    kd, nd = k.cast("double"), n.cast("double")
+    log_c = log_factorial(n) - log_factorial(k) - log_factorial(n - k)
+    general = F.exp(
+        log_c + kd * F.log(p) + (nd - kd) * F.log(F.lit(1.0) - p)
+    )
     return (
-        SCALAR["binomialCoefficient"](n, k)
-        * F.pow(p, k.cast("double"))
-        * F.pow(F.lit(1.0) - p, (n - k).cast("double"))
+        F.when(p <= 0.0, F.when(kd == 0.0, F.lit(1.0)).otherwise(F.lit(0.0)))
+        .when(p >= 1.0, F.when(kd == nd, F.lit(1.0)).otherwise(F.lit(0.0)))
+        .otherwise(general)
     )
 
 

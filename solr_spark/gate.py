@@ -1073,7 +1073,8 @@ _PRIORITY = [
     # hypothesis tests, moving MAD, outliers, the incomplete-gamma
     # distribution path, and the postings-decoded totaltermfreq
     "a_hll_sketch", "a_paired_ttest", "a_chisq_dataset", "a_gtest_dataset",
-    "a_moving_mad", "a_outliers", "a_gamma_dist", "fts_ttf",
+    "a_moving_mad", "a_outliers", "a_gamma_dist", "a_discrete_dist",
+    "fts_ttf",
     # ROUND-3 NEW machinery — must hold driver rows: per-position payload
     # stream + payload_score/payload_check kernels, and evaluator batch 4
     # (distributions/KS/ANOVA/kmeans/convolution/polyfit)
@@ -1102,7 +1103,10 @@ _PRIORITY = [
     # proximity path now uses unsorted component mode + positional
     # postings by default (v3 index with payload stream) — keep fresh
     # driver evidence for the whole family.
-    "fts_phrase", "fts_mixed_phrase", "fts_mlt",
+    # fts_mlt spills for a_discrete_dist (log-space pmf fix — new
+    # machinery): mlt is r2-green and its round-3 change (shared unsorted
+    # component mode) is evidenced in-window by the phrase/edismax family.
+    "fts_phrase", "fts_mixed_phrase",
     "fts_edismax_mm", "fts_edismax_pf2",
     # fts_mixed_wildcard spills: fts_prefix_term covers the dictionary
     # expansion and fts_mixed_phrase the additive combination. fts_fuzzy
@@ -3395,6 +3399,53 @@ def a_gamma_dist(spark, sf_dir):
         "x",
         F.round(mathx.gamma_pdf(F.col("x"), 3.0, 2.0), 6).alias("gamma_pdf"),
         F.round(mathx.gamma_cdf(F.col("x"), 3.0, 2.0), 6).alias("gamma_cdf"),
+    )
+
+
+# ln k! for k = 0..30 via a recursive CTE that folds Σ ln i in ASCENDING
+# order — the same sequential double-add order as evaluators.log_factorial's
+# aggregate() fold, so the sums are bit-identical before the 6-decimal round
+_DISCRETE_SQL = """WITH RECURSIVE lf(i, v) AS (
+  SELECT 1, CAST(0.0 AS DOUBLE)
+  UNION ALL SELECT i + 1, v + ln(CAST(i + 1 AS DOUBLE)) FROM lf WHERE i < 30),
+lfa AS (SELECT CAST(i AS BIGINT) AS i, v FROM lf
+        UNION ALL SELECT 0, CAST(0.0 AS DOUBLE)),
+ks AS (SELECT CAST(t.k AS BIGINT) AS k FROM generate_series(0, 30) t(k))
+SELECT k,
+ round(exp(CAST(k AS DOUBLE) * ln(20.0) - 20.0 - lk.v), 6) AS poisson_pmf,
+ round(exp(l30.v - lk.v - lnk.v
+   + CAST(k AS DOUBLE) * ln(0.3) + CAST(30 - k AS DOUBLE) * ln(0.7)), 6) AS binom_pmf,
+ round(power(0.75, CAST(k AS DOUBLE)) * 0.25, 6) AS geom_pmf,
+ round(CASE WHEN k BETWEEN 5 AND 15 THEN 1.0/11.0 ELSE 0.0 END, 6) AS unif_pmf
+FROM ks
+JOIN lfa lk ON lk.i = ks.k
+JOIN lfa lnk ON lnk.i = 30 - ks.k
+CROSS JOIN (SELECT v FROM lfa WHERE i = 30) l30"""
+
+
+@entry("a_discrete_dist", _DISCRETE_SQL)
+def a_discrete_dist(spark, sf_dir):
+    """Discrete distributions (poissonDistribution / binomialDistribution /
+    geometricDistribution / uniformIntegerDistribution → Commons Math
+    probability()): pmf over k = 0..30 — deliberately past factorial()'s
+    k=20 NULL ceiling, which the log-space forms (evaluators.log_factorial,
+    an ascending Σ ln i fold) exist to clear. The oracle mirrors the SAME
+    ascending double sum (log_factorial_sql), not lgamma, so the arithmetic
+    is bit-aligned before the 6-decimal round."""
+    from solr_spark.functions import evaluators as ev
+
+    ks = spark.range(0, 31).select(F.col("id").alias("k"))
+    kc = F.col("k")
+    return ks.select(
+        "k",
+        F.round(ev.poisson_pmf(kc, F.lit(20.0)), 6).alias("poisson_pmf"),
+        F.round(
+            ev.binomial_pmf(kc, F.lit(30), F.lit(0.3)), 6
+        ).alias("binom_pmf"),
+        F.round(ev.geometric_pmf(kc, F.lit(0.25)), 6).alias("geom_pmf"),
+        F.round(
+            ev.uniform_int_pmf(kc, F.lit(5), F.lit(15)), 6
+        ).alias("unif_pmf"),
     )
 
 

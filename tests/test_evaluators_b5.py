@@ -219,3 +219,13 @@ def test_precision_column_sigfigs(spark, unit):
     assert _one(
         unit, ev.SCALAR["precision"](F.lit(123.456), 2)
     ) == pytest.approx(120.0)
+
+
+def test_binomial_pmf_large_n(spark, unit):
+    """n > 20 must not NULL out (factorial ceiling): pmf(9; n=30, p=0.3)
+    ≈ 0.1573, and the p∈{0,1} degenerate cases stay exact."""
+    v = _one(unit, ev.binomial_pmf(F.lit(9), F.lit(30), F.lit(0.3)))
+    assert v == pytest.approx(0.15729, abs=1e-5)
+    assert _one(unit, ev.binomial_pmf(F.lit(0), F.lit(30), F.lit(0.0))) == 1.0
+    assert _one(unit, ev.binomial_pmf(F.lit(30), F.lit(30), F.lit(1.0))) == 1.0
+    assert _one(unit, ev.binomial_pmf(F.lit(3), F.lit(30), F.lit(1.0))) == 0.0

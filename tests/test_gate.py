@@ -98,6 +98,9 @@ def test_driver_window_composition():
         # round-3 batch 7 — newest machinery, no earlier driver rows
         "a_hll_sketch", "a_paired_ttest", "a_chisq_dataset",
         "a_gtest_dataset", "a_moving_mad", "a_outliers", "a_gamma_dist",
+        # round-3 log-space discrete pmfs (factorial ceiling fix) —
+        # new machinery, no earlier driver rows (fts_mlt spilled for it)
+        "a_discrete_dist",
         "fts_ttf",
         "fts_payload_score", "fts_payload_check",
         "a_distribution", "a_ks_test", "a_anova",
