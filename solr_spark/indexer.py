@@ -74,6 +74,10 @@ class IndexMeta:
     avgdl: float = 0.0
     bucket_docs: int = DEFAULT_BUCKET_DOCS
     docid_base: int = 0  # first docid of this segment (bucket-aligned)
+    # composite unique-key columns of the source table — segments.py's
+    # delete masks / merge remap key on these, so they are part of the
+    # persisted index contract, not just a build_index argument
+    id_cols: list = field(default_factory=lambda: ["repo", "path", "commit"])
     has_bigrams: bool = False  # adjacent-pair postings present (phrase path)
     has_positions: bool = False  # positional postings present (positions.py)
     has_payloads: bool = False  # per-position payloads present (positions.py)
@@ -392,7 +396,7 @@ def build_index(
     term_transform = ANALYZERS[analyzer]
     meta = IndexMeta(
         out_dir=out_dir, bucket_docs=bucket_docs, has_bigrams=bigrams,
-        analyzer=analyzer,
+        analyzer=analyzer, id_cols=list(id_cols),
     )
     cols = {c.lower() for c in docs.columns}
     lang_col = F.col("lang") if "lang" in cols else F.lit(None).cast("string")

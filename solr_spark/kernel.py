@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .codec import decode_blocks, decode_postings
-from .indexer import IndexMeta
+from .indexer import IndexMeta, _done
 from .qparser import Query, parse
 from .scoring import idf as idf_fn
 from .scoring import tfnorm
@@ -277,7 +277,7 @@ class Searcher:
         self.docs = spark.read.parquet(meta.docs_path)
         self.bucket_stats = (
             spark.read.parquet(meta.bucket_stats_path)
-            if os.path.exists(os.path.join(meta.bucket_stats_path, "_SUCCESS"))
+            if _done(meta.bucket_stats_path)
             else None
         )
         if cache:
@@ -360,7 +360,7 @@ def search(
         docs_df = spark.read.parquet(meta.docs_path)
         bstats_df = (
             spark.read.parquet(meta.bucket_stats_path)
-            if os.path.exists(os.path.join(meta.bucket_stats_path, "_SUCCESS"))
+            if _done(meta.bucket_stats_path)
             else None
         )
 
@@ -438,6 +438,12 @@ def search(
         .applyInPandas(kern, RESULT_SCHEMA)
     )
     if _count_only or unsorted:
+        if with_fields and not _count_only:
+            # loud guard: the unsorted component frame deliberately skips
+            # the stored-fields join (it feeds other components, not a
+            # result page) — silently returning (docid, score) would break
+            # callers expecting doc columns
+            raise ValueError("with_fields is not supported with unsorted=True")
         return scored
     out = scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
     if with_fields:
@@ -593,14 +599,24 @@ def dismax_search(
     to right), mirrored exactly by the DuckDB oracle."""
     terms = sorted(set(terms))
     contribs = term_contributions(spark, meta, terms)
-    wide = contribs.groupBy("docid").pivot("term", terms).agg(F.first("contrib"))
+    # pivot emits one column PER TERM VALUE — group under an alias the
+    # tokenizer can never produce, or a query term spelled "docid" would
+    # collide with the group key (AMBIGUOUS_REFERENCE)
+    wide = (
+        contribs.select(F.col("docid").alias("__docid"), "term", "contrib")
+        .groupBy("__docid")
+        .pivot("term", terms)
+        .agg(F.first("contrib"))
+    )
     cols = [F.coalesce(F.col(f"`{t}`"), F.lit(0.0)) for t in terms]
     total = cols[0]
     for c in cols[1:]:
         total = total + c
     mx = F.greatest(*cols) if len(cols) > 1 else cols[0]
     score = mx + F.lit(tie) * (total - mx)
-    scored = wide.withColumn("score", score).select("docid", "score")
+    scored = wide.withColumn("score", score).select(
+        F.col("__docid").alias("docid"), "score"
+    )
     if unsorted:
         # component mode: the caller re-ranks on the ROUNDED score, so
         # this global TakeOrdered would be a corpus-sized funnel whose
@@ -634,15 +650,29 @@ def explain_hits(
     hit set, so explain touches only the hits' postings."""
     query = parse(q) if isinstance(q, str) else q
     res = search(spark, meta, query, k=k)
+    # materialize the k hits once: res is the whole scoring pipeline and is
+    # referenced twice below (semi-join probe + final join), so without
+    # this Spark would re-execute the top-k search per reference
+    hit_rows = res.collect()
+    res = (
+        spark.createDataFrame(hit_rows, res.schema) if hit_rows else res
+    )
     weights = sorted(query.scoring.items())
-    if not weights:
+    if not weights or not hit_rows:
         return res.withColumn(
             "explain",
             F.lit(None).cast(
                 "array<struct<term:string,weight:int,contrib:double>>"
             ),
         )
-    wdf = spark.createDataFrame(weights, "term string, weight int")
+    # clause weight = multiplicity; the score path also folds term^boost
+    # (search() line above: weights[t] * query.boosts.get(t, 1.0)) — the
+    # explain contribs must fold the SAME boost or they stop summing to
+    # the hit's score for boosted queries
+    wdf = spark.createDataFrame(
+        [(t, m, float(query.boosts.get(t, 1.0))) for t, m in weights],
+        "term string, weight int, boost double",
+    )
     contribs = term_contributions(spark, meta, [t for t, _ in weights])
     det = (
         contribs.join(F.broadcast(res.select("docid")), "docid", "left_semi")
@@ -654,7 +684,11 @@ def explain_hits(
                     F.struct(
                         "term",
                         "weight",
-                        (F.col("contrib") * F.col("weight")).alias("contrib"),
+                        (
+                            F.col("contrib")
+                            * F.col("weight")
+                            * F.col("boost")
+                        ).alias("contrib"),
                     )
                 )
             ).alias("explain")

@@ -414,14 +414,36 @@ def build_positions(
     (_SUCCESS gate); sets meta.has_positions (and has_payloads) and
     re-saves meta.json."""
     out = positions_path(meta)
-    if _done(out) and getattr(meta, "has_positions", False):
+    if (
+        _done(out)
+        and getattr(meta, "has_positions", False)
+        and (payload_fn is None or getattr(meta, "has_payloads", False))
+    ):
         return meta
     t0 = time.time()
     P = num_partitions or spark.sparkContext.defaultParallelism
     from .analysis import ANALYZERS
 
     term_transform = ANALYZERS[getattr(meta, "analyzer", "code")]
-    if not _done(out):
+    # resume safety: meta.json may be stale/absent relative to the table
+    # (_SUCCESS written, crash before meta.save()), so derive the payload
+    # stream's ACTUAL presence from the table — never from this call's
+    # payload_fn alone
+    have_table = _done(out)
+    table_has_payloads = False
+    if have_table:
+        table_has_payloads = (
+            spark.read.parquet(out)
+            .where(F.col("pay_bytes").isNotNull())
+            .limit(1)
+            .count()
+            > 0
+        )
+        if payload_fn is not None and not table_has_payloads:
+            # caller wants payloads but the existing table was built
+            # without them — rebuild (idempotent overwrite)
+            have_table = False
+    if not have_table:
         docs_tbl = spark.read.parquet(meta.docs_path).select(
             "docid", *[F.col(c).cast("string").alias(c) for c in id_cols]
         )
@@ -448,8 +470,9 @@ def build_positions(
             .write.mode("overwrite")
             .parquet(out)
         )
+        table_has_payloads = payload_fn is not None
     meta.has_positions = True
-    meta.has_payloads = payload_fn is not None
+    meta.has_payloads = table_has_payloads
     meta.stages["positions"] = round(time.time() - t0, 3)
     meta.save()
     return meta

@@ -36,7 +36,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .indexer import IndexMeta, build_index
+from .indexer import IndexMeta, _done, build_index
 
 
 @dataclass
@@ -44,11 +44,23 @@ class IndexView:
     """Queryable union of a base segment and any number of deltas."""
 
     segments: list[IndexMeta]
-    delete_keys: list[tuple] = field(default_factory=list)  # (repo, path, commit)
+    delete_keys: list[tuple] = field(default_factory=list)  # id_cols tuples
 
     @property
     def bucket_docs(self) -> int:
         return self.segments[0].bucket_docs
+
+    @property
+    def id_cols(self) -> list:
+        # the composite unique key every segment was built with (delta
+        # segments inherit it via add_segment, so segment 0 is canonical)
+        return list(self.segments[0].id_cols)
+
+    def _delete_frame(self, spark: SparkSession):
+        ids = self.id_cols
+        return spark.createDataFrame(
+            self.delete_keys, ", ".join(f"{c} string" for c in ids)
+        )
 
     @property
     def n_docs(self) -> int:
@@ -85,17 +97,15 @@ class IndexView:
         docs = spark.read.parquet(*[m.docs_path for m in self.segments])
         bstats = None
         if self.delete_keys:
-            dels = spark.createDataFrame(
-                self.delete_keys, "repo string, path string, commit string"
-            )
             docs = docs.join(
-                F.broadcast(dels), ["repo", "path", "commit"], "left_anti"
+                F.broadcast(self._delete_frame(spark)), self.id_cols,
+                "left_anti",
             )
         else:
             bs_paths = [
                 m.bucket_stats_path
                 for m in self.segments
-                if os.path.exists(os.path.join(m.bucket_stats_path, "_SUCCESS"))
+                if _done(m.bucket_stats_path)
             ]
             if len(bs_paths) == len(self.segments):
                 bstats = spark.read.parquet(*bs_paths)
@@ -179,29 +189,29 @@ def merge_segments(
     bucket_docs = view.bucket_docs
     os.makedirs(out_dir, exist_ok=True)
 
+    ids = view.id_cols
     docs = spark.read.parquet(*[m.docs_path for m in view.segments])
     if view.delete_keys:
-        dels = spark.createDataFrame(
-            view.delete_keys, "repo string, path string, commit string"
+        docs = docs.join(
+            F.broadcast(view._delete_frame(spark)), ids, "left_anti"
         )
-        docs = docs.join(F.broadcast(dels), ["repo", "path", "commit"], "left_anti")
 
-    # 1. dense new docids in (repo, path, commit) order — the fresh-build
-    # docid contract, so merged == rebuilt exactly
+    # 1. dense new docids in id_cols order — the fresh-build docid
+    # contract, so merged == rebuilt exactly
     ranked = global_rank(
-        docs.select("docid", "repo", "path", "commit", "lang", "sha256", "doclen"),
-        [F.asc("repo"), F.asc("path"), F.asc("commit")],
+        docs.select("docid", *ids, "lang", "sha256", "doclen"),
+        [F.asc(c) for c in ids],
     )
     remap = ranked.select(
         F.col("docid").alias("old_docid"),
         (F.col("rank") - 1).alias("docid"),
-        "repo", "path", "commit", "lang", "sha256", "doclen",
+        *ids, "lang", "sha256", "doclen",
     )
 
     new_docs = remap.select(
         "docid",
         F.expr(f"docid DIV {bucket_docs}").alias("bucket"),
-        "repo", "path", "commit", "lang", "sha256", "doclen",
+        *ids, "lang", "sha256", "doclen",
     )
     docs_out = os.path.join(out_dir, "docs")
     (
@@ -250,7 +260,7 @@ def merge_segments(
     # 3. stats tables — the SAME writers build_index uses (stages 2b/4),
     # so the layouts cannot desynchronize
     bs_out = os.path.join(out_dir, "bucket_stats")
-    write_bucket_stats(new_docs, bs_out, P)
+    write_bucket_stats(new_docs, bs_out, P, first_id_col=ids[0])
     terms_out = os.path.join(out_dir, "terms")
     write_term_stats(new_postings, terms_out, P)
 
@@ -262,6 +272,7 @@ def merge_segments(
         bucket_docs=bucket_docs,
         analyzer=view.segments[0].analyzer,
         has_bigrams=all(m.has_bigrams for m in view.segments),
+        id_cols=ids,
     )
     ts = spark.read.parquet(terms_out).agg(
         F.count("*").alias("n_terms"), F.max("df").alias("max_df"),
@@ -309,7 +320,7 @@ def load_view(out_dir: str) -> "tuple[IndexView, list[int]] | None":
 
 
 def delete_by_keys(view: IndexView, keys: list[tuple]) -> IndexView:
-    """Mark (repo, path, commit) keys deleted — the live-docs mask
+    """Mark composite-key (view.id_cols) tuples deleted — the live-docs mask
     (deleteByQuery/deleteById in DirectUpdateHandler2.java:409; applied at
     query time, reclaimed only by a future merge/rebuild)."""
     return IndexView(

@@ -245,3 +245,19 @@ def test_currency_conversion(spark):
     # 15000 JPY (0 digits) -> 100 EUR -> minor units x100 = 10000
     assert out[3] == 10000
     assert out[4] is None
+
+
+def test_explain_hits_boosted(spark, small_index):
+    """[explain] must fold term^boost the same way the scorer does, so the
+    weighted contribs still sum to the hit's score for boosted queries."""
+    from solr_spark.kernel import explain_hits
+
+    rows = explain_hits(spark, small_index, "license^2.5 int", k=5).collect()
+    assert rows
+    for r in rows:
+        assert sum(p["contrib"] for p in r["explain"]) == pytest.approx(
+            r["score"], rel=1e-9
+        )
+    # rank order preserved after the detail join
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)

@@ -239,3 +239,23 @@ def test_unknown_filter_field_raises(spark, small_index):
     q = Query(optional=Counter({"license": 1}), filters={"source": ["x"]})
     with pytest.raises(ValueError, match="unknown filter field"):
         search(spark, small_index, q, k=5).collect()
+
+
+def test_dismax_term_named_docid(spark, small_index):
+    """A query term spelled 'docid' must not collide with the pivot's
+    group-key column (pivot emits one column per term VALUE)."""
+    from solr_spark.kernel import dismax_search
+
+    rows = dismax_search(spark, small_index, ["docid", "license"], k=5).collect()
+    assert rows and set(rows[0].asDict()) == {"docid", "score"}
+
+
+def test_search_unsorted_with_fields_raises(spark, small_index):
+    """unsorted=True deliberately skips the stored-fields join; asking for
+    both must fail loudly instead of silently dropping the doc columns."""
+    import pytest as _pytest
+
+    from solr_spark.kernel import search
+
+    with _pytest.raises(ValueError, match="unsorted"):
+        search(spark, small_index, "license", with_fields=True, unsorted=True)

@@ -263,3 +263,41 @@ def test_verify_content_integrity(spark, small_corpus, small_index):
     )
     row2 = verify_content_integrity(spark, small_index, bad).collect()[0]
     assert row2.n_sha_mismatch >= 1
+
+
+def test_segments_custom_id_cols(spark, tmp_path):
+    """The incremental lifecycle (delete mask + merge) must honor the
+    composite key the index was built with — id_cols is persisted in
+    meta.json, not assumed to be (repo, path, commit)."""
+    from solr_spark.segments import delete_by_keys, merge_segments, open_base
+
+    rows = [
+        ("orgA", "f1", "r1", "py", "alpha beta gamma"),
+        ("orgA", "f2", "r1", "py", "alpha alpha delta"),
+        ("orgB", "f1", "r2", "py", "beta beta beta"),
+        ("orgB", "f3", "r9", "py", "gamma delta alpha"),
+    ]
+    src = spark.createDataFrame(
+        rows, "org string, file string, rev string, lang string, content string"
+    )
+    view = open_base(
+        spark, src, str(tmp_path / "seg"),
+        id_cols=("org", "file", "rev"), bucket_docs=2, num_partitions=2,
+    )
+    assert view.id_cols == ["org", "file", "rev"]
+    # delete one doc by its composite key: it stops matching immediately
+    view = delete_by_keys(view, [("orgB", "f1", "r2")])
+    hits = {r["docid"] for r in view.search(spark, "beta", k=10).collect()}
+    docs = spark.read.parquet(view.segments[0].docs_path)
+    deleted_docid = docs.where(
+        (F.col("org") == "orgB") & (F.col("file") == "f1")
+    ).collect()[0]["docid"]
+    assert deleted_docid not in hits and hits
+    # merge reclaims the delete and keeps the custom key columns
+    merged = merge_segments(spark, view, str(tmp_path / "merged"))
+    assert merged.id_cols == ["org", "file", "rev"]
+    assert merged.segments[0].n_docs == 3
+    mdocs = spark.read.parquet(merged.segments[0].docs_path)
+    assert {"org", "file", "rev"} <= set(mdocs.columns)
+    mh = {r["docid"] for r in merged.search(spark, "beta", k=10).collect()}
+    assert len(mh) == 1  # only f1@orgA still contains beta

@@ -272,3 +272,38 @@ def test_proximity_paths_agree(spark):
             positions=True,
         ).collect()
         assert base == pos, (ordered, slop)
+
+
+def test_positions_payload_resume_upgrade(spark, tmp_path_factory):
+    """Resume safety: a positions table first built WITHOUT payloads must
+    be rebuilt (not silently flagged has_payloads) when a later call asks
+    for the payload stream — payload presence is derived from the TABLE,
+    not from the current call's payload_fn."""
+    from solr_spark.indexer import build_index
+    from solr_spark.positions import (
+        build_positions,
+        default_payload_fn,
+        payload_score_frame,
+    )
+
+    rows = [
+        ("r0", "0", "c0", "py", "aa bb aa"),
+        ("r0", "1", "c0", "py", "bb aa"),
+    ]
+    src = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    out = str(tmp_path_factory.mktemp("payres") / "idx")
+    meta = build_index(spark, src, out, bucket_docs=2, num_partitions=2)
+    meta = build_positions(spark, src, meta, num_partitions=2)
+    assert meta.has_positions and not meta.has_payloads
+    # same call again: idempotent no-op, flag stays honest
+    meta = build_positions(spark, src, meta, num_partitions=2)
+    assert not meta.has_payloads
+    # upgrade: payloads requested on the payload-less table -> rebuild
+    meta = build_positions(
+        spark, src, meta, num_partitions=2, payload_fn=default_payload_fn
+    )
+    assert meta.has_payloads
+    got = payload_score_frame(spark, meta, "aa", func="max").collect()
+    assert got  # the payload stream is actually queryable
