@@ -508,7 +508,13 @@ def gate_incremental(
     view = add_segment(
         spark, view, corpus.filter(F.col("path") >= s1), out_dir, resume=True
     )
-    res = view.search(spark, parse(q), k=k or view.n_docs)
+    # full-result mode (k=None) emits every match for the oracle diff —
+    # unsorted component frame, not a corpus-sized TakeOrdered funnel
+    # (the join below discards order; the driver compare sorts by hash)
+    if k is None:
+        res = view.search(spark, parse(q), unsorted=True)
+    else:
+        res = view.search(spark, parse(q), k=k)
     docs = spark.read.parquet(*[m.docs_path for m in view.segments]).select(
         "docid", "path"
     )
@@ -566,7 +572,12 @@ def gate_merge(
         view = delete_by_keys(view, keys)
         merged = merge_segments(spark, view, os.path.join(out_dir, "merged"))
     m = merged.segments[0]
-    res = merged.search(spark, parse(q), k=k or m.n_docs)
+    # same full-result contract as gate_incremental: unsorted component
+    # frame instead of orderBy().limit(n_docs) when every match is wanted
+    if k is None:
+        res = merged.search(spark, parse(q), unsorted=True)
+    else:
+        res = merged.search(spark, parse(q), k=k)
     docs = spark.read.parquet(m.docs_path).select("docid", "path")
     return (
         res.join(docs, "docid")

@@ -111,10 +111,20 @@ class IndexView:
                 bstats = spark.read.parquet(*bs_paths)
         return terms, postings, docs, bstats
 
-    def search(self, spark: SparkSession, q, k: int = 10, prune: bool = True) -> DataFrame:
+    def search(
+        self,
+        spark: SparkSession,
+        q,
+        k: int = 10,
+        prune: bool = True,
+        unsorted: bool = False,
+    ) -> DataFrame:
         from .kernel import search
 
-        return search(spark, self, q, k=k, prune=prune, _frames=self.frames(spark))
+        return search(
+            spark, self, q, k=k, prune=prune, unsorted=unsorted,
+            _frames=self.frames(spark),
+        )
 
     # kernel.search duck-types these off IndexMeta
     @property
