@@ -620,3 +620,74 @@ def _sttf_bridge(spark, meta):
 
 REGISTRY["totaltermfreq"] = _ttf_bridge
 REGISTRY["sumtotaltermfreq"] = _sttf_bridge
+
+
+# ---- ValueSourceParser name-parity closers ----------------------------
+# (CORE/search/ValueSourceParser.java registration list; the frozen-list
+# contract lives in tests/test_funcquery_parity.py)
+
+def agg_dispatch(name: str, *args):
+    """agg(<metric>(...)) / the "agg_" prefix dispatcher
+    (ValueSourceParser.java registers "agg" and "agg_" as generic
+    wrappers that re-dispatch on the inner metric name)."""
+    fn = REGISTRY.get(f"agg_{name}") or REGISTRY.get(name)
+    if fn is None:
+        raise KeyError(f"unknown agg metric: {name!r}")
+    return fn(*args)
+
+
+def agg_multistat(df, aggs):
+    """agg_multistat — the JSON Facet API's internal gather-several-
+    stats-in-one-pass aggregate; Spark's multi-expression agg IS that
+    single pass (partial+final, one shuffle)."""
+    from solr_spark.operators.rollup import stats
+
+    return stats(df, aggs)
+
+
+def child_field(parents, children, parent_key, child_filter, field,
+                score_mode: str = "max"):
+    """childfield(field) (ChildFieldValueSourceParser) — sort/score
+    parents in a {!parent} result by a field of their matching children;
+    agg over matching children picks the representative value."""
+    from solr_spark.operators.joins import block_join_parents
+
+    return block_join_parents(
+        parents, children, parent_key, child_filter,
+        score_col=F.col(field), score_mode=score_mode,
+    )
+
+
+def cscore():
+    """cscore() (CollapseScoreFunction) — the score of the collapsed
+    group head; operators/windowed.collapse keeps the head's score in
+    the `score` column, so the value source is that column."""
+    return F.col("score")
+
+
+def _payload_bridge(spark, meta, term: str, func: str = "max"):
+    """payload(field, term, fn) — per-position payload aggregate
+    (PayloadScoreQParserPlugin); positions.payload_score_frame owns the
+    payload stream decode."""
+    from solr_spark.positions import payload_score_frame
+
+    return payload_score_frame(spark, meta, term, func=func)
+
+
+REGISTRY["agg"] = agg_dispatch
+REGISTRY["agg_"] = agg_dispatch
+REGISTRY["agg_multistat"] = agg_multistat
+REGISTRY["childfield"] = child_field
+REGISTRY["cscore"] = cscore
+REGISTRY["payload"] = _payload_bridge
+
+# ValueSourceParser names deliberately excluded, with reasons
+EXCLUDED_VSP: dict[str, str] = {
+    "testfunc": "test-only ValueSource used by the reference's own unit "
+                "tests (wraps another source unchanged)",
+    "threadid": "debug: returns the serving thread's id — meaningless "
+                "in a declarative distributed plan",
+    "sleep": "debug: blocks the serving thread; a sleep inside a "
+             "distributed query plan is a reliability hazard, not a "
+             "function",
+}
