@@ -510,7 +510,10 @@ def gate_incremental(
     )
     # full-result mode (k=None) emits every match for the oracle diff —
     # unsorted component frame, not a corpus-sized TakeOrdered funnel
-    # (the join below discards order; the driver compare sorts by hash)
+    # (the join below discards order; the driver compare sorts by hash).
+    # k=0 is rejected rather than silently returning an empty frame
+    if k is not None and k < 1:
+        raise ValueError("k must be >= 1 (or None for every match)")
     if k is None:
         res = view.search(spark, parse(q), unsorted=True)
     else:
@@ -573,7 +576,10 @@ def gate_merge(
         merged = merge_segments(spark, view, os.path.join(out_dir, "merged"))
     m = merged.segments[0]
     # same full-result contract as gate_incremental: unsorted component
-    # frame instead of orderBy().limit(n_docs) when every match is wanted
+    # frame instead of orderBy().limit(n_docs) when every match is wanted;
+    # k=0 is rejected rather than silently returning an empty frame
+    if k is not None and k < 1:
+        raise ValueError("k must be >= 1 (or None for every match)")
     if k is None:
         res = merged.search(spark, parse(q), unsorted=True)
     else:

@@ -665,13 +665,27 @@ def cscore():
     return F.col("score")
 
 
-def _payload_bridge(spark, meta, term: str, func: str = "max"):
-    """payload(field, term, fn) — per-position payload aggregate
-    (PayloadScoreQParserPlugin); positions.payload_score_frame owns the
-    payload stream decode."""
+def _payload_bridge(spark, meta, term: str, default: float = 0.0,
+                    func: str = "average", docs=None):
+    """payload(field, value[, default, ['min|max|average|first']]) —
+    per-position payload aggregate as a VALUE SOURCE
+    (ValueSourceParser.java:904-933: func defaults to "average", the
+    default VALUE — returned for docs that lack the term — defaults to
+    0.0). positions.payload_score_frame owns the payload-stream decode
+    and only emits docs containing the term; pass ``docs`` (a frame
+    with a ``docid`` column — the query domain) to get the full
+    value-source contract with ``default`` filled in for the rest."""
     from solr_spark.positions import payload_score_frame
 
-    return payload_score_frame(spark, meta, term, func=func)
+    # the reference's "average" is payload_score_frame's "avg"
+    frame = payload_score_frame(
+        spark, meta, term, func={"average": "avg"}.get(func, func))
+    if docs is None:
+        return frame
+    return docs.join(frame, "docid", "left").withColumn(
+        "payload_score",
+        F.coalesce(F.col("payload_score"), F.lit(float(default))),
+    )
 
 
 REGISTRY["agg"] = agg_dispatch

@@ -118,6 +118,42 @@ def _uniform_pdf(x, lo, hi):
     return F.when(inside, F.lit(1.0) / (hi - lo)).otherwise(F.lit(0.0))
 
 
+def _epoch_millis(col):
+    """epoch() — TemporalEvaluatorEpoch.java:40: the UTC instant's
+    epoch MILLIseconds (not seconds)."""
+    return F.unix_millis(F.col(col).cast("timestamp") if isinstance(col, str) else col.cast("timestamp"))
+
+
+def _day_of_quarter(col):
+    """dayOfQuarter() — IsoFields.DAY_OF_QUARTER
+    (TemporalEvaluatorDayOfQuarter.java:39): 1-based day within the
+    calendar quarter, via dayofyear minus the quarter-start's dayofyear."""
+    c = F.col(col).cast("timestamp") if isinstance(col, str) else col.cast("timestamp")
+    return F.dayofyear(c) - F.dayofyear(F.date_trunc("quarter", c)) + F.lit(1)
+
+
+def _temporal(field: str):
+    """Temporal evaluator family (Lang.java:625-638, registered via
+    TemporalEvaluator*.FUNCTION_NAME constants): each extracts one
+    java.time field from a date value. Spark's builtins match the
+    reference's ISO semantics: weekofyear IS
+    IsoFields.WEEK_OF_WEEK_BASED_YEAR (TemporalEvaluatorWeek.java:39)
+    and quarter IS IsoFields.QUARTER_OF_YEAR."""
+    fn = {
+        "year": F.year, "month": F.month, "day": F.dayofmonth,
+        "dayOfYear": F.dayofyear, "hour": F.hour, "minute": F.minute,
+        "second": F.second, "week": F.weekofyear, "quarter": F.quarter,
+    }[field]
+
+    def extract(col):
+        c = F.col(col) if isinstance(col, str) else col
+        return fn(c.cast("timestamp"))
+
+    extract.__name__ = field
+    extract.__doc__ = f"{field}() temporal evaluator (TemporalEvaluator{field[0].upper()}{field[1:]})"
+    return extract
+
+
 def distance(measure_or_a, a=None, b=None):
     """distance() — DistanceEvaluator: euclidean by default, or a named
     measure (manhattan/canberra/earthMovers/cosine) as the first arg,
@@ -354,11 +390,23 @@ def registry() -> dict[str, Any]:
         "constantDistribution": {"pdf": ev.constant_pdf, "cdf": ev.constant_cdf},
         "enumeratedDistribution": {"pmf": ev.enumerated_pmf},
         "empiricalDistribution": {"hist": mathx.hist_col},
+        # multi-line registration at Lang.java:512-513
+        "multiVariateNormalDistribution": {
+            "pdf": mathx.mvn_density, "sample": mathx.mvn_sample,
+        },
         "probability": probability,
         "cumulativeProbability": cumulative_probability,
         "density": density,
         "sample": sample,
     })
+
+    # ---- temporal evaluators (Lang.java:625-638; names come from
+    # TemporalEvaluator*.FUNCTION_NAME constants, not string literals) --
+    for name in ("year", "month", "day", "dayOfYear", "hour", "minute",
+                 "second", "week", "quarter"):
+        r[name] = _temporal(name)
+    r["epoch"] = _epoch_millis
+    r["dayOfQuarter"] = _day_of_quarter
 
     # engine-level entries reached through the same names
     r.setdefault("percentile", ev.VECTOR["percentile"])

@@ -4,9 +4,12 @@ solrj-streaming/.../io/Lang.java:337-498), either with an implementation
 or an explicit, reasoned exclusion.
 
 LANG_NAMES below is the frozen list extracted from the reference at
-/root/reference (293 unique names; duplicates in Lang.java — nodes,
-gatherNodes, group, input, shortestPath — collapsed). Frozen so the
-test runs without the reference tree present.
+/root/reference (305 unique names: 294 unique string literals —
+duplicates in Lang.java collapsed — plus the 11 temporal evaluators
+registered via TemporalEvaluator*.FUNCTION_NAME constants at
+Lang.java:625-638, plus the multi-line multiVariateNormalDistribution
+literal at Lang.java:512-513). Frozen so the test runs without the
+reference tree present.
 """
 
 from solr_spark import lang
@@ -54,12 +57,31 @@ LANG_NAMES = [
     "trunc", "ttest", "tuple", "uniformDistribution", "uniformIntegerDistribution", "unique", "unitize",
     "update", "upper", "uuid", "val", "valueAt", "var", "weibullDistribution",
     "withField", "withValue", "zeros", "zipFDistribution", "zplot", "zscores",
+    # constant-based registrations (TemporalEvaluator*.FUNCTION_NAME,
+    # Lang.java:625-638) + the multi-line literal at Lang.java:512-513
+    "year", "month", "day", "dayOfYear", "hour", "minute", "second",
+    "epoch", "week", "quarter", "dayOfQuarter",
+    "multiVariateNormalDistribution",
 ]
 
 
 def test_frozen_list_shape():
-    assert len(LANG_NAMES) == 293
-    assert len(set(LANG_NAMES)) == 293
+    assert len(LANG_NAMES) == 305
+    assert len(set(LANG_NAMES)) == 305
+
+
+def test_temporal_evaluators_are_column_adapters():
+    r = lang.registry()
+    from pyspark.sql import Column
+    for n in ("year", "month", "day", "dayOfYear", "hour", "minute",
+              "second", "epoch", "week", "quarter", "dayOfQuarter"):
+        assert callable(r[n]), n
+
+
+def test_mvn_distribution_object():
+    r = lang.registry()
+    mvn = r["multiVariateNormalDistribution"]
+    assert isinstance(mvn, dict) and callable(mvn["pdf"]) and callable(mvn["sample"])
 
 
 def test_every_lang_name_resolved_or_excluded():

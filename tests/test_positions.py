@@ -228,6 +228,31 @@ def test_payload_score_planted(spark, planted_pay_index):
     assert score("zz", "max") == {}
 
 
+def test_payload_bridge_value_source_defaults(spark, planted_pay_index):
+    """The funcquery 'payload' name follows the reference value-source
+    signature payload(field,value[,default,['min|max|average|first']])
+    (ValueSourceParser.java:904-933): func defaults to AVERAGE and docs
+    without the term get the default value (0.0 unless given)."""
+    from solr_spark.functions.funcquery import REGISTRY
+
+    bridge = REGISTRY["payload"]
+    # default func == average (reference line 923), mapped to avg
+    got = {
+        int(r["docid"]): float(r["payload_score"])
+        for r in bridge(spark, planted_pay_index, "merge").collect()
+    }
+    assert got == {3: 6.5}
+    # with a docs domain, missing docs get the default value
+    docs = spark.createDataFrame([(0,), (3,)], "docid bigint")
+    got = {
+        int(r["docid"]): float(r["payload_score"])
+        for r in bridge(
+            spark, planted_pay_index, "merge", default=-1.0, docs=docs
+        ).collect()
+    }
+    assert got == {0: -1.0, 3: 6.5}
+
+
 def test_payload_check_planted(spark, planted_pay_index):
     from solr_spark.positions import payload_check_frame
 
