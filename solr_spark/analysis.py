@@ -262,9 +262,18 @@ S_STEM_CASE_SQL = (
 # with vocabulary size, not corpus size (the Spark-native analog of
 # Lucene's per-segment term dictionary). None = identity (the pinned
 # "code" contract above).
+from .stem import german_minimal_stem, porter_stem  # noqa: E402
+
 ANALYZERS: dict[str, "callable | None"] = {
     "code": None,
     "code_stem": s_stem,
+    # text_en: the reference's English chain shape (stop + Porter; the
+    # base tokenize path already applies the stop set, so the dictionary
+    # transform is the Porter step — stem.porter_stem, the 1980 paper)
+    "text_en": porter_stem,
+    # text_de: umlaut folding + minimal plural/case stripper
+    # (stem.german_minimal_stem) — the non-English chain slot
+    "text_de": german_minimal_stem,
 }
 
 

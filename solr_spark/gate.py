@@ -1416,6 +1416,33 @@ def _stemmed_oracle() -> str:
     )
 
 
+def _porter_oracle() -> str:
+    from .stem import porter_sql, porter_stem
+
+    stem_toks = f"list_transform({TOKS_SQL}, x -> {porter_sql('x')})"
+    return bm25_oracle_sql(
+        "queries hashing customers", k=10,
+        toks_sql=stem_toks, term_transform=porter_stem,
+    )
+
+
+@entry("fts_stemmed_porter", _porter_oracle())
+def fts_stemmed_porter(spark, sf_dir):
+    """Porter-stemmed English chain (stem.porter_stem — the 1980 paper;
+    the PorterStemFilterFactory slot of the reference's text_en
+    fieldType, managed-schema.xml:297-313): q='queries hashing
+    customers' matches docs containing 'query'/'hash'/'customer'
+    (queries→queri←query via the y→i rule, hashing→hash via the ing
+    rule, customers→custom←customer via the er rule). The oracle runs a
+    machine-generated DuckDB mirror of the SAME rule tables
+    (stem.porter_sql), so both engines stem independently. The stem
+    applies to the term DICTIONARY at build time and the query terms at
+    search time — cost ∝ vocabulary, not corpus."""
+    return gate_search(
+        spark, sf_dir, "queries hashing customers", k=10, analyzer="text_en"
+    )
+
+
 @entry("fts_stemmed", _stemmed_oracle())
 def fts_stemmed(spark, sf_dir):
     """S-stemmed analyzer chain (Harman 1991; the EnglishMinimalStem slot

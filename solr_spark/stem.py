@@ -1,0 +1,398 @@
+"""Stemmers for the language analyzer chains, each implemented TWICE
+from one shared rule table: a Python per-term transform (applied to the
+token DICTIONARY at build time and to query terms at search time — cost
+scales with vocabulary, not corpus; see analysis.ANALYZERS) and a
+machine-generated DuckDB SQL expression (the independent correctness
+oracle). tests/test_stem.py pins the paper's vectors and cross-checks
+Python vs SQL over the real corpus vocabulary.
+
+``porter_stem`` follows M.F. Porter, "An algorithm for suffix
+stripping", Program 14(3) 1980 — the public algorithm the reference
+ships as the PorterStemFilterFactory slot of its language analyzer
+registry (solr/server/solr/configsets/_default/conf/managed-schema.xml
+text_en fieldType; capability anchor CORE/schema/TextField.java:1).
+Within each step the LONGEST matching suffix decides the rule; its
+condition then gates the replacement (a failed condition does NOT fall
+through to shorter suffixes).
+
+``german_minimal_stem`` is a documented minimal German plural/case
+stripper in the spirit of the reference's text_de chain (umlaut folding
++ ending removal, cf. J. Savoy, "Light stemming approaches for the
+French, Portuguese, German and Hungarian languages", SAC 2006). The
+exact rule table is pinned below and mirrored in SQL; we do not claim
+bit-level parity with any particular Lucene filter.
+"""
+
+from __future__ import annotations
+
+import re
+
+VOWELS = "aeiou"
+
+# ---------------------------------------------------------------------------
+# shared Porter rule tables (suffix, replacement); conditions per step.
+
+STEP2_RULES: list[tuple[str, str]] = [
+    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+    ("anci", "ance"), ("izer", "ize"), ("abli", "able"), ("alli", "al"),
+    ("entli", "ent"), ("eli", "e"), ("ousli", "ous"), ("ization", "ize"),
+    ("ation", "ate"), ("ator", "ate"), ("alism", "al"),
+    ("iveness", "ive"), ("fulness", "ful"), ("ousness", "ous"),
+    ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+]
+
+STEP3_RULES: list[tuple[str, str]] = [
+    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+    ("ical", "ic"), ("ful", ""), ("ness", ""),
+]
+
+STEP4_SUFFIXES: list[str] = [
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+    "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+]
+
+
+def _longest_first(rules):
+    return sorted(rules, key=lambda r: -len(r[0] if isinstance(r, tuple) else r))
+
+
+# ---------------------------------------------------------------------------
+# Python implementation
+
+def _pat(w: str) -> str:
+    """Consonant/vowel pattern. Porter: a consonant is a letter other
+    than a,e,i,o,u and other than y preceded by a consonant (so 'y'
+    after a consonant is a VOWEL; leading 'y' is a consonant). Digits
+    and '_' (legal in this engine's code tokens) are consonants."""
+    out: list[str] = []
+    for i, ch in enumerate(w):
+        if ch in VOWELS:
+            out.append("v")
+        elif ch == "y" and i > 0 and out[-1] == "c":
+            out.append("v")
+        else:
+            out.append("c")
+    return "".join(out)
+
+
+def _m(stem: str) -> int:
+    """The measure m: number of VC sequences in the collapsed pattern
+    [C](VC)^m[V]."""
+    q = re.sub("c+", "C", _pat(stem))
+    q = re.sub("v+", "V", q)
+    return q.count("VC")
+
+
+def _has_v(stem: str) -> bool:
+    return "v" in _pat(stem)
+
+
+def _dbl_c(w: str) -> bool:
+    """*d — ends with a double consonant (same letter twice, consonant
+    by the pattern rule — 'yy' after a consonant is cv, not cc)."""
+    return len(w) >= 2 and w[-1] == w[-2] and _pat(w)[-1] == "c"
+
+
+def _cvc(w: str) -> bool:
+    """*o — ends cvc where the final consonant is not w, x or y."""
+    return len(w) >= 3 and _pat(w)[-3:] == "cvc" and w[-1] not in "wxy"
+
+
+def _1b_cleanup(w: str) -> str:
+    if w.endswith(("at", "bl", "iz")):
+        return w + "e"
+    if _dbl_c(w) and w[-1] not in "lsz":
+        return w[:-1]
+    if _m(w) == 1 and _cvc(w):
+        return w + "e"
+    return w
+
+
+def porter_stem(w: str) -> str:
+    """The 1980 paper's 5-step algorithm; words of length <= 2 pass
+    through (the guard Porter's own implementation applies)."""
+    if len(w) <= 2:
+        return w
+    # step 1a: sses->ss, ies->i, ss->ss, s->
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+    # step 1b: (m>0) eed->ee | (*v*) ed-> | (*v*) ing-> (+ cleanup)
+    if w.endswith("eed"):
+        if _m(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith("ed") and _has_v(w[:-2]):
+        w = _1b_cleanup(w[:-2])
+    elif w.endswith("ing") and _has_v(w[:-3]):
+        w = _1b_cleanup(w[:-3])
+    # step 1c: (*v*) y->i
+    if w.endswith("y") and _has_v(w[:-1]):
+        w = w[:-1] + "i"
+    # step 2: (m>0) suffix table
+    for suf, rep in _longest_first(STEP2_RULES):
+        if w.endswith(suf):
+            st = w[: -len(suf)]
+            if _m(st) > 0:
+                w = st + rep
+            break
+    # step 3: (m>0) suffix table
+    for suf, rep in _longest_first(STEP3_RULES):
+        if w.endswith(suf):
+            st = w[: -len(suf)]
+            if _m(st) > 0:
+                w = st + rep
+            break
+    # step 4: (m>1) strip; 'ion' additionally requires stem ending s/t
+    for suf in _longest_first(STEP4_SUFFIXES):
+        if w.endswith(suf):
+            st = w[: -len(suf)]
+            if _m(st) > 1 and (suf != "ion" or st.endswith(("s", "t"))):
+                w = st
+            break
+    # step 5a: (m>1) e-> | (m=1 and not *o) e->
+    if w.endswith("e"):
+        st = w[:-1]
+        mm = _m(st)
+        if mm > 1 or (mm == 1 and not _cvc(st)):
+            w = st
+    # step 5b: (m>1 and *d and *L) -> single letter
+    if w.endswith("ll") and _m(w) > 1:
+        w = w[:-1]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL generation.  bind(name=expr, body) — the single-element
+# list_transform trick — gives each intermediate a lambda variable so
+# the generated text stays linear in the number of rules instead of
+# exploding exponentially through 7 sequential steps.
+
+def _bind(name: str, expr: str, body: str) -> str:
+    return f"list_transform([{expr}], {name} -> {body})[1]"
+
+
+_COUNTER = 0
+
+
+def _fresh(prefix: str) -> str:
+    global _COUNTER
+    _COUNTER += 1
+    return f"{prefix}{_COUNTER}"
+
+
+def _pat_sql(e: str) -> str:
+    """SQL mirror of _pat via a left-to-right list_reduce (exact 'y'
+    resolution, including runs like 'syzygy' and leading 'y')."""
+    acc, ch = _fresh("a"), _fresh("h")
+    vset = ", ".join(f"'{v}'" for v in VOWELS)
+    return (
+        f"list_reduce(list_prepend('', split({e}, '')), ({acc}, {ch}) -> "
+        f"{acc} || (CASE WHEN {ch} IN ({vset}) THEN 'v' "
+        f"WHEN {ch} = 'y' AND {acc} <> '' AND substr({acc}, -1) = 'c' THEN 'v' "
+        f"ELSE 'c' END))"
+    )
+
+
+def _m_from_pat(p: str) -> str:
+    """m given a bound pattern variable: collapse runs, count 'VC'."""
+    q = _fresh("q")
+    collapsed = (
+        f"regexp_replace(regexp_replace({p}, 'c+', 'C', 'g'), 'v+', 'V', 'g')"
+    )
+    return _bind(q, collapsed,
+                 f"(length({q}) - length(replace({q}, 'VC', ''))) // 2")
+
+
+def _cond_branch(v: str, suf: str, rep: str, cond: str) -> str:
+    """One suffix branch: bind the stem and its pattern, test ``cond``
+    (a format string over {m}, {st}, {p}), emit stem+replacement or the
+    unchanged word."""
+    st, p = _fresh("s"), _fresh("p")
+    body = (
+        f"CASE WHEN {cond.format(m=_m_from_pat(p), st=st, p=p)} "
+        f"THEN {st} || '{rep}' ELSE {v} END"
+        if rep
+        else f"CASE WHEN {cond.format(m=_m_from_pat(p), st=st, p=p)} "
+             f"THEN {st} ELSE {v} END"
+    )
+    inner = _bind(p, _pat_sql(st), body)
+    return _bind(st, f"substr({v}, 1, length({v}) - {len(suf)})", inner)
+
+
+def _step_table_sql(v: str, rules, cond_for) -> str:
+    """CASE over suffixes, longest first (the Porter longest-match
+    discipline); each branch gates on its own stem condition."""
+    whens = []
+    for rule in _longest_first(rules):
+        suf, rep = rule if isinstance(rule, tuple) else (rule, "")
+        whens.append(
+            f"WHEN {v} LIKE '%{suf}' THEN "
+            + _cond_branch(v, suf, rep, cond_for(suf))
+        )
+    return "CASE " + " ".join(whens) + f" ELSE {v} END"
+
+
+def _dbl_c_sql(w: str, p: str) -> str:
+    return (f"(length({w}) >= 2 AND substr({w}, -1) = substr({w}, -2, 1) "
+            f"AND substr({p}, -1) = 'c')")
+
+
+def _cvc_sql(w: str, p: str) -> str:
+    return (f"(substr({p}, -3) = 'cvc' "
+            f"AND substr({w}, -1) NOT IN ('w', 'x', 'y'))")
+
+
+def _1b_cleanup_sql(w: str) -> str:
+    p = _fresh("p")
+    body = (
+        f"CASE WHEN {w} LIKE '%at' OR {w} LIKE '%bl' OR {w} LIKE '%iz' "
+        f"THEN {w} || 'e' "
+        f"WHEN {_dbl_c_sql(w, p)} AND substr({w}, -1) NOT IN ('l','s','z') "
+        f"THEN substr({w}, 1, length({w}) - 1) "
+        f"WHEN {_m_from_pat(p)} = 1 AND {_cvc_sql(w, p)} THEN {w} || 'e' "
+        f"ELSE {w} END"
+    )
+    return _bind(p, _pat_sql(w), body)
+
+
+def porter_sql(var: str = "x") -> str:
+    """Emit a single DuckDB expression computing porter_stem(var),
+    machine-generated from the SAME rule tables as the Python
+    implementation (usable inside a list_transform lambda)."""
+    w0 = var
+    # step 1a (no conditions)
+    s1a = (
+        f"CASE WHEN {w0} LIKE '%sses' THEN substr({w0}, 1, length({w0}) - 2) "
+        f"WHEN {w0} LIKE '%ies' THEN substr({w0}, 1, length({w0}) - 2) "
+        f"WHEN {w0} LIKE '%ss' THEN {w0} "
+        f"WHEN {w0} LIKE '%s' THEN substr({w0}, 1, length({w0}) - 1) "
+        f"ELSE {w0} END"
+    )
+    a = _fresh("w")
+
+    # step 1b
+    def eed_branch(v):
+        st, p = _fresh("s"), _fresh("p")
+        body = (f"CASE WHEN {_m_from_pat(p)} > 0 "
+                f"THEN substr({v}, 1, length({v}) - 1) ELSE {v} END")
+        inner = _bind(p, _pat_sql(st), body)
+        return _bind(st, f"substr({v}, 1, length({v}) - 3)", inner)
+
+    def eding_branch(v, suf):
+        st = _fresh("s")
+        body = (f"CASE WHEN contains({_pat_sql(st)}, 'v') "
+                f"THEN {_1b_cleanup_sql(st)} ELSE {v} END")
+        return _bind(st, f"substr({v}, 1, length({v}) - {len(suf)})", body)
+
+    s1b = (
+        f"CASE WHEN {a} LIKE '%eed' THEN {eed_branch(a)} "
+        f"WHEN {a} LIKE '%ed' THEN {eding_branch(a, 'ed')} "
+        f"WHEN {a} LIKE '%ing' THEN {eding_branch(a, 'ing')} "
+        f"ELSE {a} END"
+    )
+    b = _fresh("w")
+
+    # step 1c
+    st1c = _fresh("s")
+    s1c = (
+        f"CASE WHEN {b} LIKE '%y' THEN "
+        + _bind(
+            st1c, f"substr({b}, 1, length({b}) - 1)",
+            f"CASE WHEN contains({_pat_sql(st1c)}, 'v') "
+            f"THEN {st1c} || 'i' ELSE {b} END",
+        )
+        + f" ELSE {b} END"
+    )
+    c = _fresh("w")
+
+    s2 = _step_table_sql(c, STEP2_RULES, lambda suf: "{m} > 0")
+    d = _fresh("w")
+    s3 = _step_table_sql(d, STEP3_RULES, lambda suf: "{m} > 0")
+    e = _fresh("w")
+    s4 = _step_table_sql(
+        e, STEP4_SUFFIXES,
+        lambda suf: (
+            "{m} > 1 AND (substr({st}, -1) IN ('s', 't'))"
+            if suf == "ion" else "{m} > 1"
+        ),
+    )
+    f = _fresh("w")
+
+    # step 5a
+    st5, p5 = _fresh("s"), _fresh("p")
+    m5 = _m_from_pat(p5)
+    s5a = (
+        f"CASE WHEN {f} LIKE '%e' THEN "
+        + _bind(
+            st5, f"substr({f}, 1, length({f}) - 1)",
+            _bind(
+                p5, _pat_sql(st5),
+                f"CASE WHEN {m5} > 1 OR ({m5} = 1 AND NOT {_cvc_sql(st5, p5)}) "
+                f"THEN {st5} ELSE {f} END",
+            ),
+        )
+        + f" ELSE {f} END"
+    )
+    g = _fresh("w")
+
+    # step 5b
+    pg = _fresh("p")
+    s5b = (
+        f"CASE WHEN {g} LIKE '%ll' AND "
+        + _bind(pg, _pat_sql(g), f"{_m_from_pat(pg)} > 1")
+        + f" THEN substr({g}, 1, length({g}) - 1) ELSE {g} END"
+    )
+
+    chain = _bind(a, s1a,
+            _bind(b, s1b,
+            _bind(c, s1c,
+            _bind(d, s2,
+            _bind(e, s3,
+            _bind(f, s4,
+            _bind(g, s5a, s5b)))))))
+    # length <= 2 guard
+    return f"CASE WHEN length({var}) <= 2 THEN {var} ELSE {chain} END"
+
+
+# ---------------------------------------------------------------------------
+# German minimal chain (umlaut folding + plural/case ending removal)
+
+_DE_FOLD = str.maketrans({"ä": "a", "ö": "o", "ü": "u"})
+
+
+def german_minimal_stem(w: str) -> str:
+    """Fold umlauts (ä→a ö→o ü→u, ß→ss), then strip ONE ending by the
+    pinned rule table (longest match, length guards keep short words
+    whole): len>5 & 'nen'→-3; len>4 & en/er/es/em/se→-2;
+    len>3 & e/n/r/s→-1."""
+    w = w.translate(_DE_FOLD).replace("ß", "ss")
+    if len(w) > 5 and w.endswith("nen"):
+        return w[:-3]
+    if len(w) > 4 and w.endswith(("en", "er", "es", "em", "se")):
+        return w[:-2]
+    if len(w) > 3 and w.endswith(("e", "n", "r", "s")):
+        return w[:-1]
+    return w
+
+
+def german_minimal_sql(var: str = "x") -> str:
+    """SQL mirror of german_minimal_stem (same rule table)."""
+    v = _fresh("g")
+    body = (
+        f"CASE WHEN length({v}) > 5 AND {v} LIKE '%nen' "
+        f"THEN substr({v}, 1, length({v}) - 3) "
+        f"WHEN length({v}) > 4 AND ({v} LIKE '%en' OR {v} LIKE '%er' OR "
+        f"{v} LIKE '%es' OR {v} LIKE '%em' OR {v} LIKE '%se') "
+        f"THEN substr({v}, 1, length({v}) - 2) "
+        f"WHEN length({v}) > 3 AND ({v} LIKE '%e' OR {v} LIKE '%n' OR "
+        f"{v} LIKE '%r' OR {v} LIKE '%s') "
+        f"THEN substr({v}, 1, length({v}) - 1) "
+        f"ELSE {v} END"
+    )
+    fold = (f"replace(translate({var}, 'äöü', 'aou'), 'ß', 'ss')")
+    return _bind(v, fold, body)

@@ -1,0 +1,135 @@
+"""Porter + German-minimal stemmers: paper vectors, the Python↔SQL
+cross-engine agreement contract, and the analyzer-registry wiring."""
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from solr_spark.stem import (
+    german_minimal_sql,
+    german_minimal_stem,
+    porter_sql,
+    porter_stem,
+)
+
+# Full-algorithm outcomes derived from the rule examples in Porter 1980
+# (each example chained through the remaining steps, matching the
+# published sample vocabulary output).
+PORTER_VECTORS = {
+    "caresses": "caress", "ponies": "poni", "ties": "ti",
+    "caress": "caress", "cats": "cat",
+    "feed": "feed", "agreed": "agre", "plastered": "plaster",
+    "bled": "bled", "motoring": "motor", "sing": "sing",
+    "conflated": "conflat", "troubled": "troubl", "sized": "size",
+    "hopping": "hop", "tanned": "tan", "falling": "fall",
+    "hissing": "hiss", "fizzed": "fizz", "failing": "fail",
+    "filing": "file",
+    "happy": "happi", "sky": "sky",
+    "relational": "relat", "conditional": "condit", "rational": "ration",
+    "valenci": "valenc", "hesitanci": "hesit", "digitizer": "digit",
+    "conformabli": "conform", "radicalli": "radic",
+    "differentli": "differ", "vileli": "vile", "analogousli": "analog",
+    "vietnamization": "vietnam", "predication": "predic",
+    "operator": "oper", "feudalism": "feudal", "decisiveness": "decis",
+    "hopefulness": "hope", "callousness": "callous",
+    "formaliti": "formal", "sensitiviti": "sensit",
+    "sensibiliti": "sensibl",
+    "triplicate": "triplic", "formative": "form", "formalize": "formal",
+    "electriciti": "electr", "electrical": "electr", "hopeful": "hope",
+    "goodness": "good",
+    "revival": "reviv", "allowance": "allow", "inference": "infer",
+    "airliner": "airlin", "gyroscopic": "gyroscop",
+    "adjustable": "adjust", "defensible": "defens", "irritant": "irrit",
+    "replacement": "replac", "adjustment": "adjust",
+    "dependent": "depend", "adoption": "adopt", "homologou": "homolog",
+    "communism": "commun", "activate": "activ", "angulariti": "angular",
+    "homologous": "homolog", "effective": "effect",
+    "bowdlerize": "bowdler",
+    "probate": "probat", "rate": "rate", "cease": "ceas",
+    "controll": "control", "roll": "roll",
+    # corpus-relevant forms (the fts_stemmed_porter query/doc symmetry)
+    "queries": "queri", "query": "queri", "hashing": "hash",
+    "customers": "custom", "customer": "custom", "merges": "merg",
+    "merge": "merg", "windows": "window",
+}
+
+
+def test_porter_paper_vectors():
+    bad = {w: (porter_stem(w), want)
+           for w, want in PORTER_VECTORS.items() if porter_stem(w) != want}
+    assert bad == {}
+
+
+def test_porter_short_word_guard():
+    for w in ("", "a", "ab", "is", "by"):
+        assert porter_stem(w) == w
+
+
+def _sql_batch(words, expr_fn):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE v(w VARCHAR)")
+    con.executemany("INSERT INTO v VALUES (?)", [(w,) for w in words])
+    return dict(con.sql(f"SELECT w, {expr_fn('w')} FROM v").fetchall())
+
+
+def test_porter_sql_mirror_on_vectors():
+    words = sorted(set(PORTER_VECTORS) | {
+        "syzygy", "yyyy", "abyss", "y", "yes", "oaten", "x1_foo",
+        "a_b_c", "generalization", "oscillators", "ll", "controlling",
+        "ied", "eed", "bleed", "sses", "ies",
+    })
+    got = _sql_batch(words, porter_sql)
+    bad = {w: (porter_stem(w), got[w]) for w in words
+           if porter_stem(w) != got[w]}
+    assert bad == {}
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(
+    st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789_y",
+            min_size=0, max_size=18),
+    min_size=1, max_size=40, unique=True))
+def test_porter_sql_mirror_property(words):
+    got = _sql_batch(words, porter_sql)
+    assert all(porter_stem(w) == got[w] for w in words)
+
+
+def test_german_minimal_vectors():
+    vec = {
+        "häuser": "haus", "bücher": "buch", "lösungen": "losung",
+        "straße": "stras", "katzen": "katz", "kind": "kind",
+        "hunden": "hund", "blume": "blum", "aalen": "aal",
+        "nen": "nen",  # length guard: <=5 keeps 'nen' whole
+    }
+    bad = {w: (german_minimal_stem(w), want)
+           for w, want in vec.items() if german_minimal_stem(w) != want}
+    assert bad == {}
+
+
+def test_german_sql_mirror():
+    words = ["häuser", "bücher", "lösungen", "straße", "katzen", "kind",
+             "hunden", "blume", "aalen", "nen", "es", "übermäßig"]
+    got = _sql_batch(words, german_minimal_sql)
+    assert all(german_minimal_stem(w) == got[w] for w in words)
+
+
+def test_analyzer_registry_has_language_chains():
+    from solr_spark.analysis import ANALYZERS
+
+    assert ANALYZERS["text_en"] is porter_stem
+    assert ANALYZERS["text_de"] is german_minimal_stem
+
+
+def test_stem_collisions_merge_in_dictionary():
+    """Two surface forms stemming to one term must dictionary-merge
+    (query 'queries' and doc 'query' share the stem 'queri')."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from solr_spark.analysis import dict_encode_terms
+
+    arr = pa.array(["queries", "query", "hashing", "hash"])
+    codes, terms = dict_encode_terms(arr, term_transform=porter_stem)
+    vocab = set(terms.to_pylist() if hasattr(terms, "to_pylist") else terms)
+    assert vocab == {"queri", "hash"}
