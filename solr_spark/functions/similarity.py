@@ -219,6 +219,241 @@ def ivf_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized residuals (Jégou, Douze, Schmid, "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011 — public). The
+# 100 TB posture: the scanned candidate table stores m one-byte codes
+# per vector instead of dim×4 raw-float bytes; raw vectors are read only
+# for the exact re-rank of the refined candidate set (the same
+# verify-after-prune shape as the LSH paths). Reference capability
+# anchor: CORE/search/neural/KnnQParser.java:35-81 (topK semantics).
+
+
+def pq_train(
+    corpus_assigned: DataFrame,
+    centroids: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    sample_cap: int = 10_000,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Train PQ codebooks on coarse-quantizer RESIDUALS. Training runs
+    on a deterministic bounded sample (lowest ``sample_cap`` ids — PQ
+    codebooks are sample-trained by design, cf. FAISS's train() on a
+    corpus subsample), so driver memory is capped at sample_cap×dim
+    floats regardless of corpus size. Encoding and search stay fully
+    distributed. Returns {"m", "ksub", "dsub", "dim", "codebooks"
+    (m,ksub,dsub float64), "centroids" {centroid_id: np.ndarray}}."""
+    import numpy as np
+
+    cent_rows = centroids.collect()  # n_centroids × dim — small, broadcast-class
+    cmap = {int(r["centroid_id"]): np.asarray(r["c_vec"], dtype=np.float64)
+            for r in cent_rows}
+    sample = (
+        corpus_assigned.select(id_col, vec_col, "centroid_id")
+        .orderBy(F.asc(id_col))
+        .limit(sample_cap)
+        .collect()
+    )
+    dim = len(sample[0][vec_col])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    res = np.stack([
+        np.asarray(r[vec_col], dtype=np.float64) - cmap[int(r["centroid_id"])]
+        for r in sample
+    ])
+    rng = np.random.default_rng(0)
+    codebooks = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = res[:, j * dsub:(j + 1) * dsub]
+        n = sub.shape[0]
+        # deterministic seeded init, then Lloyd
+        cb = sub[rng.choice(n, size=min(ksub, n), replace=False)]
+        if cb.shape[0] < ksub:  # degenerate tiny sample: pad by repetition
+            cb = np.resize(cb, (ksub, dsub))
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(ksub):
+                mask = a == c
+                if mask.any():
+                    cb[c] = sub[mask].mean(axis=0)
+        codebooks[j] = cb
+    return {"m": m, "ksub": ksub, "dsub": dsub, "dim": dim,
+            "codebooks": codebooks, "centroids": cmap}
+
+
+def pq_encode(
+    corpus_assigned: DataFrame,
+    model: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed PQ encoding: (id, centroid_id) → m subspace codes via
+    vectorized numpy argmin over Arrow batches (mapInPandas — no per-row
+    Python). Output (id, centroid_id, codes array<int>): the compact
+    scan table (m bytes/vector of information; int codes here since
+    Spark lacks a uint8 array)."""
+    import numpy as np
+    import pandas as pd
+
+    mm, ksub, dsub = model["m"], model["ksub"], model["dsub"]
+    codebooks, cmap = model["codebooks"], model["centroids"]
+
+    def kern(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.stack(pdf[vec_col].map(
+                lambda v: np.asarray(v, dtype=np.float64)))
+            cents = np.stack(pdf["centroid_id"].map(
+                lambda c: cmap[int(c)]))
+            res = vecs - cents
+            codes = np.empty((len(pdf), mm), dtype=np.int64)
+            for j in range(mm):
+                sub = res[:, j * dsub:(j + 1) * dsub]
+                d2 = ((sub[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "centroid_id": pdf["centroid_id"].to_numpy(),
+                "codes": list(codes),
+            })
+
+    return corpus_assigned.select(id_col, vec_col, "centroid_id").mapInPandas(
+        kern, f"{id_col} bigint, centroid_id int, codes array<bigint>"
+    )
+
+
+def ivfpq_topk(
+    encoded: DataFrame,
+    corpus: DataFrame,
+    model: dict,
+    queries: DataFrame,
+    nprobe: int,
+    k: int = 5,
+    refine: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "q_vec",
+    exclude_self: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-PQ search: route each query to its ``nprobe`` nearest coarse
+    cells; scan ONLY those cells' code tables with asymmetric distance
+    computation (per-(cell,query) lookup tables — approx cosine from
+    dot(q,c) + Σ_j LUT[j, code_j], with ‖x‖² reconstructed exactly from
+    per-cell codeword partials since subspaces are disjoint coordinate
+    blocks); keep the top ``refine`` ADC candidates per query; re-rank
+    them with EXACT cosine over the raw vectors. Final scores are exact,
+    so recall (not score error) is the only approximation — measured in
+    tests/test_functions.py against brute force."""
+    import numpy as np
+    import pandas as pd
+
+    mm, ksub, dsub = model["m"], model["ksub"], model["dsub"]
+    codebooks, cmap = model["codebooks"], model["centroids"]
+
+    # query → nprobe nearest cells (centroids are driver-side already)
+    q_rows = queries.select(q_id_col, q_vec_col).collect()  # query batch: small by contract
+    cent_ids = sorted(cmap)
+    cent_mat = np.stack([cmap[c] for c in cent_ids])
+    cent_norm = np.sqrt((cent_mat ** 2).sum(axis=1))
+    # per-cell codeword partials: dot(c_sub_j, w_jk) and ||w_jk||²
+    wnorm = (codebooks ** 2).sum(axis=2)  # (m, ksub)
+    cell_cdot = {
+        c: np.stack([
+            codebooks[j] @ cmap[c][j * dsub:(j + 1) * dsub]
+            for j in range(mm)
+        ])  # (m, ksub)
+        for c in cent_ids
+    }
+    probes: dict[int, list[tuple[int, np.ndarray]]] = {}
+    for r in q_rows:
+        qv = np.asarray(r[q_vec_col], dtype=np.float64)
+        sims = (cent_mat @ qv) / (cent_norm * np.sqrt(qv @ qv))
+        order = np.lexsort((cent_ids, -sims))[:nprobe]
+        for oi in order:
+            probes.setdefault(cent_ids[int(oi)], []).append(
+                (int(r[q_id_col]), qv))
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "query_id": pd.Series([], dtype="int64"),
+            "neighbor_id": pd.Series([], dtype="int64"),
+            "adc_sim": pd.Series([], dtype="float64"),
+        })
+        if not len(pdf):
+            return empty
+        cell = int(pdf["centroid_id"].iloc[0])
+        plist = probes.get(cell)
+        if not plist:
+            return empty
+        cvec = cmap[cell]
+        codes = np.stack(pdf["codes"].map(np.asarray))  # (n, m)
+        ids = pdf[id_col].to_numpy()
+        rows_j = np.arange(mm)[:, None]
+        # ‖x̂‖² = ‖c‖² + 2·Σ_j dot(c_j, w_j,code) + Σ_j ‖w_j,code‖²
+        xnorm2 = (
+            float(cvec @ cvec)
+            + 2.0 * cell_cdot[cell][rows_j, codes.T].sum(axis=0)
+            + wnorm[rows_j, codes.T].sum(axis=0)
+        )
+        xnorm = np.sqrt(np.maximum(xnorm2, 1e-12))
+        outs = []
+        for qid, qv in plist:
+            lut = np.stack([
+                codebooks[j] @ qv[j * dsub:(j + 1) * dsub]
+                for j in range(mm)
+            ])  # (m, ksub)
+            dots = float(qv @ cvec) + lut[rows_j, codes.T].sum(axis=0)
+            sims = dots / (np.sqrt(qv @ qv) * xnorm)
+            outs.append(pd.DataFrame({
+                "query_id": np.full(len(ids), qid, dtype=np.int64),
+                "neighbor_id": ids.astype(np.int64),
+                "adc_sim": sims,
+            }))
+        return pd.concat(outs, ignore_index=True)
+
+    cand = encoded.groupBy("centroid_id").applyInPandas(
+        kern, "query_id bigint, neighbor_id bigint, adc_sim double"
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_sim"), F.asc("neighbor_id"))
+    shortlist = (
+        cand.withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") <= refine)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank: raw vectors touched only for refine×n_queries rows
+    qdf = queries.select(
+        F.col(q_id_col).alias("query_id"), F.col(q_vec_col).alias("__qv"))
+    exact = (
+        shortlist.join(
+            corpus.select(F.col(id_col).alias("neighbor_id"), vec_col),
+            "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id", "neighbor_id",
+            F.round(cosine(F.col(vec_col), F.col("__qv")), round_to)
+            .alias("cos_sim"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("__rn", F.row_number().over(wk))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def srp_near_dup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",

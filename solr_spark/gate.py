@@ -1013,6 +1013,26 @@ def e_knn_ivf(spark, sf_dir):
     )
 
 
+@entry("e_knn_ivfpq", _KNN_SQL)
+def e_knn_ivfpq(spark, sf_dir):
+    """IVF-PQ (Jégou et al. 2011): product-quantized residual codes are
+    the scanned table (m bytes/vector instead of dim×4 raw floats — the
+    100 TB posture), ADC shortlists per probed cell, exact cosine
+    re-ranks the shortlist. With nprobe == n_centroids and a shortlist
+    ≥ the candidate pool the exact re-rank provably recovers brute
+    force (same oracle SQL); reduced-nprobe/refine recall is measured
+    in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.make_centroids(emb, 8, iters=1)
+    assigned = similarity.assign_centroids(emb, cents)
+    model = similarity.pq_train(assigned, cents, m=16, ksub=64)
+    encoded = similarity.pq_encode(assigned, model)
+    return similarity.ivfpq_topk(
+        encoded, emb, model, _queries_df(spark, sf_dir),
+        nprobe=8, k=5, refine=100, round_to=4,
+    )
+
+
 @entry(
     "e_near_dup",
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

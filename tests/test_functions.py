@@ -121,6 +121,63 @@ def test_ivf_reduced_probe_recall(spark, vectors):
     assert recall >= 0.5  # nprobe=2/4 keeps most neighbors
 
 
+def test_ivfpq_full_probe_big_refine_equals_brute(spark, vectors):
+    """nprobe = all cells and refine ≥ corpus: the exact re-rank provably
+    recovers brute force regardless of code quality."""
+    qs = vectors.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    brute = similarity.brute_force_topk(vectors, qs, k=3).collect()
+    cents = similarity.make_centroids(vectors, 4, iters=1)
+    assigned = similarity.assign_centroids(vectors, cents)
+    model = similarity.pq_train(assigned, cents, m=4, ksub=8)
+    encoded = similarity.pq_encode(assigned, model)
+    got = similarity.ivfpq_topk(
+        encoded, vectors, model, qs, nprobe=4, k=3, refine=100
+    ).collect()
+    key = lambda rows: sorted(
+        (r["query_id"], r["neighbor_id"], r["cos_sim"]) for r in rows)
+    assert key(brute) == key(got)
+
+
+def test_ivfpq_reduced_probe_recall(spark, vectors):
+    """The VERDICT contract: recall ≥ 0.9 vs brute with a REAL prune
+    (nprobe < n_centroids, refine ≪ corpus)."""
+    qs = vectors.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(vectors, qs, k=3).collect()
+    }
+    cents = similarity.make_centroids(vectors, 4, iters=2)
+    assigned = similarity.assign_centroids(vectors, cents)
+    model = similarity.pq_train(assigned, cents, m=4, ksub=16)
+    encoded = similarity.pq_encode(assigned, model)
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivfpq_topk(
+            encoded, vectors, model, qs, nprobe=3, k=3, refine=15
+        ).collect()
+    }
+    recall = len(brute & got) / len(brute)
+    assert recall >= 0.9, f"recall {recall}"
+
+
+def test_ivfpq_codes_shape_and_determinism(spark, vectors):
+    cents = similarity.make_centroids(vectors, 4, iters=1)
+    assigned = similarity.assign_centroids(vectors, cents)
+    model = similarity.pq_train(assigned, cents, m=4, ksub=8)
+    assert model["codebooks"].shape == (4, 8, 2)
+    rows = similarity.pq_encode(assigned, model).collect()
+    assert len(rows) == 61
+    assert all(len(r["codes"]) == 4 for r in rows)
+    assert all(0 <= c < 8 for r in rows for c in r["codes"])
+    # same input → same codes (seeded training, argmin ties stable)
+    model2 = similarity.pq_train(assigned, cents, m=4, ksub=8)
+    assert (model2["codebooks"] == model["codebooks"]).all()
+
+
 def test_near_dup_pairs(spark, vectors):
     pairs = similarity.brute_force_pairs(vectors, threshold=0.99).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 60)}
