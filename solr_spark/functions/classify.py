@@ -158,6 +158,7 @@ def term_vectors(
     term_col: str,
     min_df: int = 1,
     max_df_ratio: float = 1.0,
+    max_vocab: int | None = 65_536,
 ) -> tuple[DataFrame, list[str]]:
     """termVectors (TermVectorsEvaluator): tf-idf document/term matrix
     with column labels. ``doc_terms`` is a (doc, term) stream (duplicates
@@ -167,9 +168,15 @@ def term_vectors(
     with a dense vector positioned by the sorted vocab — the labeled
     matrix the reference feeds to kmeans/clustering evaluators.
 
-    The vocab is collected to the driver, but only AFTER the df pruning —
-    the same bound the reference accepts (its matrix is driver-side
-    entirely; here only the label list is)."""
+    The vocab is collected to the driver, but only AFTER the df pruning
+    AND the ``max_vocab`` cap: if the df band still admits more than
+    ``max_vocab`` terms, the top ``max_vocab`` by (df desc, term asc)
+    are kept — the Spark-side ``limit`` runs BEFORE the collect, so
+    driver memory is bounded even when the band is adversarial (a
+    100 TB corpus with an unlucky min_df/max_df choice). The drop is
+    observable via term_vectors_dropped() (the lsh_oversized_buckets
+    pattern). ``max_vocab=None`` disables the cap (the reference's
+    TextLogitStream behavior, which ships the whole terms list)."""
     n_docs = doc_terms.select(id_col).distinct().count()
     max_df = int(max_df_ratio * n_docs)
     dfs = (
@@ -179,6 +186,8 @@ def term_vectors(
         .agg(F.count(F.lit(1)).alias("__df"))
         .filter((F.col("__df") >= min_df) & (F.col("__df") <= max_df))
     )
+    if max_vocab is not None:
+        dfs = dfs.orderBy(F.desc("__df"), F.asc(term_col)).limit(int(max_vocab))
     pairs = [(r[0], int(r[1])) for r in dfs.collect()]
     vocab = sorted(t for t, _ in pairs)
     df_map = dict(pairs)
@@ -188,3 +197,41 @@ def term_vectors(
     )
     vecs = tfidf_vectors(tf, id_col, term_col, "__tf", vocab, n_docs, df_map)
     return vecs, vocab
+
+
+def term_vectors_dropped(
+    doc_terms: DataFrame,
+    id_col: str,
+    term_col: str,
+    min_df: int = 1,
+    max_df_ratio: float = 1.0,
+    max_vocab: int | None = 65_536,
+) -> DataFrame:
+    """One-row DataFrame (n_terms_in_band, n_terms_kept,
+    n_terms_dropped) — the pipeline-logging companion of the
+    term_vectors max_vocab cap, so a capped run reports what it
+    skipped (the lsh_oversized_buckets pattern)."""
+    n_docs = doc_terms.select(id_col).distinct().count()
+    max_df = int(max_df_ratio * n_docs)
+    band = (
+        doc_terms.select(id_col, term_col)
+        .distinct()
+        .groupBy(term_col)
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter((F.col("__df") >= min_df) & (F.col("__df") <= max_df))
+    )
+    cap = F.lit(int(max_vocab)) if max_vocab is not None else None
+    agg = band.agg(F.count(F.lit(1)).alias("n_terms_in_band"))
+    if cap is None:
+        return agg.select(
+            "n_terms_in_band",
+            F.col("n_terms_in_band").alias("n_terms_kept"),
+            F.lit(0).cast("bigint").alias("n_terms_dropped"),
+        )
+    return agg.select(
+        "n_terms_in_band",
+        F.least(F.col("n_terms_in_band"), cap.cast("bigint")).alias("n_terms_kept"),
+        F.greatest(
+            F.col("n_terms_in_band") - cap.cast("bigint"), F.lit(0).cast("bigint")
+        ).alias("n_terms_dropped"),
+    )

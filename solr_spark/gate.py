@@ -1981,13 +1981,70 @@ def a_facet_heatmap(spark, sf_dir):
     )
 
 
-@entry("t_classify", None)  # rows-only: iterative GD is not closed-form SQL
+_ENTROPY_SQL = (
+    "CASE WHEN {p} <= 0.0 OR {p} >= 1.0 THEN 0.0 ELSE "
+    "(-1.0 * ({p}) * ln({p})) + (-1.0 * (1.0 - ({p})) * ln(1.0 - ({p}))) END"
+)
+
+
+def _classify_oracle(n_terms: int = 8, iters: int = 8, alpha: float = 0.5) -> str:
+    """Machine-generated DuckDB mirror of the WHOLE t_classify pipeline:
+    igain top-N vocabulary → presence·idf features → ``iters`` UNROLLED
+    batch-gradient-descent CTEs (one per iteration, same arithmetic as
+    classify.train_logreg: w ← w − α·Σ(σ(x·w) − y)·x / n) → final
+    probabilities. Deterministic because batch GD is order-independent
+    (the documented deviation from the reference's sequential updates)."""
+    dim = n_terms + 1
+    hc = _ENTROPY_SQL.format(p="(p / n)")
+    hin = _ENTROPY_SQL.format(p="(x / df)")
+    hout = _ENTROPY_SQL.format(p="((p - x) / (n - df + 1.0))")
+    ig = f"({hc}) - ((df / n) * ({hin}) + (1.0 - df / n) * ({hout}))"
+    w_ctes = [f"w0 AS (SELECT {[0.0] * dim} AS w)"]
+    for it in range(1, iters + 1):
+        updates = ", ".join(
+            f"pw[{j}] - {alpha} * sum(e * x[{j}]) / count(*)"
+            for j in range(1, dim + 1)
+        )
+        w_ctes.append(
+            f"w{it} AS (SELECT [{updates}] AS w FROM "
+            f"(SELECT w{it - 1}.w AS pw, f.x, f.y, "
+            f"1.0 / (1.0 + exp(-list_dot_product(f.x, w{it - 1}.w))) - f.y AS e "
+            f"FROM f CROSS JOIN w{it - 1}) GROUP BY pw)"
+        )
+    prob = f"1.0 / (1.0 + exp(-list_dot_product(f.x, w{iters}.w)))"
+    return f"""WITH tok AS (SELECT DISTINCT doc_id, unnest({TOKS_SQL}) AS term FROM documents),
+lab AS (SELECT doc_id, CASE WHEN lang = 'zh' THEN 1.0 ELSE 0.0 END AS y FROM documents),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        CAST(count(CASE WHEN y = 1.0 THEN 1 END) AS DOUBLE) AS p FROM lab),
+pt AS (SELECT term, CAST(count(*) AS DOUBLE) AS df,
+       CAST(count(CASE WHEN lab.y = 1.0 THEN 1 END) AS DOUBLE) AS x
+       FROM tok JOIN lab USING (doc_id) GROUP BY term),
+igx AS (SELECT term, df, round({ig}, 6) AS igain FROM pt CROSS JOIN tot),
+vocab AS (SELECT term, df FROM igx ORDER BY igain DESC, term ASC LIMIT {n_terms}),
+v AS (SELECT list(term ORDER BY term) AS terms,
+      list(ln((SELECT n FROM tot) / (df + 1.0)) ORDER BY term) AS idfs FROM vocab),
+dt AS (SELECT doc_id, list(term) AS dterms FROM tok GROUP BY doc_id),
+f AS (SELECT l.doc_id, l.y,
+      list_prepend(1.0, list_transform(range(1, {n_terms + 1}), j ->
+        CASE WHEN dt.dterms IS NOT NULL AND list_contains(dt.dterms, v.terms[j])
+             THEN v.idfs[j] ELSE 0.0 END)) AS x
+      FROM lab l LEFT JOIN dt USING (doc_id) CROSS JOIN v),
+{", ".join(w_ctes)}
+SELECT f.doc_id, round({prob}, 4) AS probability,
+CAST({prob} >= 0.5 AS INT) AS prediction
+FROM f CROSS JOIN w{iters}"""
+
+
+@entry("t_classify", _classify_oracle())
 def t_classify(spark, sf_dir):
     """train()/classify() streams: logistic regression over tf-idf
     features for the lang='zh' class — batch-GD variant (deterministic
     at any parallelism; TextLogitStream.java:74-117 /
-    TextLogisticRegressionQParserPlugin.java:206-212). Separability and
-    loss-descent are pinned in tests/test_classify.py."""
+    TextLogisticRegressionQParserPlugin.java:206-212). The oracle
+    (_classify_oracle) re-derives the vocabulary AND re-runs the same 8
+    unrolled GD iterations in DuckDB, so weights are cross-engine
+    checked end-to-end; separability and loss-descent are additionally
+    pinned in tests/test_classify.py."""
     from solr_spark.functions import classify as clf
 
     docs = _t(spark, sf_dir, "documents")
@@ -2018,12 +2075,6 @@ def fts_maxscore(spark, sf_dir):
     of their scores instead of the sum (MaxScoreQParser.java:1) — exactly
     DisjunctionMax with tie=0 over the term clauses."""
     return gate_dismax(spark, sf_dir, ["spark", "window", "merge"], tie=0.0, k=10)
-
-
-_ENTROPY_SQL = (
-    "CASE WHEN {p} <= 0.0 OR {p} >= 1.0 THEN 0.0 ELSE "
-    "(-1.0 * ({p}) * ln({p})) + (-1.0 * (1.0 - ({p})) * ln(1.0 - ({p}))) END"
-)
 
 
 def _igain_oracle() -> str:
@@ -3177,12 +3228,63 @@ def a_score_nodes(spark, sf_dir):
     )
 
 
-@entry("a_convex_hull", None)  # geometry has no SQL analog; pytest covers
+_HULL_NEXT_SQL = """(SELECT q.{out} FROM pts q
+     WHERE q.nation = w.nation AND (q.x <> w.cx OR q.y <> w.cy)
+       AND NOT EXISTS (SELECT 1 FROM pts r
+         WHERE r.nation = w.nation AND (r.x <> w.cx OR r.y <> w.cy)
+           AND (r.x <> q.x OR r.y <> q.y)
+           AND ((q.x - w.cx) * (r.y - w.cy) - (q.y - w.cy) * (r.x - w.cx) > 0
+             OR ((q.x - w.cx) * (r.y - w.cy) - (q.y - w.cy) * (r.x - w.cx) = 0
+               AND (q.x - w.cx) * (r.x - w.cx) + (q.y - w.cy) * (r.y - w.cy) > 0
+               AND (r.x - w.cx) * (r.x - w.cx) + (r.y - w.cy) * (r.y - w.cy)
+                 > (q.x - w.cx) * (q.x - w.cx) + (q.y - w.cy) * (q.y - w.cy))))
+     LIMIT 1)"""
+
+# Jarvis-march hull as a recursive CTE: from the lexicographic-min point
+# (always a hull vertex), each step's successor is the unique point with
+# every other point strictly to its right — collinear candidates resolve
+# to the FARTHEST (dot > 0 restricts to same-direction collinears), which
+# yields exactly the strict-hull vertex set mathx._hull_one's <=0-pop
+# monotone chain produces. Coordinates are integers shifted by constants,
+# so the cross products are exact.
+_CONVEX_HULL_SQL = f"""WITH RECURSIVE
+pts AS (SELECT DISTINCT c_nationkey AS nation,
+        CAST(c_custkey % 120 AS DOUBLE) - 60.0 AS x,
+        CAST(c_custkey % 300 AS DOUBLE) - 150.0 AS y FROM customer),
+strt AS (SELECT nation, x, y FROM
+  (SELECT *, row_number() OVER (PARTITION BY nation ORDER BY x, y) AS rn FROM pts)
+  WHERE rn = 1),
+walk(nation, step, cx, cy, sx, sy) AS (
+  SELECT nation, 0, x, y, x, y FROM strt
+  UNION ALL
+  SELECT w.nation, w.step + 1,
+    {_HULL_NEXT_SQL.format(out="x")},
+    {_HULL_NEXT_SQL.format(out="y")},
+    w.sx, w.sy
+  FROM walk w
+  WHERE w.step = 0 OR w.cx <> w.sx OR w.cy <> w.sy),
+verts AS (SELECT nation, step, cx, cy FROM walk
+          WHERE step = 0 OR cx <> sx OR cy <> sy),
+n AS (SELECT nation, count(*) AS nv FROM verts GROUP BY nation),
+edges AS (SELECT v1.nation, v1.cx AS x1, v1.cy AS y1, v2.cx AS x2, v2.cy AS y2
+  FROM verts v1 JOIN n USING (nation)
+  JOIN verts v2 ON v2.nation = v1.nation AND v2.step = (v1.step + 1) % n.nv)
+SELECT e.nation,
+  round(abs(sum(x1 * y2 - x2 * y1)) / 2.0, 6) AS hull_area,
+  round(sum(sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))), 6) AS hull_perimeter,
+  CAST(any_value(n.nv) AS INT) AS n_vertices
+FROM edges e JOIN n ON n.nation = e.nation
+GROUP BY e.nation"""
+
+
+@entry("a_convex_hull", _CONVEX_HULL_SQL)
 def a_convex_hull(spark, sf_dir):
     """convexHull + getArea/getBoundarySize/getBaryCenter
     (ConvexHullEvaluator.java:1, Commons Math geometry hull): hull of the
-    synthesized per-nation customer coordinate cloud. Rows-only driver
-    check by design; exactness (shoelace area, perimeter) is pinned in
+    synthesized per-nation customer coordinate cloud. The oracle
+    recomputes the hull independently (Jarvis march as a recursive CTE,
+    exact integer cross products) and checks shoelace area, perimeter
+    and the strict vertex count; exactness is additionally pinned in
     tests/test_evaluators_b6.py."""
     from solr_spark.functions.mathx import convex_hull
 

@@ -76,3 +76,42 @@ def test_tfidf_vectors_shape(spark):
     assert by[0] == pytest.approx([1.0, idf_a, idf_b])
     assert by[1] == pytest.approx([1.0, 0.0, idf_b])
     assert by[2] == pytest.approx([1.0, 0.0, 0.0])  # no vocab terms: intercept only
+
+
+def test_term_vectors_vocab_cap(spark):
+    """A vocabulary larger than max_vocab completes with bounded driver
+    state: the Spark-side limit keeps top max_vocab by (df desc, term
+    asc) and the companion frame reports the drop."""
+    from solr_spark.functions.classify import term_vectors, term_vectors_dropped
+
+    rows = []
+    # 50 singleton terms + 3 common terms spread over 10 docs
+    for d in range(10):
+        rows.append((d, f"rare_{d:02d}_a"))
+        rows.append((d, f"rare_{d:02d}_b"))
+        rows.append((d, f"rare_{d:02d}_c"))
+        rows.append((d, f"rare_{d:02d}_d"))
+        rows.append((d, f"rare_{d:02d}_e"))
+        for t in ("commonx", "commony", "commonz"):
+            rows.append((d, t))
+    doc_terms = spark.createDataFrame(rows, "doc_id bigint, term string")
+
+    vecs, vocab = term_vectors(doc_terms, "doc_id", "term", max_vocab=8)
+    assert len(vocab) == 8
+    # highest-df terms survive the cap
+    assert {"commonx", "commony", "commonz"} <= set(vocab)
+    # vectors are intercept + capped vocab wide
+    assert all(len(r["features"]) == 9 for r in vecs.collect())
+
+    drop = term_vectors_dropped(doc_terms, "doc_id", "term", max_vocab=8).collect()[0]
+    assert drop["n_terms_in_band"] == 53
+    assert drop["n_terms_kept"] == 8
+    assert drop["n_terms_dropped"] == 45
+
+    # cap disabled: full band, zero drop
+    _, vocab_all = term_vectors(doc_terms, "doc_id", "term", max_vocab=None)
+    assert len(vocab_all) == 53
+    drop0 = term_vectors_dropped(
+        doc_terms, "doc_id", "term", max_vocab=None
+    ).collect()[0]
+    assert drop0["n_terms_dropped"] == 0
