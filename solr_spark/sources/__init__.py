@@ -163,8 +163,11 @@ def write_response(
 
 
 def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
-    """jdbc() analog (JDBCStream.java:1) — thin passthrough; partitioned
-    reads via (partitionColumn, lowerBound, upperBound, numPartitions)."""
+    """jdbc() analog (JDBCStream.java:1) — Spark's JDBC source;
+    partitioned reads via (partitionColumn, lowerBound, upperBound,
+    numPartitions). Exercised for real against embedded Derby (the
+    driver shipping inside Spark's jars) in tests/test_jdbc_real.py:
+    round-trip, partitioned range scan, derived-table pushdown."""
     r = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     for k, v in options.items():
         r = r.option(k, v)
