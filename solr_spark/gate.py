@@ -561,6 +561,92 @@ def a_unique_exact(spark, sf_dir):
     )
 
 
+def _tdigest_oracle(delta: int = 100, qs=(0.5, 0.95)) -> str:
+    """DuckDB mirror of the two-level t-digest build (functions/
+    tdigest.py): per-(group,shard) fold via list_reduce with the SAME
+    integer k0 merge criterion and mean-update arithmetic, shard
+    centroids concatenated in shard order, stable-sorted, re-folded,
+    then the same midpoint quantile interpolation — bit-identical to
+    the Spark digest (the sketch.py HLL determinism stance)."""
+    fold = f"""(acc, e) -> CASE WHEN (acc[3] + e[2]) * {delta}.0 <= 2.0 * W THEN
+     list_concat([acc[1], (acc[2] * acc[3] + e[1] * e[2]) / (acc[3] + e[2]), acc[3] + e[2]], acc[4:])
+   ELSE list_concat(list_concat([acc[1] + acc[3], e[1], e[2]], acc[4:]), [acc[2], acc[3]]) END"""
+    q_expr = (
+        "CASE WHEN q * (W - 1) <= first_c THEN first_m "
+        "WHEN q * (W - 1) >= last_c THEN last_m "
+        "ELSE lo_m + (hi_m - lo_m) * (q * (W - 1) - lo_c) / (hi_c - lo_c) END"
+    )
+    qvals = ", ".join(f"({q})" for q in qs)
+    qouts = ", ".join(
+        f"any_value(CASE WHEN q = {q} THEN est END) AS p{int(q * 100):02d}"
+        for q in qs
+    )
+    return f"""WITH vals AS (SELECT l_returnflag AS g, l_orderkey % 4 AS shard,
+              CAST(l_quantity AS DOUBLE) AS v FROM lineitem),
+shard_lists AS (SELECT g, shard, list(v ORDER BY v) AS vs, CAST(count(*) AS DOUBLE) AS W
+                FROM vals GROUP BY g, shard),
+shard_digests AS (SELECT g, shard, W,
+  list_reduce(list_prepend([0.0, vs[1], 1.0], list_transform(vs[2:], x -> [x, 1.0])),
+              {fold}) AS st
+  FROM shard_lists),
+shard_cents AS (SELECT g, shard, W, list_concat(st[4:], [st[2], st[3]]) AS cent FROM shard_digests),
+merged_in AS (SELECT g, flatten(list(cent ORDER BY shard)) AS flat, sum(W) AS W
+              FROM shard_cents GROUP BY g),
+prs AS (SELECT g, W, unnest(list_transform(range(1, CAST(len(flat)/2 AS INT) + 1),
+           i -> [flat[2*i-1], flat[2*i], CAST(i AS DOUBLE)])) AS p FROM merged_in),
+sorted_in AS (SELECT g, list([p[1], p[2]] ORDER BY p[1], p[3]) AS sp, any_value(W) AS W
+              FROM prs GROUP BY g),
+final AS (SELECT g, W,
+  list_reduce(list_prepend([0.0, sp[1][1], sp[1][2]], sp[2:]), {fold}) AS st
+  FROM sorted_in),
+cfl AS (SELECT g, W, list_concat(st[4:], [st[2], st[3]]) AS flat FROM final),
+qrows AS (SELECT g, W, i, flat[2*i-1] AS m, flat[2*i] AS w,
+          sum(flat[2*i]) OVER (PARTITION BY g ORDER BY i) - flat[2*i]
+            + (flat[2*i] - 1) / 2.0 AS c
+          FROM (SELECT g, W, flat, unnest(range(1, CAST(len(flat)/2 AS INT) + 1)) AS i FROM cfl)),
+brackets AS (SELECT g, W, q, CAST(any_value(nc) AS INT) AS n_centroids,
+    any_value(first_m) AS first_m, any_value(first_c) AS first_c,
+    any_value(last_m) AS last_m, any_value(last_c) AS last_c,
+    max(CASE WHEN c <= q * (W - 1) THEN c END) AS lo_c,
+    max_by(m, CASE WHEN c <= q * (W - 1) THEN c END) AS lo_m,
+    min(CASE WHEN c > q * (W - 1) THEN c END) AS hi_c,
+    min_by(m, CASE WHEN c > q * (W - 1) THEN c END) AS hi_m
+  FROM (SELECT qr.*, qq.q,
+          count(*) OVER (PARTITION BY g, qq.q) AS nc,
+          first_value(m) OVER (PARTITION BY g, qq.q ORDER BY i) AS first_m,
+          first_value(c) OVER (PARTITION BY g, qq.q ORDER BY i) AS first_c,
+          last_value(m) OVER (PARTITION BY g, qq.q ORDER BY i
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_m,
+          last_value(c) OVER (PARTITION BY g, qq.q ORDER BY i
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_c
+        FROM qrows qr CROSS JOIN (VALUES {qvals}) qq(q))
+  GROUP BY g, W, q),
+est AS (SELECT g, q, n_centroids, round({q_expr}, 6) AS est FROM brackets)
+SELECT g AS l_returnflag, any_value(n_centroids) AS n_centroids, {qouts}
+FROM est GROUP BY g"""
+
+
+@entry("a_percentile_digest", _tdigest_oracle())
+def a_percentile_digest(spark, sf_dir):
+    """Mergeable t-digest percentiles (facet/PercentileAgg.java:19,42 —
+    AVLTreeDigest; here the merging t-digest of Dunning & Ertl 2019 with
+    the k0 scale, functions/tdigest.py): per-shard partial digests
+    (deterministic l_orderkey%4 shards) merged per group, then p50/p95
+    from the merged digest. The oracle rebuilds the SAME digest in
+    DuckDB (list_reduce fold, integer merge criterion) — a full triple
+    match on the sketch output, not an ε-band; the ε-vs-exact bound and
+    the exact-equality singleton path are pinned in
+    tests/test_tdigest.py."""
+    from solr_spark.functions import tdigest as td
+
+    li = _t(spark, sf_dir, "lineitem")
+    parts = td.tdigest_partials(
+        li, ["l_returnflag"], "l_quantity", F.col("l_orderkey") % 4, delta=100
+    )
+    merged = td.tdigest_merged(parts, ["l_returnflag"], delta=100)
+    return td.tdigest_quantiles_df(merged, ["l_returnflag"], [0.5, 0.95])
+
+
 @entry(
     "a_percentile_rank",
     """WITH s AS (SELECT l_extendedprice AS v,
