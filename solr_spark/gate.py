@@ -1522,6 +1522,71 @@ def _stemmed_oracle() -> str:
     )
 
 
+def _copyfield_oracle() -> str:
+    from .oracle import analyzed_tokens_sql
+
+    # content = title_txt + ' ' + body_txt = source + ' ' + text (the
+    # copyField fan-out in column order); tokenization splits on the
+    # space, so the token stream equals tokens(source || ' ' || text)
+    return bm25_oracle_sql(
+        "src6 merge", k=10,
+        toks_sql=analyzed_tokens_sql("(source || ' ' || text)"),
+    )
+
+
+@entry("u_copyfield", _copyfield_oracle())
+def u_copyfield(spark, sf_dir):
+    """dynamicField + copyField ingest shim (schema.apply_schema;
+    IndexSchema dynamic patterns + DocumentBuilder.java:183-224
+    copyField accumulation): *_txt dynamic fields are typed by pattern
+    and copied into the `content` catch-all, which is then indexed and
+    searched — q='src6 merge' scores the copied title token and the
+    body terms through ONE BM25 field, proving the fan-out landed."""
+    import hashlib
+    import os
+    import tempfile
+
+    from . import kernel
+    from .engine import ENGINE_VERSION, _source_signature
+    from .indexer import build_index
+    from .qparser import parse
+    from .schema import SchemaSpec, apply_schema
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    frame = docs.select(
+        F.col("source").alias("repo"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("path"),
+        F.lit("0").alias("commit"),
+        F.col("lang"),
+        F.col("source").alias("title_txt"),
+        F.col("text").alias("body_txt"),
+    )
+    spec = SchemaSpec(
+        fields={"repo": "string", "path": "string", "commit": "string",
+                "lang": "string"},
+        dynamic_fields={"*_txt": "text"},
+        copy_fields=[("*_txt", "content")],
+    )
+    corpus = apply_schema(frame, spec)
+    key = hashlib.md5(
+        f"{ENGINE_VERSION}:copyfield:{os.path.abspath(sf_dir)}:{_source_signature(sf_dir)}".encode()
+    ).hexdigest()[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), f"solr_spark_cpf_{key}")
+    meta = build_index(
+        spark,
+        corpus.select("repo", "path", "commit", "lang", "content"),
+        out_dir, bucket_docs=512, resume=True,
+    )
+    res = kernel.search(spark, meta, parse("src6 merge"), k=10)
+    doc_map = spark.read.parquet(meta.docs_path).select("docid", "path")
+    return (
+        res.join(doc_map, "docid")
+        .withColumn("doc_id", F.col("path").cast("bigint"))
+        .withColumn("score", F.round(F.col("score"), 6))
+        .select("doc_id", "score")
+    )
+
+
 def _porter_oracle() -> str:
     from .stem import porter_sql, porter_stem
 
