@@ -99,8 +99,21 @@ def main() -> None:
             "pass_0_8": eff >= 0.8,
         }
     )
-    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
-        json.dump(results, f, indent=1)
+    # merge into the ledger under a dated key — never clobber the
+    # headline measurement or earlier rounds' re-runs
+    path = os.path.join(REPO, "BENCH_SCALING.json")
+    ledger: dict = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            ledger = json.load(f)
+    if "headline" not in ledger:  # legacy flat file: nest it
+        ledger = {"headline": ledger} if ledger else {}
+    import datetime
+
+    key = f"rerun_{datetime.date.today().isoformat()}_n{args.n}_docs{args.docs}"
+    ledger[key] = results
+    with open(path, "w") as f:
+        json.dump(ledger, f, indent=1)
     print(f"\nN={args.n}: {med_n:.0f} docs/s | 4N={4*args.n}: {med_4n:.0f} docs/s "
           f"| efficiency {eff:.3f} ({'PASS' if eff >= 0.8 else 'FAIL'} >= 0.8)")
 

@@ -75,3 +75,80 @@ def bbox(
         F.col(lat_col).between(lat_min, lat_max)
         & F.col(lon_col).between(lon_min, lon_max)
     )
+
+
+# ---------------------------------------------------------------------------
+# WKT polygon filtering (SpatialRecursivePrefixTreeFieldType's
+# {!field f=geo}Intersects(POLYGON((...))) surface, core/.../schema/
+# AbstractSpatialPrefixTreeFieldType.java). The query polygon is a
+# CONSTANT, so point-in-polygon compiles to a fixed per-edge crossing
+# expression — pure Catalyst arithmetic (whole-stage codegen), no UDF —
+# and the identical expression is emitted as SQL for the oracle.
+
+def parse_wkt_polygon(wkt: str) -> list[tuple[float, float]]:
+    """Parse a simple WKT POLYGON (single ring, no holes) into its
+    (x, y) vertex list; the closing vertex is dropped. Raises on
+    malformed/unclosed rings and on MULTIPOLYGON/holes (documented
+    unsupported — fail loudly, never silently mis-filter)."""
+    import re as _re
+
+    m = _re.fullmatch(
+        r"\s*POLYGON\s*\(\s*\(([^()]*)\)\s*\)\s*", wkt, _re.IGNORECASE
+    )
+    if not m:
+        raise ValueError(
+            "only simple 'POLYGON ((x y, x y, ...))' supported "
+            "(no holes/MULTIPOLYGON); got: " + wkt[:80]
+        )
+    pts = []
+    for pair in m.group(1).split(","):
+        xy = pair.split()
+        if len(xy) != 2:
+            raise ValueError(f"bad WKT coordinate pair: {pair!r}")
+        pts.append((float(xy[0]), float(xy[1])))
+    if len(pts) < 4 or pts[0] != pts[-1]:
+        raise ValueError("WKT ring must close on its first vertex")
+    return pts[:-1]
+
+
+def _pip_terms(ring: list[tuple[float, float]]):
+    """The shared edge list for the ray-casting parity test: point is
+    inside iff an odd number of edges satisfy
+      (y1 > y) != (y2 > y)  AND  x < (x2-x1)*(y-y1)/(y2-y1) + x1."""
+    n = len(ring)
+    return [(ring[i], ring[(i + 1) % n]) for i in range(n)]
+
+
+def point_in_polygon(x: Column, y: Column, ring: list[tuple[float, float]]) -> Column:
+    """Boolean Column: ray-casting parity over the constant ring."""
+    crossings: Column = F.lit(0)
+    for (x1, y1), (x2, y2) in _pip_terms(ring):
+        cond = (
+            ((F.lit(y1) > y) != (F.lit(y2) > y))
+            & (x < (F.lit(x2) - F.lit(x1)) * (y - F.lit(y1))
+               / (F.lit(y2) - F.lit(y1)) + F.lit(x1))
+        )
+        crossings = crossings + F.when(cond, 1).otherwise(0)
+    return crossings % 2 == 1
+
+
+def point_in_polygon_sql(x: str, y: str, ring: list[tuple[float, float]]) -> str:
+    """The SAME per-edge expression as SQL text (term-for-term mirror
+    of point_in_polygon, same float arithmetic both engines)."""
+    terms = []
+    for (x1, y1), (x2, y2) in _pip_terms(ring):
+        terms.append(
+            f"(CASE WHEN (({y1} > {y}) <> ({y2} > {y})) AND "
+            f"({x} < ({x2} - {x1}) * ({y} - {y1}) / ({y2} - {y1}) + {x1}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ") % 2 = 1"
+
+
+def polygon_filter(
+    df: DataFrame, lon_col: str, lat_col: str, wkt: str
+) -> DataFrame:
+    """Intersects(POLYGON(...)) for point columns: keep rows whose
+    (lon, lat) falls inside the WKT ring."""
+    ring = parse_wkt_polygon(wkt)
+    return df.filter(point_in_polygon(F.col(lon_col), F.col(lat_col), ring))

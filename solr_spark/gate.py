@@ -1170,130 +1170,75 @@ def s_media_features(spark, sf_dir):
 # tests/test_gate.py against the same oracles) follow.
 
 _PRIORITY = [
-    # ROUND-3 batch 8 — natural-cubic spline / bicubic-surface
-    # interpolators (mathx) and the distributed termVectors tf-idf
-    # long form: brand-new machinery, must hold driver rows
-    "a_spline", "a_bicubic", "a_term_vectors",
-    # ROUND-3 batch 7 — newest machinery first: the cross-engine
-    # HyperLogLog sketch (functions/sketch.py), paired/count-dataset
-    # hypothesis tests, moving MAD, outliers, the incomplete-gamma
-    # distribution path, and the postings-decoded totaltermfreq
-    "a_hll_sketch", "a_paired_ttest", "a_chisq_dataset", "a_gtest_dataset",
-    "a_moving_mad", "a_outliers", "a_gamma_dist", "a_discrete_dist",
-    "fts_ttf",
-    # ROUND-3 NEW machinery — must hold driver rows: per-position payload
-    # stream + payload_score/payload_check kernels, and evaluator batch 4
-    # (distributions/KS/ANOVA/kmeans/convolution/polyfit)
+    # ROUND-4 window. Goal: (a) give the 9 entries that had never held a
+    # driver row (the r3 VERDICT evidence gap) their triple-green rows,
+    # (b) hold rows for everything round 4 added or touched, (c) fill
+    # the remainder with strong per-family representatives. Everything
+    # that spills stays green in tests/test_gate.py + oracle_check.
+    # -- (a) never-driver-evaluated until now ---------------------------
+    "fts_phrase_bigram", "a_cumulative_sum", "a_diff_lag", "fts_xmlquery",
+    "fts_suggest", "fts_proximity_un", "a_ema", "fts_mixed_wildcard",
+    "fts_phrase_not",
+    # -- (b) round-4 NEW machinery --------------------------------------
+    # Porter analyzer chain (stem.py dual Python/SQL implementation)
+    "fts_stemmed_porter",
+    # IVF-PQ coded-residual ANN (similarity.pq_*)
+    "e_knn_ivfpq",
+    # mergeable t-digest percentile sketch (functions/tdigest.py)
+    "a_percentile_digest",
+    # dynamicField/copyField ingest shim (schema.py) + indexed search
+    "u_copyfield",
+    # -- (b) round-4 UPGRADED: rows-only -> full oracle ------------------
+    # t_classify: unrolled-GD DuckDB mirror; a_convex_hull: Jarvis-march
+    # recursive-CTE oracle
+    "t_classify", "a_convex_hull",
+    # -- (b) round-4 TOUCHED code paths ----------------------------------
+    # term_vectors gained the max_vocab cap (classify.py)
+    "a_term_vectors",
+    # payload value-source bridge defaults changed (funcquery.py)
     "fts_payload_score", "fts_payload_check",
-    "a_distribution", "a_ks_test", "a_anova",
-    "a_kmeans", "a_convolution", "a_polyfit",
-    # evaluator batch 6 (freqTable/hist/olsRegress/knnRegress/scoreNodes
-    # + geometry and fuzzy-kmeans rows-only) — new machinery this round
-    "a_freq_table", "a_hist", "a_ols2", "a_knn_regress", "a_score_nodes",
-    "a_convex_hull", "a_fuzzy_kmeans",
-    # LLM-data-pipeline ops (dedup / similarity / media / text analysis).
-    # t_minhash_pairs changed this round (LSH bucket-size cap in the band
-    # self-join); t_quality / t_lang_id / s_media_features /
-    # s_topic_incremental spill — r2-green, pure-Catalyst plans untouched
-    # in round 3, still exercised by tests/test_gate.py.
-    # t_token_stats / t_fingerprint spill as before (round-1 green rows).
-    # t_dup_clusters spills this round (batch 7 takes its row): r2-green
-    # with the recursive-CTE oracle, duplicate_clusters untouched in
-    # round 3, still exercised by tests/test_gate.py.
-    # t_simhash_pairs spills for u_content_integrity: its driver check is
-    # rows-only by design (no oracle) and its r2 row is recorded; simhash
-    # is untouched in round 3 and stays green in tests/test_gate.py.
-    "t_minhash_pairs", "t_jaccard_pairs", "t_exact_dups",
-    "e_knn_brute", "e_knn_ivf", "e_near_dup",
-    # round-3 CHANGED plans: every gate_search / dismax / phrase /
-    # proximity path now uses unsorted component mode + positional
-    # postings by default (v3 index with payload stream) — keep fresh
-    # driver evidence for the whole family.
-    # fts_mlt spills for a_discrete_dist (log-space pmf fix — new
-    # machinery): mlt is r2-green and its round-3 change (shared unsorted
-    # component mode) is evidenced in-window by the phrase/edismax family.
-    "fts_phrase", "fts_mixed_phrase",
-    "fts_edismax_mm", "fts_edismax_pf2",
-    # fts_mixed_wildcard spills: fts_prefix_term covers the dictionary
-    # expansion and fts_mixed_phrase the additive combination. fts_fuzzy
-    # spills this round for a_funcquery3 (registry-parity closers —
-    # new machinery): fts_fuzzy is r2-green and its Levenshtein
-    # dictionary expansion is the same _multiterm_component path the
-    # in-window fts_prefix_term evidences; still green in test_gate.py.
-    "fts_prefix_term",
-    # u_delete_by_key spills: trivial anti-join, round-1 pass* + pytest.
-    # u_atomic_update spills: r2-green, updates.py untouched in round 3.
-    # w_rerank / a_geodist / a_percentile_rank / a_facet2d / a_igain /
-    # fts_spellcheck / fts_highlight spill this round to make room for
-    # evaluator batch 6: all r2-green, their modules (windowed.py rerank,
-    # geo.py, relational percentile, rollup facet2d/igain, spellcheck/
-    # highlight components) are untouched in round 3, and all stay
-    # exercised by tests/test_gate.py against the same oracles.
+    # k<1 validation added on these gates' search paths (engine.py)
     "u_incremental_index", "u_merge_segments",
-    # round-3 new entry: the north rule's per-row content-sha256
-    # invariant, cross-checked against DuckDB's independent digest
-    "u_content_integrity",
-    "w_ltr_linear",  # LTR external-model slot added round 3 — keep fresh
-    # a_hll_approx spills: its driver check is rows-only either way and
-    # a_unique_exact (round-1 green) is the exact counterpart.
-    # a_frange spills for a_wsum: a_frange is r2-green and its funcquery
-    # machinery holds fresh in-window evidence via a_funcquery2/3;
-    # a_wsum (exact-decimal wsum metric, round-3 new machinery) has no
-    # earlier driver rows.
-    "a_wsum",
-    # positional postings (round-2 machinery, now the DEFAULT phrase/
-    # proximity plan + payload stream added) — must hold driver rows
-    "fts_phrase_pos", "fts_phrase3_pos", "fts_proximity_pos",
-    # fts_complexphrase / fts_proximity / fts_maxscore spill for batch 8:
-    # all r2-green, and their round-3 plan change (unsorted candidate
-    # mode) is the same kernel path the in-window fts_phrase /
-    # fts_mixed_phrase / fts_edismax rows evidence; still green in
-    # tests/test_gate.py. (fts_suggest spills as before: prefix top-k
-    # over the same dictionary machinery as in-window fts_prefix_term.)
-    # a_facet_query / a_facet_heatmap spill: r2-green, rollup.py facet
-    # machinery untouched in round 3 (a_facet_pivot keeps driver evidence
-    # for the family)
-    # stream evaluators (Lang.java family) + round-3 funcquery parity
-    # batch (hypot/atan2/sqedist/dist/ord/rord — new machinery) + rank
-    # tests (Welch t / Mann-Whitney U — new machinery).
-    # a_moving_avg / a_cumulative_sum / a_diff_lag / a_corr_regress
-    # spill: r2-green, decimal-exact machinery untouched in round 3,
-    # green in tests/test_gate.py
-    "a_funcquery2", "a_funcquery3", "a_ttest", "a_mannwhitney",
-    # ---- 50-entry window edge (a_mannwhitney is row 50) ----
-    "fts_fuzzy", "fts_complexphrase", "fts_proximity", "fts_maxscore",
-    # Spilled to make room for batch 7, all r1/r2-green with machinery
-    # untouched since their last driver evidence, all still exercised by
-    # tests/test_gate.py against the same oracles: w_elevate,
-    # a_facet_pivot (facet family keeps a_facet_range's r2 row... see
-    # below), a_frange family note above, a_facet_range, a_unique_block,
-    # fts_synonyms, fts_stemmed, r_export_sorted (round-2 changed plan,
-    # r2-green driver row already recorded).
-    "w_elevate", "a_facet_pivot",
-    # a_percent_rank / a_moving_median spill: SQL-standard machinery
-    # identical in both engines, r1/r2-green, tests/test_gate.py.
-    # a_covariance / a_describe spill: the same decimal-exact agg
-    # machinery as r2-green a_corr_regress and round-1-green a_stats
-    # range facet / block agg / synonyms / stemmed analyzer
-    "a_facet_range", "a_unique_block", "fts_synonyms", "fts_stemmed",
-    # sorted-export distributed global_rank (round-2 changed plan)
-    "r_export_sorted", "t_dup_clusters",
-    # spilled with r2 evidence (plans untouched in round 3): t_quality,
-    # t_lang_id, s_media_features, s_topic_incremental, u_atomic_update,
-    # w_ltr_trees, a_facet_query, a_facet_heatmap — then the core BM25 /
-    # parser / relational representatives with round-1 green rows; all
-    # still exercised by tests/test_gate.py against the same oracles.
-    "t_quality", "t_lang_id", "s_media_features", "s_topic_incremental",
-    "u_atomic_update", "w_ltr_trees", "a_facet_query", "a_facet_heatmap",
-    "w_rerank", "a_geodist",
-    "a_percentile_rank", "a_facet2d", "a_igain", "fts_spellcheck",
-    "fts_highlight",
-    "a_moving_avg",
-    "fts_single_term", "fts_conjunction", "fts_dismax_tie",
-    "fts_term_dictionary",
-    "r_search_select", "r_topk",
+    # same-file neighbors of round-4 edits: stemmed family (analysis.py
+    # ANALYZERS) and the IVF/brute paths (similarity.py)
+    "fts_stemmed", "e_knn_ivf", "e_knn_brute",
+    # -- (c) representatives: one strong row per family ------------------
+    # core BM25 + parser family (kernel/qparser paths untouched in r4)
+    "fts_single_term", "fts_conjunction", "fts_phrase", "fts_mixed_phrase",
+    "fts_edismax_mm", "fts_edismax_pf2", "fts_prefix_term", "fts_phrase_pos",
+    "fts_proximity_pos",
+    # relational / export / updates
+    "r_search_select", "r_topk", "r_export_sorted", "u_content_integrity",
+    # joins / graph
     "j_inner_join", "j_hash_broadcast", "j_graph_2hop",
-    "a_rollup_q1",
+    # rollup / facet / stats / sketches
+    "a_rollup_q1", "a_facet_pivot", "a_hll_sketch", "a_percentile_rank",
+    # LLM-pipeline ops (dedup / similarity / text / media)
+    "t_minhash_pairs", "t_exact_dups", "e_near_dup", "t_token_stats",
+    # windowed / LTR
+    "w_collapse", "w_ltr_linear",
+    # ---- 50-entry window edge (w_ltr_linear is row 49; fts_ttf takes
+    # row 50 with its r3 row as insurance) ----
+    # Spillovers below all hold prior triple-green rows (r1-r3) and stay
+    # exercised by tests/test_gate.py + oracle_check against the same
+    # oracles: the evaluator long tail, facet variants, component
+    # queries, remaining fts variants, and the rows-only-by-design
+    # approx sketches (t_simhash_pairs, a_hll_approx) whose driver rows
+    # are already recorded.
+    "fts_ttf", "fts_fuzzy", "u_delete_by_key", "u_atomic_update",
+    "a_facet_range", "a_wsum", "a_igain", "t_jaccard_pairs", "t_quality",
+    "s_media_features", "w_rerank",
+    "a_spline", "a_bicubic", "a_kmeans", "a_fuzzy_kmeans", "a_convolution",
+    "a_polyfit", "a_ks_test", "a_anova", "a_paired_ttest", "a_chisq_dataset",
+    "a_gtest_dataset", "a_moving_mad", "a_outliers", "a_gamma_dist",
+    "a_discrete_dist", "a_distribution", "a_freq_table", "a_hist", "a_ols2",
+    "a_knn_regress", "a_score_nodes", "a_funcquery2", "a_funcquery3",
+    "a_ttest", "a_mannwhitney", "w_elevate", "w_ltr_trees",
+    "a_facet_query", "a_facet_heatmap", "a_geodist", "a_facet2d",
+    "fts_spellcheck", "fts_highlight", "a_moving_avg",
+    "fts_term_dictionary", "fts_dismax_tie", "fts_complexphrase",
+    "fts_proximity", "fts_maxscore", "fts_synonyms",
+    "t_dup_clusters", "t_lang_id", "s_topic_incremental",
 ]
 
 
@@ -3164,6 +3109,38 @@ def a_geodist(spark, sf_dir):
         .select("c_custkey", d.alias("dist_km"))
         .filter(F.col("dist_km") <= 3000.0)
     )
+
+
+_POLY_WKT = ("POLYGON ((-50 -40, 60 -55, 140 10, 30 55, -120 35, -50 -40))")
+
+
+def _geo_polygon_oracle() -> str:
+    from solr_spark.functions.geo import parse_wkt_polygon, point_in_polygon_sql
+
+    ring = parse_wkt_polygon(_POLY_WKT)
+    pip = point_in_polygon_sql("x", "y", ring)
+    return f"""WITH pts AS (SELECT c_custkey,
+  CAST(c_custkey % 300 AS DOUBLE) - 150.0 AS x,
+  CAST(c_custkey % 120 AS DOUBLE) - 60.0 AS y FROM customer)
+SELECT c_custkey, x AS lon, y AS lat FROM pts WHERE {pip}"""
+
+
+@entry("a_geo_polygon", _geo_polygon_oracle())
+def a_geo_polygon(spark, sf_dir):
+    """WKT polygon intersects filter
+    (SpatialRecursivePrefixTreeFieldType's {!field}Intersects(POLYGON)
+    surface): the constant query ring compiles to a fixed per-edge
+    ray-casting expression — whole-stage-codegen arithmetic, no UDF —
+    and the oracle runs the term-for-term SQL mirror
+    (geo.point_in_polygon_sql)."""
+    from solr_spark.functions.geo import polygon_filter
+
+    pts = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") % 300).cast("double") - F.lit(150.0)).alias("lon"),
+        ((F.col("c_custkey") % 120).cast("double") - F.lit(60.0)).alias("lat"),
+    )
+    return polygon_filter(pts, "lon", "lat", _POLY_WKT)
 
 
 # ===========================================================================

@@ -590,3 +590,60 @@ def test_dist_sqedist_joindf(spark):
     other = spark.createDataFrame([("a",), ("z",)], "k string")
     j = {row["id"]: row["joined"] for row in joindf(names, other, "k", "v").collect()}
     assert j == {1: False, 2: True, 3: False, 4: True}
+
+
+def test_wkt_polygon_parse_and_filter(spark):
+    from solr_spark.functions import geo
+
+    ring = geo.parse_wkt_polygon("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    assert ring == [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]
+    with pytest.raises(ValueError):
+        geo.parse_wkt_polygon("POLYGON ((0 0, 10 0, 10 10))")  # unclosed
+    with pytest.raises(ValueError):
+        geo.parse_wkt_polygon("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))")
+
+    df = spark.createDataFrame(
+        [(1, 5.0, 5.0), (2, 15.0, 5.0), (3, -0.1, 5.0), (4, 9.99, 9.99)],
+        "id bigint, lon double, lat double",
+    )
+    got = sorted(
+        r["id"]
+        for r in geo.polygon_filter(
+            df, "lon", "lat", "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+        ).collect()
+    )
+    assert got == [1, 4]
+
+
+def test_point_in_polygon_sql_mirror():
+    """Python (Spark expression semantics replicated in numpy) vs the
+    generated SQL, on a concave ring — same parity for every point."""
+    import duckdb
+
+    from solr_spark.functions.geo import parse_wkt_polygon, point_in_polygon_sql
+
+    wkt = "POLYGON ((0 0, 10 0, 10 10, 5 5, 0 10, 0 0))"  # concave notch
+    ring = parse_wkt_polygon(wkt)
+
+    def pip_py(x, y):
+        c = 0
+        n = len(ring)
+        for i in range(n):
+            (x1, y1), (x2, y2) = ring[i], ring[(i + 1) % n]
+            if (y1 > y) != (y2 > y) and x < (x2 - x1) * (y - y1) / (y2 - y1) + x1:
+                c += 1
+        return c % 2 == 1
+
+    pts = [(x * 0.7 - 2, y * 0.9 - 1) for x in range(20) for y in range(15)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p(x DOUBLE, y DOUBLE)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", pts)
+    sql = dict(
+        ((x, y), v)
+        for x, y, v in con.sql(
+            f"SELECT x, y, {point_in_polygon_sql('x', 'y', ring)} FROM p"
+        ).fetchall()
+    )
+    assert all(sql[(x, y)] == pip_py(x, y) for x, y in pts)
+    # the notch: (5, 7) is OUTSIDE the concave polygon, (5, 3) inside
+    assert not pip_py(5.0, 7.0) and pip_py(5.0, 3.0)
