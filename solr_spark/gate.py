@@ -1188,6 +1188,8 @@ _PRIORITY = [
     "a_percentile_digest",
     # dynamicField/copyField ingest shim (schema.py) + indexed search
     "u_copyfield",
+    # WKT polygon intersects filter (geo.py ray-casting expression)
+    "a_geo_polygon",
     # -- (b) round-4 UPGRADED: rows-only -> full oracle ------------------
     # t_classify: unrolled-GD DuckDB mirror; a_convex_hull: Jarvis-march
     # recursive-CTE oracle
@@ -1217,8 +1219,7 @@ _PRIORITY = [
     "t_minhash_pairs", "t_exact_dups", "e_near_dup", "t_token_stats",
     # windowed / LTR
     "w_collapse", "w_ltr_linear",
-    # ---- 50-entry window edge (w_ltr_linear is row 49; fts_ttf takes
-    # row 50 with its r3 row as insurance) ----
+    # ---- 50-entry window edge (w_ltr_linear is row 50) ----
     # Spillovers below all hold prior triple-green rows (r1-r3) and stay
     # exercised by tests/test_gate.py + oracle_check against the same
     # oracles: the evaluator long tail, facet variants, component
