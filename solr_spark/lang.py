@@ -1,7 +1,9 @@
 """Reference-name resolution: every function name the reference's
 streaming-expression language registers (solrj-streaming
-.../solr/client/solrj/io/Lang.java:337-498, the ``withFunctionName``
-calls — streams, metrics, operations and the evaluator library) mapped
+.../solr/client/solrj/io/Lang.java:337-638, the ``withFunctionName``
+calls — streams, metrics, operations, the evaluator library, and the
+temporal evaluators registered via TemporalEvaluator*.FUNCTION_NAME
+constants) mapped
 to this engine's implementation, so a user of the reference can find
 each operator under the exact name they use today.
 

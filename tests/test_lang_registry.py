@@ -1,6 +1,6 @@
 """Reference-name parity: solr_spark.lang.registry() must cover every
 function name Lang.java registers (the ``withFunctionName`` calls in
-solrj-streaming/.../io/Lang.java:337-498), either with an implementation
+solrj-streaming/.../io/Lang.java:337-638), either with an implementation
 or an explicit, reasoned exclusion.
 
 LANG_NAMES below is the frozen list extracted from the reference at
@@ -131,3 +131,43 @@ def test_distribution_protocol_dispatch():
     cont = {"pdf": lambda x: ("pdf", x)}
     assert lang.density(cont, 1) == ("pdf", 1)
     assert lang.probability(cont, 1) == ("pdf", 1)
+
+
+def test_temporal_evaluator_values(spark):
+    """ISO semantics pinned against Python's datetime.isocalendar:
+    Spark weekofyear IS IsoFields.WEEK_OF_WEEK_BASED_YEAR
+    (TemporalEvaluatorWeek.java:39), epoch is MILLIseconds
+    (TemporalEvaluatorEpoch.java:40), dayOfQuarter is 1-based."""
+    import datetime
+
+    r = lang.registry()
+    rows = [
+        ("2021-01-01 10:30:45",),  # ISO week 53 of 2020
+        ("2024-02-29 23:59:59",),  # leap day, Q1 day 60
+        ("2026-08-19 00:00:00",),
+        ("2019-12-30 12:00:00",),  # ISO week 1 of 2020
+    ]
+    df = spark.createDataFrame(rows, "ts string")
+    out = df.select(
+        "ts",
+        r["year"]("ts").alias("y"), r["month"]("ts").alias("mo"),
+        r["day"]("ts").alias("d"), r["dayOfYear"]("ts").alias("doy"),
+        r["hour"]("ts").alias("h"), r["minute"]("ts").alias("mi"),
+        r["second"]("ts").alias("s"), r["week"]("ts").alias("w"),
+        r["quarter"]("ts").alias("q"), r["dayOfQuarter"]("ts").alias("dq"),
+        r["epoch"]("ts").alias("ep"),
+    ).collect()
+    for row in out:
+        dt = datetime.datetime.fromisoformat(row["ts"])
+        assert row["y"] == dt.year and row["mo"] == dt.month
+        assert row["d"] == dt.day
+        assert row["doy"] == dt.timetuple().tm_yday
+        assert (row["h"], row["mi"], row["s"]) == (dt.hour, dt.minute, dt.second)
+        assert row["w"] == dt.isocalendar()[1]
+        assert row["q"] == (dt.month - 1) // 3 + 1
+        q_start = datetime.date(dt.year, 3 * ((dt.month - 1) // 3) + 1, 1)
+        assert row["dq"] == (dt.date() - q_start).days + 1
+        # epoch: session timezone is UTC, so the wall time IS the instant
+        assert row["ep"] == int(
+            dt.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000
+        )
