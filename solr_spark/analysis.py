@@ -64,6 +64,154 @@ def tokenize_arrow(texts: pd.Series):
     return pc.filter(flat, good), pc.filter(parent, good)
 
 
+def surviving_positions(parent: np.ndarray) -> np.ndarray:
+    """Token position within its doc among SURVIVING (post-stop) tokens:
+    ordinal minus the doc's first ordinal. ``parent`` must be
+    non-decreasing in token order (list_parent_indices contract). Shared
+    by positions.position_lists and the synonym-injection path so the
+    position arithmetic can never diverge."""
+    n = parent.size
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    np.not_equal(parent[1:], parent[:-1], out=change[1:])
+    doc_first = np.flatnonzero(change)
+    return np.arange(n, dtype=np.int64) - doc_first[np.cumsum(change) - 1]
+
+
+class SynonymGraph:
+    """Index-time synonym expansion — the SynonymGraphFilterFactory slot
+    of the reference's index analyzer chain (managed-schema.xml text
+    fieldTypes; lucene/analysis/common/.../synonym/SynonymGraphFilter.java).
+
+    ``rules`` maps an analyzed LHS phrase (space-separated post-stop
+    tokens) to one or more RHS phrases. At index time every LHS
+    occurrence ADDITIONALLY emits the RHS tokens (expand=true semantics:
+    originals are kept), with FLATTENED-graph positions exactly as
+    Lucene's index chain produces them (SynonymGraphFilter must be
+    followed by FlattenGraphFilter when indexing —
+    FlattenGraphFilter.java class doc): the j-th RHS token lands at
+    ``match_start + j``, overlapping whatever original token holds that
+    position. Injected tokens carry position-increment-0 semantics:
+
+      * they never shift original token positions, and
+      * they do NOT count toward doclen — Lucene's discountOverlaps=true
+        norm default (BM25Similarity.java), so BM25 length normalization
+        sees only the original stream while tf/df see the expanded one.
+
+    Matching runs on the post-stop, pre-stem token stream; injected
+    tokens then pass through the dictionary-level analyzer transform
+    (stemmer) like any original token. Queries need NO expansion against
+    a synonym-built index — that is the entire point of paying the
+    postings-size cost at build time. Matching and injection are
+    vectorized (one Arrow equality per distinct rule token, numpy shifts
+    for multi-token adjacency); cost ∝ matches, no extra shuffle — the
+    100 TB posture is unchanged from the plain analysis chain."""
+
+    def __init__(self, rules: dict):
+        self._rules: list[tuple[tuple[str, ...], list[tuple[str, ...]]]] = []
+        for lhs, rhss in sorted(rules.items()):
+            if isinstance(rhss, str):
+                rhss = [rhss]
+            lhs_toks = tuple(lhs.split())
+            for t in lhs_toks:
+                if not TOKEN_RE.fullmatch(t) or t in STOPWORDS:
+                    raise ValueError(
+                        f"synonym LHS token {t!r} is not an analyzed "
+                        "(post-stop, [a-z0-9_]+) token"
+                    )
+            rhs_list = []
+            for rhs in rhss:
+                rhs_toks = tuple(rhs.split())
+                if not rhs_toks:
+                    raise ValueError(f"empty RHS for synonym LHS {lhs!r}")
+                for t in rhs_toks:
+                    if not TOKEN_RE.fullmatch(t) or t in STOPWORDS:
+                        raise ValueError(
+                            f"synonym RHS token {t!r} is not an analyzed "
+                            "(post-stop, [a-z0-9_]+) token"
+                        )
+                rhs_list.append(rhs_toks)
+            if not lhs_toks:
+                raise ValueError("empty synonym LHS")
+            self._rules.append((lhs_toks, rhs_list))
+
+    def to_meta(self) -> dict:
+        """JSON-serializable form persisted in IndexMeta — the synonym
+        table is part of the index contract (a resumed/merged build must
+        reproduce the same postings)."""
+        return {
+            " ".join(lhs): [" ".join(r) for r in rhss]
+            for lhs, rhss in self._rules
+        }
+
+    def additions(self, flat, par: np.ndarray, tokpos: np.ndarray):
+        """Injected tokens for one analyzed batch. ``flat`` is the
+        surviving-token Arrow array, ``par``/``tokpos`` its parallel doc
+        index / in-doc position arrays. Returns ``(tokens pa.Array,
+        par int64, pos int64)`` or None when nothing matched."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        n = len(flat)
+        if n == 0:
+            return None
+        eqcache: dict[str, np.ndarray] = {}
+
+        def eq(tok: str) -> np.ndarray:
+            if tok not in eqcache:
+                eqcache[tok] = (
+                    pc.equal(flat, tok)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(bool)
+                )
+            return eqcache[tok]
+
+        toks_out: list[np.ndarray] = []
+        par_out: list[np.ndarray] = []
+        pos_out: list[np.ndarray] = []
+        for lhs, rhss in self._rules:
+            L = len(lhs)
+            if n < L:
+                continue
+            m = n - L + 1
+            mask = eq(lhs[0])[:m].copy()
+            for j in range(1, L):
+                mask &= eq(lhs[j])[j : j + m]
+            if L > 1:
+                # the span must stay inside one doc and be contiguous in
+                # surviving-token positions (stop-removed gaps break it —
+                # matching runs on the post-stop stream, pinned contract)
+                mask &= par[L - 1 :] == par[:m]
+                mask &= tokpos[L - 1 :] == tokpos[:m] + (L - 1)
+            idx = np.flatnonzero(mask)
+            if idx.size == 0:
+                continue
+            for rhs in rhss:
+                for j, tok in enumerate(rhs):
+                    toks_out.append(np.full(idx.size, tok, dtype=object))
+                    par_out.append(par[idx])
+                    pos_out.append(tokpos[idx] + j)
+        if not toks_out:
+            return None
+        return (
+            pa.array(np.concatenate(toks_out), type=pa.string()),
+            np.concatenate(par_out).astype(np.int64),
+            np.concatenate(pos_out).astype(np.int64),
+        )
+
+
+def _concat_tokens(flat, extra):
+    """Append an Arrow string array to the (possibly chunked) surviving
+    token array."""
+    import pyarrow as pa
+
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    return pa.concat_arrays([flat.cast(pa.string()), extra])
+
+
 def dict_encode_terms(tokens_arr, term_transform=None):
     """Dictionary-encode a token array and (optionally) apply an analyzer
     transform over the DICTIONARY only — unique terms, so stemming cost
@@ -105,6 +253,7 @@ def term_frequencies(
     texts: pd.Series,
     bigrams: bool = False,
     term_transform=None,
+    synonyms: "SynonymGraph | None" = None,
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Analyze a batch of documents — the ingest hot path, zero per-token
     Python objects. All string work runs in Arrow C++ over flat buffers
@@ -144,6 +293,13 @@ def term_frequencies(
             "bigrams=True cannot be combined with a term_transform "
             "analyzer (pair keys would be inconsistently stemmed)"
         )
+    if bigrams and synonyms is not None:
+        # the bigram branch pairs ARRAY-adjacent tokens; injected
+        # synonym tokens appended out of stream order would create
+        # phantom adjacencies — the positional index is the synonym-aware
+        # phrase path (positions.position_lists handles injection with
+        # real flattened-graph positions)
+        raise ValueError("bigrams=True cannot be combined with synonyms")
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     n_docs = doc_ids.size
     flat, parent = tokenize_arrow(texts)
@@ -154,7 +310,16 @@ def term_frequencies(
             pd.DataFrame({"docid": doc_ids, "doclen": np.zeros(n_docs, np.int64)}),
         )
     pos = parent.to_numpy().astype(np.int64)
+    # doclen counts ORIGINAL surviving tokens only — injected synonym
+    # tokens are posInc-0 overlaps, excluded from length normalization
+    # (Lucene discountOverlaps=true; see SynonymGraph)
     doclens = np.bincount(pos, minlength=n_docs).astype(np.int64)
+    if synonyms is not None:
+        add = synonyms.additions(flat, pos, surviving_positions(pos))
+        if add is not None:
+            atoks, apar, _apos = add
+            flat = _concat_tokens(flat, atoks)
+            pos = np.concatenate([pos, apar])
 
     def _count_runs(tokens_arr, tok_pos):
         """(token, doc) pairs → unique (doc, term, tf) via dict-encode +

@@ -62,6 +62,7 @@ def ensure_index(
     bigrams: bool = False,
     analyzer: str = "code",
     positions: bool = True,
+    synonyms: dict | None = None,
 ) -> IndexMeta:
     """Build (or reuse, via the indexer's resume manifest) the index for
     one sf_dir under a content-addressed temp location. ``positions=True``
@@ -71,11 +72,20 @@ def ensure_index(
     (positions.py) in a SEPARATE cache dir; ``positions=False`` keeps a
     position-free index for the two-phase content-verify fallback
     paths."""
+    syn_key = ""
+    if synonyms:
+        import json as _json
+
+        syn_key = ":syn" + _json.dumps(
+            {k: sorted(v) if isinstance(v, list) else v
+             for k, v in sorted(synonyms.items())},
+            sort_keys=True,
+        )
     key = hashlib.md5(
         (
             f"{ENGINE_VERSION}:{os.path.abspath(sf_dir)}:{bucket_docs}:"
             f"{bigrams}:{analyzer}:{_source_signature(sf_dir)}"
-            + (":pos" if positions else "")
+            + (":pos" if positions else "") + syn_key
         ).encode()
     ).hexdigest()[:12]
     out = os.path.join(tempfile.gettempdir(), f"solr_spark_gate_{key}")
@@ -87,6 +97,7 @@ def ensure_index(
         resume=True,
         bigrams=bigrams,
         analyzer=analyzer,
+        synonyms=synonyms,
     )
     if positions and not getattr(meta, "has_positions", False):
         from .positions import build_positions, default_payload_fn
@@ -178,6 +189,7 @@ def gate_search(
     k: int = 10,
     synonyms: dict[str, list[str]] | None = None,
     analyzer: str = "code",
+    index_synonyms: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Top-k BM25 with the oracle's ranking contract: rank by
     (round(score, 6) desc, docid asc); emit (doc_id, score).
@@ -190,13 +202,21 @@ def gate_search(
     (solr/core/src/java/org/apache/solr/search/SolrQueryParser.java).
 
     ``synonyms``: optional query-time synonym map applied through
-    qparser.expand_synonyms (synonymGraphFilter slot)."""
+    qparser.expand_synonyms (synonymGraphFilter slot).
+
+    ``index_synonyms``: optional INDEX-time synonym rules
+    (analysis.SynonymGraph — the index-analyzer synonymGraph +
+    flattenGraph slot): the postings themselves carry the injected
+    occurrences, so the query runs unexpanded. Phrase/proximity queries
+    match through injected positions via the positional plan."""
     from collections import Counter
 
     from .analysis import ANALYZERS
     from .qparser import expand_synonyms
 
-    meta = ensure_index(spark, sf_dir, analyzer=analyzer)
+    meta = ensure_index(
+        spark, sf_dir, analyzer=analyzer, synonyms=index_synonyms
+    )
     query: Query = parse(q) if isinstance(q, str) else _copy_query(q)
     if synonyms:
         query = expand_synonyms(query, synonyms)

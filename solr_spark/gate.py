@@ -1190,6 +1190,9 @@ _PRIORITY = [
     "u_copyfield",
     # WKT polygon intersects filter (geo.py ray-casting expression)
     "a_geo_polygon",
+    # index-time SynonymGraph injection (analysis.SynonymGraph —
+    # flattened-graph positions, discountOverlaps doclen)
+    "fts_synonyms_index",
     # -- (b) round-4 UPGRADED: rows-only -> full oracle ------------------
     # t_classify: unrolled-GD DuckDB mirror; a_convex_hull: Jarvis-march
     # recursive-CTE oracle
@@ -1217,9 +1220,11 @@ _PRIORITY = [
     "a_rollup_q1", "a_facet_pivot", "a_hll_sketch", "a_percentile_rank",
     # LLM-pipeline ops (dedup / similarity / text / media)
     "t_minhash_pairs", "t_exact_dups", "e_near_dup", "t_token_stats",
-    # windowed / LTR
-    "w_collapse", "w_ltr_linear",
-    # ---- 50-entry window edge (w_ltr_linear is row 50) ----
+    # windowed / LTR (w_ltr_linear spilled for fts_synonyms_index — it
+    # holds an r3 triple-green row and stays pinned by tests)
+    "w_collapse",
+    # ---- 50-entry window edge (w_collapse is row 50) ----
+    "w_ltr_linear",
     # Spillovers below all hold prior triple-green rows (r1-r3) and stay
     # exercised by tests/test_gate.py + oracle_check against the same
     # oracles: the evaluator long tail, facet variants, component
@@ -1568,6 +1573,41 @@ def fts_stemmed(spark, sf_dir):
     term DICTIONARY at build time and over the query terms at search
     time, so stemming cost scales with vocabulary, not corpus."""
     return gate_search(spark, sf_dir, "windows merges", k=10, analyzer="code_stem")
+
+
+_IDX_SYN_RULES = {"merge": ["join"]}
+
+
+def _index_synonyms_oracle() -> str:
+    from .oracle import analyzed_tokens_sql, synonym_toks_sql
+
+    # tf/df over the EXPANDED stream (every 'merge' occurrence also emits
+    # 'join'), doclen over the ORIGINAL stream (injected tokens are
+    # posInc-0 overlaps, excluded from length normalization — Lucene
+    # discountOverlaps). Both engines expand independently: the oracle
+    # via the generated list_transform/flatten mirror, the engine via
+    # SynonymGraph injection into the postings build.
+    return bm25_oracle_sql(
+        "join windows", k=10,
+        toks_sql=synonym_toks_sql(_IDX_SYN_RULES),
+        doclen_toks_sql=analyzed_tokens_sql("text"),
+    )
+
+
+@entry("fts_synonyms_index", _index_synonyms_oracle())
+def fts_synonyms_index(spark, sf_dir):
+    """INDEX-time synonym expansion (the index-analyzer synonymGraph +
+    flattenGraph slot, managed-schema.xml:297-313; lucene/analysis/
+    common/.../synonym/SynonymGraphFilter.java): the index is built with
+    merge→join injected into the postings themselves (analysis.
+    SynonymGraph — expand=true, flattened positions, discountOverlaps
+    doclen), so the UNEXPANDED query q='join windows' retrieves and
+    scores documents that only contain 'merge'. df('join') counts
+    merge-docs too — exactly the statistics shift a real index-time
+    synonym filter causes, which the oracle reproduces independently."""
+    return gate_search(
+        spark, sf_dir, "join windows", k=10, index_synonyms=_IDX_SYN_RULES
+    )
 
 
 @entry("fts_synonyms", bm25_oracle_sql("merge join", k=10))

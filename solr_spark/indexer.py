@@ -82,6 +82,10 @@ class IndexMeta:
     has_positions: bool = False  # positional postings present (positions.py)
     has_payloads: bool = False  # per-position payloads present (positions.py)
     analyzer: str = "code"  # analysis.ANALYZERS key used at build time
+    # index-time synonym rules (analysis.SynonymGraph.to_meta form) — part
+    # of the persisted index contract: positional builds, delta segments
+    # and merges must reproduce the same injected postings
+    synonyms: dict | None = None
     n_terms: int = 0
     postings_rows: int = 0
     postings_bytes: int = 0
@@ -138,6 +142,7 @@ def _analyze_partitions(
     bigrams: bool = False,
     term_transform=None,
     id_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    synonyms=None,
 ):
     """mapInPandas closure: tokenize + hash one sorted partition, emitting
     union-typed rows. local_idx is the row ordinal within the partition.
@@ -168,7 +173,8 @@ def _analyze_partitions(
             local += len(pdf)
             n_docs += len(pdf)
             triples, doclens = term_frequencies(
-                ids, pdf["content"], bigrams=bigrams, term_transform=term_transform
+                ids, pdf["content"], bigrams=bigrams,
+                term_transform=term_transform, synonyms=synonyms,
             )
             sum_doclen += int(doclens["doclen"].sum())
             sha = pdf["content"].map(lambda s: hashlib.sha256((s or "").encode()).hexdigest())
@@ -371,6 +377,7 @@ def build_index(
     docid_base: int = 0,
     bigrams: bool = False,
     analyzer: str = "code",
+    synonyms: dict | None = None,
 ) -> IndexMeta:
     """Build the full index under ``out_dir``. Returns IndexMeta.
 
@@ -394,9 +401,16 @@ def build_index(
     from .analysis import ANALYZERS
 
     term_transform = ANALYZERS[analyzer]
+    syn_graph = None
+    if synonyms:
+        from .analysis import SynonymGraph
+
+        syn_graph = SynonymGraph(synonyms)
+        synonyms = syn_graph.to_meta()  # canonical persisted form
     meta = IndexMeta(
         out_dir=out_dir, bucket_docs=bucket_docs, has_bigrams=bigrams,
         analyzer=analyzer, id_cols=list(id_cols),
+        synonyms=synonyms or None,
     )
     cols = {c.lower() for c in docs.columns}
     lang_col = F.col("lang") if "lang" in cols else F.lit(None).cast("string")
@@ -421,6 +435,7 @@ def build_index(
                 bigrams=bigrams,
                 term_transform=term_transform,
                 id_cols=tuple(id_cols),
+                synonyms=syn_graph,
             ),
             STAGE_SCHEMA,
         ).write.mode("overwrite").parquet(stage_dir)

@@ -42,12 +42,36 @@ def _toks(col: str = "text") -> str:
     return TOKS.format(col=col)
 
 
+def synonym_toks_sql(rules: dict, col: str = "text") -> str:
+    """Expanded token-list SQL for an index-time synonym table
+    (analysis.SynonymGraph, expand=true): every LHS occurrence
+    additionally emits its RHS tokens. Token-frequency semantics only —
+    positions are irrelevant to term scoring, so a flat
+    list_transform→flatten mirror is exact for tf/df. Single-token LHS
+    only (a multi-token LHS needs positional windows; those paths are
+    pinned by pytest against the engine instead)."""
+    cases = []
+    for lhs, rhss in sorted(rules.items()):
+        if " " in lhs:
+            raise ValueError(
+                "synonym_toks_sql mirrors single-token LHS rules only"
+            )
+        if isinstance(rhss, str):
+            rhss = [rhss]
+        all_toks = [lhs] + [t for r in rhss for t in r.split()]
+        arr = ", ".join(f"'{t}'" for t in all_toks)
+        cases.append(f"WHEN x = '{lhs}' THEN [{arr}]")
+    case = "CASE " + " ".join(cases) + " ELSE [x] END"
+    return f"flatten(list_transform({_toks(col)}, x -> {case}))"
+
+
 def bm25_oracle_sql(
     q: str,
     k: int = 10,
     table: str = "documents",
     toks_sql: str | None = None,
     term_transform=None,
+    doclen_toks_sql: str | None = None,
 ) -> str:
     """Generate the DuckDB oracle for a lucene-lite query string over the
     ``documents`` view (doc_id, text, lang, source). Output columns:
@@ -57,7 +81,12 @@ def bm25_oracle_sql(
     ``toks_sql`` overrides the document token-list expression (e.g. a
     stemmed analyzer chain) and ``term_transform`` applies the matching
     per-term transform to the parsed query terms — the query/index
-    analyzer symmetry mirrored from engine.gate_search."""
+    analyzer symmetry mirrored from engine.gate_search.
+
+    ``doclen_toks_sql`` overrides the token list used for doclen/avgdl
+    separately from the tf/df list — index-time synonyms inject posInc-0
+    tokens that count toward tf but NOT toward length normalization
+    (Lucene discountOverlaps; see analysis.SynonymGraph)."""
     query: Query = parse(q)
     if query.phrases or query.multiterm or query.required_groups:
         raise ValueError(
@@ -80,10 +109,11 @@ def bm25_oracle_sql(
     prohibited = sorted(query.prohibited)
     required = sorted(query.required)
     tok_expr = toks_sql or _toks()
+    dl_expr = doclen_toks_sql or tok_expr
 
     ctes = [
         f"tok AS (SELECT doc_id, unnest({tok_expr}) AS term FROM {table})",
-        f"dl AS (SELECT doc_id, lang, source, len({tok_expr}) AS doclen FROM {table})",
+        f"dl AS (SELECT doc_id, lang, source, len({dl_expr}) AS doclen FROM {table})",
         (
             "g AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
             "CAST(sum(doclen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl)"

@@ -97,7 +97,11 @@ def positions_path(meta: IndexMeta) -> str:
 
 
 def position_lists(
-    doc_ids: np.ndarray, texts: pd.Series, term_transform=None, payload_fn=None
+    doc_ids: np.ndarray,
+    texts: pd.Series,
+    term_transform=None,
+    payload_fn=None,
+    synonyms=None,
 ):
     """Analyze a batch of documents into per-(doc, term) position lists.
 
@@ -108,11 +112,19 @@ def position_lists(
     with ``payload_fn`` (vectorized (tokens, positions) -> int64 array,
     the DelimitedPayloadTokenFilter slot) also a parallel
     payloads list<int32> column aligned 1:1 with positions.
+
+    ``synonyms`` (analysis.SynonymGraph) injects index-time synonym
+    tokens with FLATTENED-graph positions (the j-th replacement token at
+    match_start + j, overlapping originals) — injected occurrences are
+    real positional postings, so phrase/proximity queries match through
+    them with no query-side expansion. Injected tokens get the
+    ``payload_fn`` value computed from their own (token, position) pair,
+    like any original occurrence.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from .analysis import dict_encode_terms, tokenize_arrow
+    from .analysis import dict_encode_terms, surviving_positions, tokenize_arrow
 
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     flat, parent = tokenize_arrow(texts)
@@ -134,18 +146,29 @@ def position_lists(
             )
         return out
     par = parent.to_numpy().astype(np.int64)
-    # position within doc among SURVIVING tokens: ordinal minus the doc's
-    # first ordinal (par is non-decreasing in token order)
-    change = np.empty(n, dtype=bool)
-    change[0] = True
-    np.not_equal(par[1:], par[:-1], out=change[1:])
-    doc_first = np.flatnonzero(change)
-    tokpos = np.arange(n, dtype=np.int64) - doc_first[np.cumsum(change) - 1]
+    tokpos = surviving_positions(par)
+    injected = False
+    if synonyms is not None:
+        from .analysis import _concat_tokens
+
+        add = synonyms.additions(flat, par, tokpos)
+        if add is not None:
+            atoks, apar, apos = add
+            flat = _concat_tokens(flat, atoks)
+            par = np.concatenate([par, apar])
+            tokpos = np.concatenate([tokpos, apos])
+            n = len(flat)
+            injected = True
 
     codes, dictionary = dict_encode_terms(flat, term_transform)
     k = np.int64(len(dictionary))
     key = par * k + codes
-    order = np.argsort(key, kind="stable")  # stable: positions stay ascending
+    if injected:
+        # appended synonym occurrences break array-order == position-order;
+        # sort positions within each (doc, term) group explicitly
+        order = np.lexsort((tokpos, key))
+    else:
+        order = np.argsort(key, kind="stable")  # stable: positions ascending
     skey = key[order]
     spos = tokpos[order]
     gchange = np.empty(n, dtype=bool)
@@ -316,7 +339,9 @@ def decode_position_run(row, bucket_docs: int):
 # build stage
 
 
-def _extract_positions(term_transform, bucket_docs: int, payload_fn=None):
+def _extract_positions(
+    term_transform, bucket_docs: int, payload_fn=None, synonyms=None
+):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow as pa
 
@@ -326,6 +351,7 @@ def _extract_positions(term_transform, bucket_docs: int, payload_fn=None):
             out = position_lists(
                 pdf["docid"].to_numpy(np.int64), pdf["content"],
                 term_transform=term_transform, payload_fn=payload_fn,
+                synonyms=synonyms,
             )
             if len(out):
                 out["bucket"] = (
@@ -422,9 +448,11 @@ def build_positions(
         return meta
     t0 = time.time()
     P = num_partitions or spark.sparkContext.defaultParallelism
-    from .analysis import ANALYZERS
+    from .analysis import ANALYZERS, SynonymGraph
 
     term_transform = ANALYZERS[getattr(meta, "analyzer", "code")]
+    syn_rules = getattr(meta, "synonyms", None)
+    synonyms = SynonymGraph(syn_rules) if syn_rules else None
     # resume safety: meta.json may be stale/absent relative to the table
     # (_SUCCESS written, crash before meta.save()), so derive the payload
     # stream's ACTUAL presence from the table — never from this call's
@@ -453,7 +481,8 @@ def build_positions(
         )
         joined = src.join(docs_tbl, list(id_cols)).select("docid", "content")
         extract = _extract_positions(
-            term_transform, meta.bucket_docs, payload_fn=payload_fn
+            term_transform, meta.bucket_docs, payload_fn=payload_fn,
+            synonyms=synonyms,
         )
         pos_rows = joined.mapInPandas(extract, _STAGE_SCHEMA)
         # same range layout as the main postings: files cover contiguous

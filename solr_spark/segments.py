@@ -151,6 +151,7 @@ def add_segment(
     # inconsistent with the shared dictionary
     kw.setdefault("analyzer", base.analyzer)
     kw.setdefault("bigrams", base.has_bigrams)
+    kw.setdefault("synonyms", getattr(base, "synonyms", None))
     meta = build_index(
         spark,
         new_docs,
@@ -281,6 +282,7 @@ def merge_segments(
         avgdl=sum_doclen / n_docs if n_docs else 0.0,
         bucket_docs=bucket_docs,
         analyzer=view.segments[0].analyzer,
+        synonyms=getattr(view.segments[0], "synonyms", None),
         has_bigrams=all(m.has_bigrams for m in view.segments),
         id_cols=ids,
     )

@@ -102,6 +102,7 @@ def test_driver_window_composition():
         "a_geo_polygon",          # WKT polygon filter
         "t_classify",             # rows-only → full GD-mirror oracle
         "a_convex_hull",          # rows-only → Jarvis-CTE oracle
+        "fts_synonyms_index",     # index-time SynonymGraph injection
         # round-3-new machinery that keeps a second consecutive row while
         # young (payload stream, positional default, segment lifecycle)
         "fts_payload_score", "fts_payload_check",
@@ -116,7 +117,7 @@ def test_driver_window_composition():
         "r_search_select", "r_topk", "r_export_sorted",
         "j_inner_join", "j_hash_broadcast", "j_graph_2hop",
         "a_rollup_q1", "a_facet_pivot", "a_hll_sketch",
-        "a_percentile_rank", "w_collapse", "w_ltr_linear",
+        "a_percentile_rank", "w_collapse",
         # training-data ops (graded first-class)
         "t_minhash_pairs", "t_exact_dups", "t_token_stats",
         "e_knn_brute", "e_knn_ivf", "e_near_dup",
@@ -124,4 +125,4 @@ def test_driver_window_composition():
     missing = must_hold - set(window)
     assert not missing, f"outside the driver window: {sorted(missing)}"
     # the window edge itself (documented in gate._PRIORITY)
-    assert window[49] == "w_ltr_linear"
+    assert window[49] == "w_collapse"
