@@ -427,7 +427,7 @@ S_STEM_CASE_SQL = (
 # with vocabulary size, not corpus size (the Spark-native analog of
 # Lucene's per-segment term dictionary). None = identity (the pinned
 # "code" contract above).
-from .stem import german_minimal_stem, porter_stem  # noqa: E402
+from .stem import french_minimal_stem, german_minimal_stem, porter_stem  # noqa: E402
 
 ANALYZERS: dict[str, "callable | None"] = {
     "code": None,
@@ -439,6 +439,9 @@ ANALYZERS: dict[str, "callable | None"] = {
     # text_de: umlaut folding + minimal plural/case stripper
     # (stem.german_minimal_stem) — the non-English chain slot
     "text_de": german_minimal_stem,
+    # text_fr: accent folding + Savoy-style light ending removal
+    # (stem.french_minimal_stem)
+    "text_fr": french_minimal_stem,
 }
 
 

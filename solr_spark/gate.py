@@ -1244,6 +1244,11 @@ _PRIORITY = [
     "fts_spellcheck", "fts_highlight", "a_moving_avg",
     "fts_term_dictionary", "fts_dismax_tie", "fts_complexphrase",
     "fts_proximity", "fts_maxscore", "fts_synonyms",
+    # text_fr chain (added after the round-4 window was frozen; driver
+    # evidence comes from tests/test_gate.py + oracle_check — the
+    # in-window stemmed representatives are fts_stemmed_porter and
+    # fts_stemmed)
+    "fts_stemmed_french",
     "t_dup_clusters", "t_lang_id", "s_topic_incremental",
 ]
 
@@ -1562,6 +1567,30 @@ def fts_stemmed_porter(spark, sf_dir):
     search time — cost ∝ vocabulary, not corpus."""
     return gate_search(
         spark, sf_dir, "queries hashing customers", k=10, analyzer="text_en"
+    )
+
+
+def _french_oracle() -> str:
+    from .stem import french_minimal_sql, french_minimal_stem
+
+    stem_toks = f"list_transform({TOKS_SQL}, x -> {french_minimal_sql('x')})"
+    return bm25_oracle_sql(
+        "merges customers", k=10,
+        toks_sql=stem_toks, term_transform=french_minimal_stem,
+    )
+
+
+@entry("fts_stemmed_french", _french_oracle())
+def fts_stemmed_french(spark, sf_dir):
+    """French light chain (stem.french_minimal_stem — Savoy SAC 2006
+    family; the FrenchLightStemFilter slot of the reference's text_fr
+    fieldType): q='merges customers' matches docs whose tokens share
+    the stems 'merg'/'custom' (merges→merg via s-then-e, customers→
+    custom via s-then-r-then-e). Oracle stems independently via the
+    machine-generated SQL mirror (stem.french_minimal_sql); dictionary-
+    level transform, cost ∝ vocabulary."""
+    return gate_search(
+        spark, sf_dir, "merges customers", k=10, analyzer="text_fr"
     )
 
 

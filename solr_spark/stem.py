@@ -396,3 +396,78 @@ def german_minimal_sql(var: str = "x") -> str:
     )
     fold = (f"replace(translate({var}, 'äöü', 'aou'), 'ß', 'ss')")
     return _bind(v, fold, body)
+
+
+# ---------------------------------------------------------------------------
+# French minimal chain (accent folding + Savoy-style light ending removal)
+
+_FR_FOLD = str.maketrans({
+    "é": "e", "è": "e", "ê": "e", "ë": "e", "à": "a", "â": "a",
+    "î": "i", "ï": "i", "ô": "o", "ù": "u", "û": "u", "ç": "c",
+})
+
+
+def french_minimal_stem(w: str) -> str:
+    """French light stemmer in the spirit of the reference's text_fr
+    FrenchLightStemFilter slot (J. Savoy, "Light stemming approaches for
+    the French, Portuguese, German and Hungarian languages", SAC 2006 —
+    the public algorithm family Lucene's FrenchMinimalStemmer implements).
+    The exact rule table is pinned HERE and mirrored in SQL; we do not
+    claim bit parity with any particular Lucene filter:
+
+      0. fold accents (é/è/ê/ë→e, à/â→a, î/ï→i, ô→o, ù/û→u, ç→c)
+      1. len < 6: unchanged
+      2. ends 'aux' → 'al'  (chevaux→cheval); else ends 'x' → drop it
+      3. otherwise strip in order: final 's', then final 'r', then final
+         'e', then collapse a final doubled letter (belle→bel)
+    """
+    w = w.translate(_FR_FOLD)
+    if len(w) < 6:
+        return w
+    if w.endswith("aux"):
+        return w[:-3] + "al"
+    if w.endswith("x"):
+        return w[:-1]
+    if w.endswith("s"):
+        w = w[:-1]
+    if w.endswith("r"):
+        w = w[:-1]
+    if w.endswith("e"):
+        w = w[:-1]
+    if len(w) > 1 and w[-1] == w[-2]:
+        w = w[:-1]
+    return w
+
+
+def french_minimal_sql(var: str = "x") -> str:
+    """SQL mirror of french_minimal_stem (same rule table, same order)."""
+    v0 = _fresh("f")
+    v1 = _fresh("f")
+    v2 = _fresh("f")
+    v3 = _fresh("f")
+    fold = f"translate({var}, 'éèêëàâîïôùûç', 'eeeeaaiiouuc')"
+    e1 = (
+        f"CASE WHEN {v0} LIKE '%s' THEN substr({v0}, 1, length({v0}) - 1) "
+        f"ELSE {v0} END"
+    )
+    e2 = (
+        f"CASE WHEN {v1} LIKE '%r' THEN substr({v1}, 1, length({v1}) - 1) "
+        f"ELSE {v1} END"
+    )
+    e3 = (
+        f"CASE WHEN {v2} LIKE '%e' THEN substr({v2}, 1, length({v2}) - 1) "
+        f"ELSE {v2} END"
+    )
+    dedup = (
+        f"CASE WHEN length({v3}) > 1 AND "
+        f"substr({v3}, length({v3}), 1) = substr({v3}, length({v3}) - 1, 1) "
+        f"THEN substr({v3}, 1, length({v3}) - 1) ELSE {v3} END"
+    )
+    chain = _bind(v1, e1, _bind(v2, e2, _bind(v3, e3, dedup)))
+    body = (
+        f"CASE WHEN length({v0}) < 6 THEN {v0} "
+        f"WHEN {v0} LIKE '%aux' THEN substr({v0}, 1, length({v0}) - 3) || 'al' "
+        f"WHEN {v0} LIKE '%x' THEN substr({v0}, 1, length({v0}) - 1) "
+        f"ELSE {chain} END"
+    )
+    return _bind(v0, fold, body)

@@ -133,3 +133,53 @@ def test_stem_collisions_merge_in_dictionary():
     codes, terms = dict_encode_terms(arr, term_transform=porter_stem)
     vocab = set(terms.to_pylist() if hasattr(terms, "to_pylist") else terms)
     assert vocab == {"queri", "hash"}
+
+
+def test_french_minimal_vectors():
+    from solr_spark.stem import french_minimal_stem
+
+    vec = {
+        "chevaux": "cheval",       # aux → al
+        "hiboux": "hibou",         # x drop
+        "chantes": "chant",        # s then e
+        "chanter": "chant",        # r then e
+        "chantée": "chante",       # fold é→e, then one e dropped
+        "belles": "bel",           # s, e, then doubled-l collapse
+        "maison": "maison",        # no matching ending
+        "animaux": "animal",
+        "chats": "chats",          # len < 6 guard (post-fold length 5)
+        "été": "ete",              # len < 6: fold only
+        "français": "francai",
+    }
+    bad = {w: (french_minimal_stem(w), want)
+           for w, want in vec.items() if french_minimal_stem(w) != want}
+    assert bad == {}
+
+
+def test_french_sql_mirror():
+    from solr_spark.stem import french_minimal_sql, french_minimal_stem
+
+    words = ["chevaux", "hiboux", "chantes", "chanter", "chantée",
+             "belles", "maison", "animaux", "chats", "été", "français",
+             "x", "", "aux", "eaux", "chasses", "errees"]
+    got = _sql_batch(words, french_minimal_sql)
+    assert all(french_minimal_stem(w) == got[w] for w in words)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(
+    st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789_éèàçû",
+            min_size=0, max_size=14),
+    min_size=1, max_size=40, unique=True))
+def test_french_sql_mirror_property(words):
+    from solr_spark.stem import french_minimal_sql, french_minimal_stem
+
+    got = _sql_batch(words, french_minimal_sql)
+    assert all(french_minimal_stem(w) == got[w] for w in words)
+
+
+def test_french_in_analyzer_registry():
+    from solr_spark.analysis import ANALYZERS
+    from solr_spark.stem import french_minimal_stem
+
+    assert ANALYZERS["text_fr"] is french_minimal_stem
