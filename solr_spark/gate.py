@@ -1197,9 +1197,10 @@ _PRIORITY = [
     # t_classify: unrolled-GD DuckDB mirror; a_convex_hull: Jarvis-march
     # recursive-CTE oracle
     "t_classify", "a_convex_hull",
-    # -- (b) round-4 TOUCHED code paths ----------------------------------
-    # term_vectors gained the max_vocab cap (classify.py)
-    "a_term_vectors",
+    # -- (b) round-4 NEW: French light chain (same stem.py one-rule-table
+    # design as Porter/German; direct driver evidence beats relying on the
+    # oracle_check re-run, and a_term_vectors already holds r3 evidence)
+    "fts_stemmed_french",
     # payload value-source bridge defaults changed (funcquery.py)
     "fts_payload_score", "fts_payload_check",
     # k<1 validation added on these gates' search paths (engine.py)
@@ -1244,11 +1245,11 @@ _PRIORITY = [
     "fts_spellcheck", "fts_highlight", "a_moving_avg",
     "fts_term_dictionary", "fts_dismax_tie", "fts_complexphrase",
     "fts_proximity", "fts_maxscore", "fts_synonyms",
-    # text_fr chain (added after the round-4 window was frozen; driver
-    # evidence comes from tests/test_gate.py + oracle_check — the
-    # in-window stemmed representatives are fts_stemmed_porter and
-    # fts_stemmed)
-    "fts_stemmed_french",
+    # a_term_vectors spilled for fts_stemmed_french — it holds an r3
+    # triple-green row and stays pinned by tests/test_gate.py; the
+    # round-4 max_vocab cap on its path is pytest-covered
+    # (test_classify over-cap vocab).
+    "a_term_vectors",
     "t_dup_clusters", "t_lang_id", "s_topic_incremental",
 ]
 

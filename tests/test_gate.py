@@ -103,6 +103,7 @@ def test_driver_window_composition():
         "t_classify",             # rows-only → full GD-mirror oracle
         "a_convex_hull",          # rows-only → Jarvis-CTE oracle
         "fts_synonyms_index",     # index-time SynonymGraph injection
+        "fts_stemmed_french",     # French light chain
         # round-3-new machinery that keeps a second consecutive row while
         # young (payload stream, positional default, segment lifecycle)
         "fts_payload_score", "fts_payload_check",
