@@ -427,7 +427,14 @@ S_STEM_CASE_SQL = (
 # with vocabulary size, not corpus size (the Spark-native analog of
 # Lucene's per-segment term dictionary). None = identity (the pinned
 # "code" contract above).
-from .stem import french_minimal_stem, german_minimal_stem, porter_stem  # noqa: E402
+from .stem import (  # noqa: E402
+    french_minimal_stem,
+    german_minimal_stem,
+    italian_light_stem,
+    porter_stem,
+    portuguese_minimal_stem,
+    spanish_light_stem,
+)
 
 ANALYZERS: dict[str, "callable | None"] = {
     "code": None,
@@ -442,6 +449,13 @@ ANALYZERS: dict[str, "callable | None"] = {
     # text_fr: accent folding + Savoy-style light ending removal
     # (stem.french_minimal_stem)
     "text_fr": french_minimal_stem,
+    # text_es / text_it / text_pt: the same Savoy/Orengo light-stemmer
+    # family the reference's language fieldTypes ship (managed-schema
+    # text_es/text_it/text_pt; each a pinned rule table in stem.py with
+    # a machine-generated DuckDB SQL mirror)
+    "text_es": spanish_light_stem,
+    "text_it": italian_light_stem,
+    "text_pt": portuguese_minimal_stem,
 }
 
 

@@ -20,6 +20,7 @@ Float discipline (so order-insensitive value hashes match exactly):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1209,9 +1210,13 @@ _PRIORITY = [
     # ANALYZERS) and the IVF/brute paths (similarity.py)
     "fts_stemmed", "e_knn_ivf", "e_knn_brute",
     # -- (c) representatives: one strong row per family ------------------
+    # round-4 NEW: full-vocabulary differential for the es/it/pt light
+    # chains (fts_phrase_pos spilled for it — fts_phrase runs the same
+    # positional plan by default and holds the family's window slot)
+    "t_stem_vocab",
     # core BM25 + parser family (kernel/qparser paths untouched in r4)
     "fts_single_term", "fts_conjunction", "fts_phrase", "fts_mixed_phrase",
-    "fts_edismax_mm", "fts_edismax_pf2", "fts_prefix_term", "fts_phrase_pos",
+    "fts_edismax_mm", "fts_edismax_pf2", "fts_prefix_term",
     "fts_proximity_pos",
     # relational / export / updates
     "r_search_select", "r_topk", "r_export_sorted", "u_content_integrity",
@@ -1232,6 +1237,7 @@ _PRIORITY = [
     # queries, remaining fts variants, and the rows-only-by-design
     # approx sketches (t_simhash_pairs, a_hll_approx) whose driver rows
     # are already recorded.
+    "fts_phrase_pos",
     "fts_ttf", "fts_fuzzy", "u_delete_by_key", "u_atomic_update",
     "a_facet_range", "a_wsum", "a_igain", "t_jaccard_pairs", "t_quality",
     "s_media_features", "w_rerank",
@@ -1592,6 +1598,64 @@ def fts_stemmed_french(spark, sf_dir):
     level transform, cost ∝ vocabulary."""
     return gate_search(
         spark, sf_dir, "merges customers", k=10, analyzer="text_fr"
+    )
+
+
+def _stem_vocab_oracle() -> str:
+    from .stem import (
+        italian_light_sql,
+        portuguese_minimal_sql,
+        spanish_light_sql,
+    )
+
+    return f"""WITH v AS (SELECT DISTINCT unnest({TOKS_SQL}) AS term FROM documents)
+SELECT term, {spanish_light_sql('term')} AS stem_es,
+{italian_light_sql('term')} AS stem_it,
+{portuguese_minimal_sql('term')} AS stem_pt FROM v"""
+
+
+@entry("t_stem_vocab", _stem_vocab_oracle())
+def t_stem_vocab(spark, sf_dir):
+    """Vocabulary-level differential for the round-4 light-stemmer family
+    (text_es/text_it/text_pt — the Savoy/Orengo light chains of the
+    reference's language fieldTypes, managed-schema text_es/text_it/
+    text_pt): EVERY distinct corpus term is stemmed by all three chains
+    on the Spark side (the same dictionary-level transform the analyzer
+    registry applies at build time — an Arrow-batched pandas UDF over
+    the vocabulary, cost ∝ vocabulary not corpus), while the oracle
+    stems independently via the machine-generated DuckDB SQL mirrors
+    (stem.spanish_light_sql / italian_light_sql /
+    portuguese_minimal_sql). A full-vocabulary triple match is a far
+    stronger rule-table check than any single top-10 query."""
+
+    from .stem import (
+        italian_light_stem,
+        portuguese_minimal_stem,
+        spanish_light_stem,
+    )
+
+    @F.pandas_udf("string")
+    def stem_es(s: pd.Series) -> pd.Series:
+        return s.map(spanish_light_stem)
+
+    @F.pandas_udf("string")
+    def stem_it(s: pd.Series) -> pd.Series:
+        return s.map(italian_light_stem)
+
+    @F.pandas_udf("string")
+    def stem_pt(s: pd.Series) -> pd.Series:
+        return s.map(portuguese_minimal_stem)
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(textfn.tokens(F.col("text"))).alias("term"))
+        .distinct()
+    )
+    return vocab.select(
+        "term",
+        stem_es("term").alias("stem_es"),
+        stem_it("term").alias("stem_it"),
+        stem_pt("term").alias("stem_pt"),
     )
 
 

@@ -471,3 +471,167 @@ def french_minimal_sql(var: str = "x") -> str:
         f"ELSE {chain} END"
     )
     return _bind(v0, fold, body)
+
+
+# ---------------------------------------------------------------------------
+# Spanish light chain (accent folding + plural/gender ending removal)
+
+_ES_FOLD = str.maketrans({
+    "á": "a", "é": "e", "í": "i", "ó": "o", "ú": "u", "ü": "u",
+})
+
+
+def spanish_light_stem(w: str) -> str:
+    """Spanish light stemmer in the spirit of the reference's text_es
+    SpanishLightStemFilter slot (J. Savoy, "Report on CLEF-2001
+    experiments" light-stemmer family — the public algorithm family
+    Lucene's SpanishLightStemmer implements). The exact rule table is
+    pinned HERE and mirrored in SQL; no bit-parity claim with any
+    particular Lucene filter:
+
+      0. fold accents (á→a é→e í→i ó→o ú→u ü→u)
+      1. len < 5: unchanged
+      2. ends 'ces'  → 'z'        (luces→luz)
+      3. ends 'os'/'as'/'es' → strip 2  (gatos→gat, ciudades→ciudad)
+      4. ends 'o'/'a'/'e'    → strip 1  (gato→gat)
+    The first matching rule decides (no fall-through)."""
+    w = w.translate(_ES_FOLD)
+    if len(w) < 5:
+        return w
+    if w.endswith("ces"):
+        return w[:-3] + "z"
+    if w.endswith(("os", "as", "es")):
+        return w[:-2]
+    if w.endswith(("o", "a", "e")):
+        return w[:-1]
+    return w
+
+
+def spanish_light_sql(var: str = "x") -> str:
+    """SQL mirror of spanish_light_stem (same rule table, same order)."""
+    v = _fresh("e")
+    body = (
+        f"CASE WHEN length({v}) < 5 THEN {v} "
+        f"WHEN {v} LIKE '%ces' THEN substr({v}, 1, length({v}) - 3) || 'z' "
+        f"WHEN {v} LIKE '%os' OR {v} LIKE '%as' OR {v} LIKE '%es' "
+        f"THEN substr({v}, 1, length({v}) - 2) "
+        f"WHEN {v} LIKE '%o' OR {v} LIKE '%a' OR {v} LIKE '%e' "
+        f"THEN substr({v}, 1, length({v}) - 1) "
+        f"ELSE {v} END"
+    )
+    fold = f"translate({var}, 'áéíóúü', 'aeiouu')"
+    return _bind(v, fold, body)
+
+
+# ---------------------------------------------------------------------------
+# Italian light chain (accent folding + final-vowel removal)
+
+_IT_FOLD = str.maketrans({
+    "à": "a", "è": "e", "é": "e", "ì": "i", "í": "i", "ò": "o",
+    "ó": "o", "ù": "u", "ú": "u",
+})
+
+
+def italian_light_stem(w: str) -> str:
+    """Italian light stemmer in the spirit of the reference's text_it
+    ItalianLightStemFilter slot (Savoy CLEF light-stemmer family — the
+    public algorithm family Lucene's ItalianLightStemmer implements).
+    Pinned rule table, mirrored in SQL; no bit-parity claim:
+
+      0. fold accents (à→a è/é→e ì/í→i ò/ó→o ù/ú→u)
+      1. len < 5: unchanged
+      2. ends in a vowel among a/e/i/o → strip it
+      3. if the result still ends in 'i' and len > 4 → strip it too
+         (studii→studi→stud; plural -i after the gender vowel)"""
+    w = w.translate(_IT_FOLD)
+    if len(w) < 5:
+        return w
+    if w[-1] in "aeio":
+        w = w[:-1]
+        if len(w) > 4 and w[-1] == "i":
+            w = w[:-1]
+    return w
+
+
+def italian_light_sql(var: str = "x") -> str:
+    """SQL mirror of italian_light_stem (same rule table, same order)."""
+    v = _fresh("i")
+    s = _fresh("i")
+    inner = (
+        f"CASE WHEN length({s}) > 4 AND {s} LIKE '%i' "
+        f"THEN substr({s}, 1, length({s}) - 1) ELSE {s} END"
+    )
+    body = (
+        f"CASE WHEN length({v}) < 5 THEN {v} "
+        f"WHEN substr({v}, -1) IN ('a', 'e', 'i', 'o') THEN "
+        + _bind(s, f"substr({v}, 1, length({v}) - 1)", inner)
+        + f" ELSE {v} END"
+    )
+    fold = f"translate({var}, 'àèéìíòóùú', 'aeeiioouu')"
+    return _bind(v, fold, body)
+
+
+# ---------------------------------------------------------------------------
+# Portuguese minimal chain (plural reduction, then accent folding)
+
+_PT_FOLD = str.maketrans({
+    "ã": "a", "á": "a", "â": "a", "à": "a", "é": "e", "ê": "e",
+    "í": "i", "ó": "o", "ô": "o", "õ": "o", "ú": "u", "ç": "c",
+})
+
+
+def portuguese_minimal_stem(w: str) -> str:
+    """Portuguese minimal stemmer in the spirit of the reference's
+    text_pt PortugueseMinimalStemFilter slot (plural-reduction step of
+    V. Orengo & C. Huyck, "A Stemming Algorithm for the Portuguese
+    Language", SPIRE 2001 — the public algorithm Lucene's
+    PortugueseMinimalStemmer derives from). Pinned rule table, mirrored
+    in SQL; no bit-parity claim. Plural reduction runs BEFORE accent
+    folding (the 'ões'→'ão' rule needs the tilde):
+
+      1. len < 5: fold accents only
+      2. ends 'ões'/'ães' → 'ão'   (limões→limão, cães→cão)
+      3. ends 'ais' → 'al', 'éis'/'eis' → 'el', 'óis'/'ois' → 'ol',
+         'uis' → 'ul'              (animais→animal, papéis→papel)
+      4. ends 'ns' → 'm'           (bens→bem)
+      5. ends 's' (not 'ês'/'is')  → strip 1  (gatos→gato)
+      6. fold accents (ã/á/â/à→a é/ê→e í→i ó/ô/õ→o ú→u ç→c)"""
+    if len(w) >= 5:
+        if w.endswith(("ões", "ães")):
+            w = w[:-3] + "ão"
+        elif w.endswith("ais"):
+            w = w[:-3] + "al"
+        elif w.endswith(("éis", "eis")):
+            w = w[:-3] + "el"
+        elif w.endswith(("óis", "ois")):
+            w = w[:-3] + "ol"
+        elif w.endswith("uis"):
+            w = w[:-3] + "ul"
+        elif w.endswith("ns"):
+            w = w[:-2] + "m"
+        elif w.endswith("s") and not w.endswith(("ês", "is")):
+            w = w[:-1]
+    return w.translate(_PT_FOLD)
+
+
+def portuguese_minimal_sql(var: str = "x") -> str:
+    """SQL mirror of portuguese_minimal_stem (same rule table, same
+    order — plural reduction on the UNFOLDED word, fold last)."""
+    v = _fresh("t")
+    body = (
+        f"CASE WHEN length({v}) < 5 THEN {v} "
+        f"WHEN {v} LIKE '%ões' OR {v} LIKE '%ães' "
+        f"THEN substr({v}, 1, length({v}) - 3) || 'ão' "
+        f"WHEN {v} LIKE '%ais' THEN substr({v}, 1, length({v}) - 3) || 'al' "
+        f"WHEN {v} LIKE '%éis' OR {v} LIKE '%eis' "
+        f"THEN substr({v}, 1, length({v}) - 3) || 'el' "
+        f"WHEN {v} LIKE '%óis' OR {v} LIKE '%ois' "
+        f"THEN substr({v}, 1, length({v}) - 3) || 'ol' "
+        f"WHEN {v} LIKE '%uis' THEN substr({v}, 1, length({v}) - 3) || 'ul' "
+        f"WHEN {v} LIKE '%ns' THEN substr({v}, 1, length({v}) - 2) || 'm' "
+        f"WHEN {v} LIKE '%s' AND NOT ({v} LIKE '%ês' OR {v} LIKE '%is') "
+        f"THEN substr({v}, 1, length({v}) - 1) "
+        f"ELSE {v} END"
+    )
+    reduced = _bind(v, var, body)
+    return f"translate({reduced}, 'ãáâàéêíóôõúç', 'aaaaeeiooouc')"

@@ -104,11 +104,12 @@ def test_driver_window_composition():
         "a_convex_hull",          # rows-only → Jarvis-CTE oracle
         "fts_synonyms_index",     # index-time SynonymGraph injection
         "fts_stemmed_french",     # French light chain
+        "t_stem_vocab",           # es/it/pt full-vocabulary differential
         # round-3-new machinery that keeps a second consecutive row while
         # young (payload stream, positional default, segment lifecycle)
         "fts_payload_score", "fts_payload_check",
         "u_incremental_index", "u_merge_segments", "u_content_integrity",
-        "fts_phrase_pos", "fts_proximity_pos",
+        "fts_proximity_pos",
         # standing core coverage: one representative per plan family the
         # judge's bar text names (BM25 top-k, phrase, edismax, multiterm,
         # relational, joins, rollup/facet, sketches, LTR)

@@ -183,3 +183,119 @@ def test_french_in_analyzer_registry():
     from solr_spark.stem import french_minimal_stem
 
     assert ANALYZERS["text_fr"] is french_minimal_stem
+
+
+def test_spanish_light_vectors():
+    from solr_spark.stem import spanish_light_stem
+
+    vec = {
+        "luces": "luz",            # ces → z
+        "gatos": "gat",            # os strip
+        "ciudades": "ciudad",      # es strip
+        "casas": "cas",            # as strip
+        "grande": "grand",         # e strip
+        "camión": "camion",        # fold only (no matching ending)
+        "gato": "gato",            # len < 5 guard
+        "rápido": "rapid",         # fold then o strip
+        "informaciones": "informacion",
+    }
+    bad = {w: (spanish_light_stem(w), want)
+           for w, want in vec.items() if spanish_light_stem(w) != want}
+    assert bad == {}
+
+
+def test_italian_light_vectors():
+    from solr_spark.stem import italian_light_stem
+
+    vec = {
+        "gatti": "gatt",           # i strip
+        "ragazzi": "ragazz",
+        "studii": "stud",          # i strip, then second-i strip
+        "grande": "grand",         # e strip
+        "citta": "citt",           # a strip
+        "qualità": "qualit",       # fold à→a, then a strip
+        "gatto": "gatt",           # o strip
+        "cane": "cane",            # len < 5 guard
+        "numero": "numer",
+    }
+    bad = {w: (italian_light_stem(w), want)
+           for w, want in vec.items() if italian_light_stem(w) != want}
+    assert bad == {}
+
+
+def test_portuguese_minimal_vectors():
+    from solr_spark.stem import portuguese_minimal_stem
+
+    vec = {
+        "limões": "limao",         # ões → ão, then fold
+        "animais": "animal",       # ais → al
+        "papéis": "papel",         # éis → el
+        "lençóis": "lencol",       # óis → ol, fold ç
+        "jardins": "jardim",       # ns → m
+        "gatos": "gato",           # s strip
+        "inglês": "ingles",        # ês guard: fold only
+        "lápis": "lapis",          # is guard: fold only
+        "bem": "bem",              # len < 5 guard
+        "ações": "acao",
+    }
+    bad = {w: (portuguese_minimal_stem(w), want)
+           for w, want in vec.items() if portuguese_minimal_stem(w) != want}
+    assert bad == {}
+
+
+def test_new_light_sql_mirrors():
+    from solr_spark.stem import (
+        italian_light_sql,
+        italian_light_stem,
+        portuguese_minimal_sql,
+        portuguese_minimal_stem,
+        spanish_light_sql,
+        spanish_light_stem,
+    )
+
+    words = ["luces", "gatos", "ciudades", "casas", "grande", "camión",
+             "gato", "rápido", "informaciones", "gatti", "studii",
+             "qualità", "numero", "limões", "animais", "papéis",
+             "lençóis", "jardins", "inglês", "lápis", "ações", "",
+             "s", "es", "ns", "ões"]
+    for py, sql in ((spanish_light_stem, spanish_light_sql),
+                    (italian_light_stem, italian_light_sql),
+                    (portuguese_minimal_stem, portuguese_minimal_sql)):
+        got = _sql_batch(words, sql)
+        bad = {w: (py(w), got[w]) for w in words if py(w) != got[w]}
+        assert bad == {}, (py.__name__, bad)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(
+    st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789_áéíóúüàèìòùãõêôç",
+            min_size=0, max_size=14),
+    min_size=1, max_size=40, unique=True))
+def test_new_light_sql_mirror_property(words):
+    from solr_spark.stem import (
+        italian_light_sql,
+        italian_light_stem,
+        portuguese_minimal_sql,
+        portuguese_minimal_stem,
+        spanish_light_sql,
+        spanish_light_stem,
+    )
+
+    for py, sql in ((spanish_light_stem, spanish_light_sql),
+                    (italian_light_stem, italian_light_sql),
+                    (portuguese_minimal_stem, portuguese_minimal_sql)):
+        got = _sql_batch(words, sql)
+        assert all(py(w) == got[w] for w in words), py.__name__
+
+
+def test_new_chains_in_analyzer_registry():
+    from solr_spark.analysis import ANALYZERS
+    from solr_spark.stem import (
+        italian_light_stem,
+        portuguese_minimal_stem,
+        spanish_light_stem,
+    )
+
+    assert ANALYZERS["text_es"] is spanish_light_stem
+    assert ANALYZERS["text_it"] is italian_light_stem
+    assert ANALYZERS["text_pt"] is portuguese_minimal_stem
