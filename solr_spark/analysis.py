@@ -456,6 +456,60 @@ ANALYZERS: dict[str, "callable | None"] = {
     "text_es": spanish_light_stem,
     "text_it": italian_light_stem,
     "text_pt": portuguese_minimal_stem,
+    # text_cjk: no dictionary transform — the chain is the ingest
+    # pre-transform PRE_TRANSFORMS["text_cjk"] (CJK bigram fold below)
+    "text_cjk": None,
+}
+
+
+# ---------------------------------------------------------------------------
+# CJK bigram chain (text_cjk): the one tokenizer-LEVEL chain in the
+# reference's registry (CJKBigramFilterFactory in managed-schema's
+# text_cjk fieldType; lucene/analysis/common/.../cjk/CJKBigramFilter.java
+# semantics: each maximal Han/Hiragana/Katakana/Hangul run emits its
+# overlapping character bigrams; a length-1 run emits the single char).
+# Implemented as an ingest PRE-transform so the engine-wide ANALYSIS
+# CONTRACT stays untouched: each CJK bigram is folded to the token
+# 'cjk_<hex>_<hex>' (codepoints, 5 hex digits) — an INJECTIVE mapping
+# into the [a-z0-9_]+ term space, so tf/df/BM25/positions/phrases all
+# work unchanged, and pure-ASCII text is a no-op. The same fold applies
+# to query strings (query/index analyzer symmetry).
+
+CJK_RANGES = (
+    "\\u3040-\\u30ff"  # Hiragana + Katakana
+    "\\u3400-\\u4dbf"  # CJK Extension A
+    "\\u4e00-\\u9fff"  # CJK Unified Ideographs
+    "\\uac00-\\ud7af"  # Hangul syllables (+ Jamo Extended-B head)
+)
+_CJK_RUN_RE = re.compile(f"[{CJK_RANGES}]+")
+
+
+def _cjk_run_tokens(run: str) -> str:
+    if len(run) == 1:
+        return f"cjk_{ord(run):05x}"
+    return " ".join(
+        f"cjk_{ord(a):05x}_{ord(b):05x}" for a, b in zip(run, run[1:])
+    )
+
+
+def cjk_bigram_fold(text: str) -> str:
+    """Replace every maximal CJK run with its space-separated bigram
+    tokens (surrounded by spaces so the standard tokenizer isolates
+    them). ASCII-only strings return unchanged (identity fast path —
+    one regex scan, no allocation)."""
+    if text is None:
+        return text
+    if not _CJK_RUN_RE.search(text):
+        return text
+    return _CJK_RUN_RE.sub(lambda m: f" {_cjk_run_tokens(m.group(0))} ", text)
+
+
+# analyzer name → str→str ingest pre-transform, applied to document
+# content BEFORE tokenization (both the tf and the positional build
+# paths) and to query strings before parsing. Orthogonal to ANALYZERS
+# (the dictionary-level per-term transforms).
+PRE_TRANSFORMS: dict[str, "callable"] = {
+    "text_cjk": cjk_bigram_fold,
 }
 
 

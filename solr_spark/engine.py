@@ -211,9 +211,15 @@ def gate_search(
     match through injected positions via the positional plan."""
     from collections import Counter
 
-    from .analysis import ANALYZERS
+    from .analysis import ANALYZERS, PRE_TRANSFORMS
     from .qparser import expand_synonyms
 
+    if isinstance(q, str) and analyzer in PRE_TRANSFORMS:
+        # query/index analyzer symmetry for pre-transform chains (the
+        # text_cjk bigram fold): the query string folds through the SAME
+        # function the ingest path applied, BEFORE parsing — CJK runs
+        # become the cjk_<hex> bigram terms the index actually holds
+        q = PRE_TRANSFORMS[analyzer](q)
     meta = ensure_index(
         spark, sf_dir, analyzer=analyzer, synonyms=index_synonyms
     )

@@ -143,6 +143,7 @@ def _analyze_partitions(
     term_transform=None,
     id_cols: tuple[str, ...] = ("repo", "path", "commit"),
     synonyms=None,
+    pre_transform=None,
 ):
     """mapInPandas closure: tokenize + hash one sorted partition, emitting
     union-typed rows. local_idx is the row ordinal within the partition.
@@ -172,8 +173,15 @@ def _analyze_partitions(
             ids = np.arange(local, local + len(pdf), dtype=np.int64)
             local += len(pdf)
             n_docs += len(pdf)
+            # pre_transform (PRE_TRANSFORMS, e.g. the text_cjk bigram
+            # fold) feeds ONLY the tokenizer — the stored content and its
+            # integrity sha256 stay byte-identical to the source
+            tok_text = (
+                pdf["content"] if pre_transform is None
+                else pdf["content"].map(pre_transform)
+            )
             triples, doclens = term_frequencies(
-                ids, pdf["content"], bigrams=bigrams,
+                ids, tok_text, bigrams=bigrams,
                 term_transform=term_transform, synonyms=synonyms,
             )
             sum_doclen += int(doclens["doclen"].sum())
@@ -398,9 +406,10 @@ def build_index(
 
     P = num_partitions or spark.sparkContext.defaultParallelism
     stage_dir = os.path.join(out_dir, "_stage", "tokens")
-    from .analysis import ANALYZERS
+    from .analysis import ANALYZERS, PRE_TRANSFORMS
 
     term_transform = ANALYZERS[analyzer]
+    pre_transform = PRE_TRANSFORMS.get(analyzer)
     syn_graph = None
     if synonyms:
         from .analysis import SynonymGraph
@@ -436,6 +445,7 @@ def build_index(
                 term_transform=term_transform,
                 id_cols=tuple(id_cols),
                 synonyms=syn_graph,
+                pre_transform=pre_transform,
             ),
             STAGE_SCHEMA,
         ).write.mode("overwrite").parquet(stage_dir)

@@ -340,7 +340,8 @@ def decode_position_run(row, bucket_docs: int):
 
 
 def _extract_positions(
-    term_transform, bucket_docs: int, payload_fn=None, synonyms=None
+    term_transform, bucket_docs: int, payload_fn=None, synonyms=None,
+    pre_transform=None,
 ):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow as pa
@@ -348,8 +349,14 @@ def _extract_positions(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            # same pre-transform (e.g. text_cjk bigram fold) as the tf
+            # build — positional postings must tokenize the same stream
+            content = (
+                pdf["content"] if pre_transform is None
+                else pdf["content"].map(pre_transform)
+            )
             out = position_lists(
-                pdf["docid"].to_numpy(np.int64), pdf["content"],
+                pdf["docid"].to_numpy(np.int64), content,
                 term_transform=term_transform, payload_fn=payload_fn,
                 synonyms=synonyms,
             )
@@ -448,9 +455,10 @@ def build_positions(
         return meta
     t0 = time.time()
     P = num_partitions or spark.sparkContext.defaultParallelism
-    from .analysis import ANALYZERS, SynonymGraph
+    from .analysis import ANALYZERS, PRE_TRANSFORMS, SynonymGraph
 
     term_transform = ANALYZERS[getattr(meta, "analyzer", "code")]
+    pre_transform = PRE_TRANSFORMS.get(getattr(meta, "analyzer", "code"))
     syn_rules = getattr(meta, "synonyms", None)
     synonyms = SynonymGraph(syn_rules) if syn_rules else None
     # resume safety: meta.json may be stale/absent relative to the table
@@ -482,7 +490,7 @@ def build_positions(
         joined = src.join(docs_tbl, list(id_cols)).select("docid", "content")
         extract = _extract_positions(
             term_transform, meta.bucket_docs, payload_fn=payload_fn,
-            synonyms=synonyms,
+            synonyms=synonyms, pre_transform=pre_transform,
         )
         pos_rows = joined.mapInPandas(extract, _STAGE_SCHEMA)
         # same range layout as the main postings: files cover contiguous
