@@ -459,6 +459,9 @@ ANALYZERS: dict[str, "callable | None"] = {
     # text_cjk: no dictionary transform — the chain is the ingest
     # pre-transform PRE_TRANSFORMS["text_cjk"] (CJK bigram fold below)
     "text_cjk": None,
+    # text_folded: ASCIIFoldingFilter pre-transform chain, no dictionary
+    # transform (PRE_TRANSFORMS["text_folded"])
+    "text_folded": None,
 }
 
 
@@ -504,12 +507,34 @@ def cjk_bigram_fold(text: str) -> str:
     return _CJK_RUN_RE.sub(lambda m: f" {_cjk_run_tokens(m.group(0))} ", text)
 
 
+def ascii_fold(text: str) -> str:
+    """The ASCIIFoldingFilterFactory slot (managed-schema text_general_*
+    variants; lucene/analysis/common/.../miscellaneous/ASCIIFoldingFilter.java
+    semantics for the Latin accent plane): NFKD-decompose and drop
+    combining marks, so café→cafe, naïve→naive, Müller→Muller BEFORE
+    tokenization. Characters that do not decompose to ASCII (CJK, Greek
+    base letters) pass through to the tokenizer unchanged. ASCII-only
+    strings return the SAME object (identity fast path)."""
+    if text is None:
+        return text
+    if text.isascii():
+        return text
+    import unicodedata
+
+    return "".join(
+        ch
+        for ch in unicodedata.normalize("NFKD", text)
+        if not unicodedata.combining(ch)
+    )
+
+
 # analyzer name → str→str ingest pre-transform, applied to document
 # content BEFORE tokenization (both the tf and the positional build
 # paths) and to query strings before parsing. Orthogonal to ANALYZERS
 # (the dictionary-level per-term transforms).
 PRE_TRANSFORMS: dict[str, "callable"] = {
     "text_cjk": cjk_bigram_fold,
+    "text_folded": ascii_fold,
 }
 
 

@@ -170,3 +170,42 @@ def test_cjk_index_search_roundtrip(spark, tmp_path):
     docs_tbl = spark.read.parquet(meta.docs_path)
     sha_a = docs_tbl.where(F.col("path") == "a").select("sha256").head()[0]
     assert sha_a == hashlib.sha256(rows[0][4].encode()).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# text_folded (ASCIIFoldingFilter slot)
+
+
+def test_ascii_fold_vectors():
+    from solr_spark.analysis import ascii_fold
+
+    assert ascii_fold("café") == "cafe"
+    # ß does not NFKD-decompose to ss — passes through (documented:
+    # Latin accent plane only, not the full Lucene foldToASCII table)
+    assert ascii_fold("naïve Müller straße") == "naive Muller straße"
+    assert ascii_fold("Müller") == "Muller"
+    assert ascii_fold("ÀÉÎÕÜ çñ") == "AEIOU cn"
+    # identity fast path for pure ASCII
+    s = "plain ascii"
+    assert ascii_fold(s) is s
+    assert ascii_fold(None) is None
+    # NFKD compatibility forms: ligatures + full-width
+    assert ascii_fold("ﬁle") == "file"
+    assert ascii_fold("ａｂｃ") == "abc"
+
+
+def test_ascii_fold_registry():
+    from solr_spark.analysis import ANALYZERS, PRE_TRANSFORMS, ascii_fold
+
+    assert ANALYZERS["text_folded"] is None
+    assert PRE_TRANSFORMS["text_folded"] is ascii_fold
+
+
+def test_ascii_fold_query_index_symmetry():
+    """Folded query and folded content tokenize identically."""
+    from solr_spark.analysis import ascii_fold, analyze_query
+
+    doc = "Café RÉSUMÉ naïve"
+    q = "café résumé naïve"
+    assert analyze_query(ascii_fold(doc)) == ["cafe", "resume", "naive"]
+    assert analyze_query(ascii_fold(q)) == ["cafe", "resume", "naive"]
