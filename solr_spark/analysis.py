@@ -428,12 +428,16 @@ S_STEM_CASE_SQL = (
 # Lucene's per-segment term dictionary). None = identity (the pinned
 # "code" contract above).
 from .stem import (  # noqa: E402
+    dutch_minimal_stem,
     french_minimal_stem,
     german_minimal_stem,
+    hungarian_light_stem,
     italian_light_stem,
+    norwegian_minimal_stem,
     porter_stem,
     portuguese_minimal_stem,
     spanish_light_stem,
+    swedish_light_stem,
 )
 
 ANALYZERS: dict[str, "callable | None"] = {
@@ -456,6 +460,16 @@ ANALYZERS: dict[str, "callable | None"] = {
     "text_es": spanish_light_stem,
     "text_it": italian_light_stem,
     "text_pt": portuguese_minimal_stem,
+    # text_sv / text_no / text_hu / text_nl: the remaining European
+    # light chains of the reference's language fieldType registry
+    # (managed-schema text_sv/text_no/text_hu/text_nl — Swedish/
+    # Norwegian light, Hungarian light completing the Savoy SAC-2006
+    # quartet, Dutch plural/diminutive reduction); same pinned
+    # rule-table → dual Python/SQL design in stem.py
+    "text_sv": swedish_light_stem,
+    "text_no": norwegian_minimal_stem,
+    "text_hu": hungarian_light_stem,
+    "text_nl": dutch_minimal_stem,
     # text_cjk: no dictionary transform — the chain is the ingest
     # pre-transform PRE_TRANSFORMS["text_cjk"] (CJK bigram fold below)
     "text_cjk": None,

@@ -1603,48 +1603,64 @@ def fts_stemmed_french(spark, sf_dir):
 
 def _stem_vocab_oracle() -> str:
     from .stem import (
+        dutch_minimal_sql,
+        hungarian_light_sql,
         italian_light_sql,
+        norwegian_minimal_sql,
         portuguese_minimal_sql,
         spanish_light_sql,
+        swedish_light_sql,
     )
 
     return f"""WITH v AS (SELECT DISTINCT unnest({TOKS_SQL}) AS term FROM documents)
 SELECT term, {spanish_light_sql('term')} AS stem_es,
 {italian_light_sql('term')} AS stem_it,
-{portuguese_minimal_sql('term')} AS stem_pt FROM v"""
+{portuguese_minimal_sql('term')} AS stem_pt,
+{swedish_light_sql('term')} AS stem_sv,
+{norwegian_minimal_sql('term')} AS stem_no,
+{hungarian_light_sql('term')} AS stem_hu,
+{dutch_minimal_sql('term')} AS stem_nl FROM v"""
 
 
 @entry("t_stem_vocab", _stem_vocab_oracle())
 def t_stem_vocab(spark, sf_dir):
     """Vocabulary-level differential for the round-4 light-stemmer family
-    (text_es/text_it/text_pt — the Savoy/Orengo light chains of the
-    reference's language fieldTypes, managed-schema text_es/text_it/
-    text_pt): EVERY distinct corpus term is stemmed by all three chains
-    on the Spark side (the same dictionary-level transform the analyzer
-    registry applies at build time — an Arrow-batched pandas UDF over
-    the vocabulary, cost ∝ vocabulary not corpus), while the oracle
-    stems independently via the machine-generated DuckDB SQL mirrors
-    (stem.spanish_light_sql / italian_light_sql /
-    portuguese_minimal_sql). A full-vocabulary triple match is a far
-    stronger rule-table check than any single top-10 query."""
+    (text_es/text_it/text_pt/text_sv/text_no/text_hu/text_nl — the
+    Savoy/Orengo/CLEF light chains of the reference's language
+    fieldTypes, managed-schema): EVERY distinct corpus term is stemmed
+    by all seven chains on the Spark side (the same dictionary-level
+    transform the analyzer registry applies at build time — an
+    Arrow-batched pandas UDF over the vocabulary, cost ∝ vocabulary not
+    corpus), while the oracle stems independently via the
+    machine-generated DuckDB SQL mirrors (stem.*_sql). A
+    full-vocabulary match across seven independent rule tables is a far
+    stronger check than any single top-10 query."""
 
     from .stem import (
+        dutch_minimal_stem,
+        hungarian_light_stem,
         italian_light_stem,
+        norwegian_minimal_stem,
         portuguese_minimal_stem,
         spanish_light_stem,
+        swedish_light_stem,
     )
 
-    @F.pandas_udf("string")
-    def stem_es(s: pd.Series) -> pd.Series:
-        return s.map(spanish_light_stem)
+    chains = {
+        "stem_es": spanish_light_stem,
+        "stem_it": italian_light_stem,
+        "stem_pt": portuguese_minimal_stem,
+        "stem_sv": swedish_light_stem,
+        "stem_no": norwegian_minimal_stem,
+        "stem_hu": hungarian_light_stem,
+        "stem_nl": dutch_minimal_stem,
+    }
 
-    @F.pandas_udf("string")
-    def stem_it(s: pd.Series) -> pd.Series:
-        return s.map(italian_light_stem)
-
-    @F.pandas_udf("string")
-    def stem_pt(s: pd.Series) -> pd.Series:
-        return s.map(portuguese_minimal_stem)
+    def _stem_udf(fn):
+        @F.pandas_udf("string")
+        def _u(s: pd.Series) -> pd.Series:
+            return s.map(fn)
+        return _u
 
     d = _t(spark, sf_dir, "documents")
     vocab = (
@@ -1653,9 +1669,7 @@ def t_stem_vocab(spark, sf_dir):
     )
     return vocab.select(
         "term",
-        stem_es("term").alias("stem_es"),
-        stem_it("term").alias("stem_it"),
-        stem_pt("term").alias("stem_pt"),
+        *[_stem_udf(fn)("term").alias(col) for col, fn in chains.items()],
     )
 
 

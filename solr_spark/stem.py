@@ -635,3 +635,223 @@ def portuguese_minimal_sql(var: str = "x") -> str:
     )
     reduced = _bind(v, var, body)
     return f"translate({reduced}, 'ãáâàéêíóôõúç', 'aaaaeeiooouc')"
+
+
+# ---------------------------------------------------------------------------
+# Swedish light chain (plural/definite-form ending removal)
+
+
+def swedish_light_stem(w: str) -> str:
+    """Swedish light stemmer in the spirit of the reference's text_sv
+    SwedishLightStemFilter slot (Savoy CLEF light-stemmer family — the
+    public algorithm family Lucene's SwedishLightStemmer implements).
+    The exact rule table is pinned HERE and mirrored in SQL; no
+    bit-parity claim with any particular Lucene filter. First matching
+    tier decides (no fall-through); each tier carries its own length
+    guard so a strip never leaves fewer than three letters:
+
+      1. len >= 7, ends 'arna'/'erna'/'orna'/'ande'/'aste' -> strip 4
+         (bilarna->bil, husen... flickorna->flick)
+      2. len >= 6, ends 'are'/'ast'/'het' -> strip 3  (starkast->stark)
+      3. len >= 5, ends 'ar'/'er'/'or'/'en'/'at'/'et' -> strip 2
+         (hundar->hund, huset->hus)
+      4. len >= 5, ends 'a'/'e'/'n'/'t' -> strip 1   (flicka->flick)
+    """
+    n = len(w)
+    if n >= 7 and w.endswith(("arna", "erna", "orna", "ande", "aste")):
+        return w[:-4]
+    if n >= 6 and w.endswith(("are", "ast", "het")):
+        return w[:-3]
+    if n >= 5 and w.endswith(("ar", "er", "or", "en", "at", "et")):
+        return w[:-2]
+    if n >= 5 and w[-1] in "aent":
+        return w[:-1]
+    return w
+
+
+def swedish_light_sql(var: str = "x") -> str:
+    """SQL mirror of swedish_light_stem (same rule table, same order)."""
+    v = _fresh("s")
+    body = (
+        f"CASE WHEN length({v}) >= 7 AND ({v} LIKE '%arna' OR {v} LIKE '%erna' "
+        f"OR {v} LIKE '%orna' OR {v} LIKE '%ande' OR {v} LIKE '%aste') "
+        f"THEN substr({v}, 1, length({v}) - 4) "
+        f"WHEN length({v}) >= 6 AND ({v} LIKE '%are' OR {v} LIKE '%ast' "
+        f"OR {v} LIKE '%het') THEN substr({v}, 1, length({v}) - 3) "
+        f"WHEN length({v}) >= 5 AND ({v} LIKE '%ar' OR {v} LIKE '%er' "
+        f"OR {v} LIKE '%or' OR {v} LIKE '%en' OR {v} LIKE '%at' "
+        f"OR {v} LIKE '%et') THEN substr({v}, 1, length({v}) - 2) "
+        f"WHEN length({v}) >= 5 AND substr({v}, -1) IN ('a', 'e', 'n', 't') "
+        f"THEN substr({v}, 1, length({v}) - 1) "
+        f"ELSE {v} END"
+    )
+    return _bind(v, var, body)
+
+
+# ---------------------------------------------------------------------------
+# Norwegian minimal chain (definite/plural ending removal)
+
+
+def norwegian_minimal_stem(w: str) -> str:
+    """Norwegian minimal stemmer in the spirit of the reference's
+    text_no NorwegianMinimalStemFilter slot (the public
+    definite/plural-reduction table Lucene's NorwegianMinimalStemmer
+    implements). Pinned rule table, mirrored in SQL; no bit-parity
+    claim. First matching tier decides:
+
+      1. len >= 6, ends 'ene'/'ane'/'ete' -> strip 3  (husene->hus)
+      2. len >= 5, ends 'er'/'en'/'et'/'ar'/'as'/'es' -> strip 2
+         (hester->hest, huset->hus, gutten->gutt)
+      3. len >= 5, ends 'a'/'e' -> strip 1            (jenta->jent)
+    """
+    n = len(w)
+    if n >= 6 and w.endswith(("ene", "ane", "ete")):
+        return w[:-3]
+    if n >= 5 and w.endswith(("er", "en", "et", "ar", "as", "es")):
+        return w[:-2]
+    if n >= 5 and w[-1] in "ae":
+        return w[:-1]
+    return w
+
+
+def norwegian_minimal_sql(var: str = "x") -> str:
+    """SQL mirror of norwegian_minimal_stem (same table, same order)."""
+    v = _fresh("n")
+    body = (
+        f"CASE WHEN length({v}) >= 6 AND ({v} LIKE '%ene' OR {v} LIKE '%ane' "
+        f"OR {v} LIKE '%ete') THEN substr({v}, 1, length({v}) - 3) "
+        f"WHEN length({v}) >= 5 AND ({v} LIKE '%er' OR {v} LIKE '%en' "
+        f"OR {v} LIKE '%et' OR {v} LIKE '%ar' OR {v} LIKE '%as' "
+        f"OR {v} LIKE '%es') THEN substr({v}, 1, length({v}) - 2) "
+        f"WHEN length({v}) >= 5 AND substr({v}, -1) IN ('a', 'e') "
+        f"THEN substr({v}, 1, length({v}) - 1) "
+        f"ELSE {v} END"
+    )
+    return _bind(v, var, body)
+
+
+# ---------------------------------------------------------------------------
+# Hungarian light chain (case/plural ending removal — completes the
+# Savoy SAC-2006 quartet: French, Portuguese, German, Hungarian)
+
+
+def hungarian_light_stem(w: str) -> str:
+    """Hungarian light stemmer in the spirit of the reference's text_hu
+    HungarianLightStemFilter slot (J. Savoy, "Light stemming approaches
+    for the French, Portuguese, German and Hungarian languages", SAC
+    2006 — the public algorithm family Lucene's HungarianLightStemmer
+    implements). Pinned rule table, mirrored in SQL; no bit-parity
+    claim. Accented vowels do not survive this engine's [a-z0-9_]+
+    token contract, so the table is written over the folded forms.
+    First matching tier decides:
+
+      1. len >= 7, ends 'okat'/'eket'/'akat' -> strip 4
+         (hajokat->hajo... autokat->auto: accusative plural)
+      2. len >= 6, ends 'nak'/'nek'/'val'/'vel'/'ban'/'ben'/'bol'/
+         'rol'/'tol'/'hoz'/'hez' -> strip 3   (hazban->haz: case endings)
+      3. len >= 5, ends 'ok'/'ek'/'ak'/'ot'/'et'/'at'/'on'/'en'/'an'/
+         'ba'/'be'/'ra'/'re'/'ul'/'ig' -> strip 2  (hazak->haz)
+      4. len >= 5, ends 'k'/'t'/'a'/'e'/'o' -> strip 1  (hazat... kert)
+    """
+    n = len(w)
+    if n >= 7 and w.endswith(("okat", "eket", "akat")):
+        return w[:-4]
+    if n >= 6 and w.endswith(("nak", "nek", "val", "vel", "ban", "ben",
+                              "bol", "rol", "tol", "hoz", "hez")):
+        return w[:-3]
+    if n >= 5 and w.endswith(("ok", "ek", "ak", "ot", "et", "at", "on",
+                              "en", "an", "ba", "be", "ra", "re", "ul",
+                              "ig")):
+        return w[:-2]
+    if n >= 5 and w[-1] in "ktaeo":
+        return w[:-1]
+    return w
+
+
+def hungarian_light_sql(var: str = "x") -> str:
+    """SQL mirror of hungarian_light_stem (same table, same order)."""
+    v = _fresh("h")
+    t3 = " OR ".join(f"{v} LIKE '%{s}'" for s in (
+        "nak", "nek", "val", "vel", "ban", "ben", "bol", "rol", "tol",
+        "hoz", "hez"))
+    t2 = " OR ".join(f"{v} LIKE '%{s}'" for s in (
+        "ok", "ek", "ak", "ot", "et", "at", "on", "en", "an", "ba", "be",
+        "ra", "re", "ul", "ig"))
+    body = (
+        f"CASE WHEN length({v}) >= 7 AND ({v} LIKE '%okat' OR {v} LIKE '%eket' "
+        f"OR {v} LIKE '%akat') THEN substr({v}, 1, length({v}) - 4) "
+        f"WHEN length({v}) >= 6 AND ({t3}) THEN substr({v}, 1, length({v}) - 3) "
+        f"WHEN length({v}) >= 5 AND ({t2}) THEN substr({v}, 1, length({v}) - 2) "
+        f"WHEN length({v}) >= 5 AND substr({v}, -1) IN "
+        f"('k', 't', 'a', 'e', 'o') THEN substr({v}, 1, length({v}) - 1) "
+        f"ELSE {v} END"
+    )
+    return _bind(v, var, body)
+
+
+# ---------------------------------------------------------------------------
+# Dutch minimal chain (plural/diminutive reduction)
+
+
+def dutch_minimal_stem(w: str) -> str:
+    """Dutch minimal stemmer in the spirit of the reference's text_nl
+    chain (the plural/diminutive-reduction core of the public
+    Kraaij-Pohlmann / Snowball Dutch family). Pinned rule table,
+    mirrored in SQL; no bit-parity claim. First matching tier decides:
+
+      1. len >= 8, ends 'heden' -> 'heid'
+         (mogelijkheden->mogelijkheid)
+      2. len >= 6, ends 'tje'/'pje'/'kje'/'jes' -> strip 3
+         (boompje->boom, boekjes->boek)
+      3. len >= 5, ends 'je' -> strip 2              (huisje->huis)
+      4. len >= 5, ends 'en' (not 'een') -> strip 2, then collapse a
+         final doubled letter   (katten->katt->kat, lopen->lop)
+      5. len >= 5, ends 's' (not 'ss') -> strip 1    (autos->auto)
+      6. len >= 5, ends 'e' -> strip 1               (grote->grot)
+    """
+    n = len(w)
+    if n >= 8 and w.endswith("heden"):
+        return w[:-5] + "heid"
+    if n >= 6 and w.endswith(("tje", "pje", "kje", "jes")):
+        return w[:-3]
+    if n >= 5 and w.endswith("je"):
+        return w[:-2]
+    if n >= 5 and w.endswith("en") and not w.endswith("een"):
+        w = w[:-2]
+        if len(w) > 1 and w[-1] == w[-2]:
+            w = w[:-1]
+        return w
+    if n >= 5 and w.endswith("s") and not w.endswith("ss"):
+        return w[:-1]
+    if n >= 5 and w.endswith("e"):
+        return w[:-1]
+    return w
+
+
+def dutch_minimal_sql(var: str = "x") -> str:
+    """SQL mirror of dutch_minimal_stem (same table, same order)."""
+    v = _fresh("d")
+    s = _fresh("d")
+    dedup = (
+        f"CASE WHEN length({s}) > 1 AND "
+        f"substr({s}, length({s}), 1) = substr({s}, length({s}) - 1, 1) "
+        f"THEN substr({s}, 1, length({s}) - 1) ELSE {s} END"
+    )
+    en_branch = _bind(s, f"substr({v}, 1, length({v}) - 2)", dedup)
+    body = (
+        f"CASE WHEN length({v}) >= 8 AND {v} LIKE '%heden' "
+        f"THEN substr({v}, 1, length({v}) - 5) || 'heid' "
+        f"WHEN length({v}) >= 6 AND ({v} LIKE '%tje' OR {v} LIKE '%pje' "
+        f"OR {v} LIKE '%kje' OR {v} LIKE '%jes') "
+        f"THEN substr({v}, 1, length({v}) - 3) "
+        f"WHEN length({v}) >= 5 AND {v} LIKE '%je' "
+        f"THEN substr({v}, 1, length({v}) - 2) "
+        f"WHEN length({v}) >= 5 AND {v} LIKE '%en' AND NOT {v} LIKE '%een' "
+        f"THEN {en_branch} "
+        f"WHEN length({v}) >= 5 AND {v} LIKE '%s' AND NOT {v} LIKE '%ss' "
+        f"THEN substr({v}, 1, length({v}) - 1) "
+        f"WHEN length({v}) >= 5 AND {v} LIKE '%e' "
+        f"THEN substr({v}, 1, length({v}) - 1) "
+        f"ELSE {v} END"
+    )
+    return _bind(v, var, body)

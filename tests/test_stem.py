@@ -299,3 +299,130 @@ def test_new_chains_in_analyzer_registry():
     assert ANALYZERS["text_es"] is spanish_light_stem
     assert ANALYZERS["text_it"] is italian_light_stem
     assert ANALYZERS["text_pt"] is portuguese_minimal_stem
+
+
+# ---------------------------------------------------------------------------
+# round-4 batch 2: Swedish / Norwegian / Hungarian / Dutch light chains
+
+
+def test_swedish_light_vectors():
+    from solr_spark.stem import swedish_light_stem
+
+    vec = {
+        "bilarna": "bil", "flickorna": "flick", "husen": "hus",
+        "starkast": "stark", "fiskare": "fisk",
+        "hundar": "hund", "huset": "hus", "flicka": "flick",
+        "stark": "stark", "bil": "bil", "arna": "arna",
+        "lagande": "lag", "snabbaste": "snabb",
+    }
+    bad = {w: (swedish_light_stem(w), want)
+           for w, want in vec.items() if swedish_light_stem(w) != want}
+    assert bad == {}
+
+
+def test_norwegian_minimal_vectors():
+    from solr_spark.stem import norwegian_minimal_stem
+
+    vec = {
+        "husene": "hus", "guttane": "gutt", "hester": "hest",
+        "huset": "hus", "jenta": "jent", "gutten": "gutt",
+        "hus": "hus", "ene": "ene", "bokene": "bok",
+        "boka": "boka",  # below the len>=5 guard: unchanged
+    }
+    bad = {w: (norwegian_minimal_stem(w), want)
+           for w, want in vec.items() if norwegian_minimal_stem(w) != want}
+    assert bad == {}
+
+
+def test_hungarian_light_vectors():
+    from solr_spark.stem import hungarian_light_stem
+
+    vec = {
+        "hajokat": "haj", "hazban": "haz", "hazak": "haz",
+        "hazat": "haz", "kertek": "kert", "haznak": "haz",
+        "haz": "haz", "okat": "okat", "kertekbol": "kertek",
+    }
+    bad = {w: (hungarian_light_stem(w), want)
+           for w, want in vec.items() if hungarian_light_stem(w) != want}
+    assert bad == {}
+
+
+def test_dutch_minimal_vectors():
+    from solr_spark.stem import dutch_minimal_stem
+
+    vec = {
+        "mogelijkheden": "mogelijkheid", "boekjes": "boek",
+        "huisje": "huis", "katten": "kat", "lopen": "lop",
+        "grote": "grot", "boeken": "boek", "steen": "steen",
+        "autos": "auto", "kassen": "kas", "boek": "boek",
+        "boompje": "boom",
+    }
+    bad = {w: (dutch_minimal_stem(w), want)
+           for w, want in vec.items() if dutch_minimal_stem(w) != want}
+    assert bad == {}
+
+
+def test_nordic_light_sql_mirrors():
+    from solr_spark.stem import (
+        dutch_minimal_sql,
+        dutch_minimal_stem,
+        hungarian_light_sql,
+        hungarian_light_stem,
+        norwegian_minimal_sql,
+        norwegian_minimal_stem,
+        swedish_light_sql,
+        swedish_light_stem,
+    )
+
+    words = ["bilarna", "starkast", "hundar", "flicka", "husene",
+             "hester", "jenta", "hajokat", "hazban", "hazak", "hazat",
+             "mogelijkheden", "boekjes", "katten", "lopen", "grote",
+             "steen", "kassen", "", "s", "en", "een", "ss", "heden",
+             "aste", "ene", "okat", "x1_foo", "a_b_c"]
+    for py, sql in ((swedish_light_stem, swedish_light_sql),
+                    (norwegian_minimal_stem, norwegian_minimal_sql),
+                    (hungarian_light_stem, hungarian_light_sql),
+                    (dutch_minimal_stem, dutch_minimal_sql)):
+        got = _sql_batch(words, sql)
+        bad = {w: (py(w), got[w]) for w in words if py(w) != got[w]}
+        assert bad == {}, (py.__name__, bad)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(
+    st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789_",
+            min_size=0, max_size=14),
+    min_size=1, max_size=40, unique=True))
+def test_nordic_light_sql_mirror_property(words):
+    from solr_spark.stem import (
+        dutch_minimal_sql,
+        dutch_minimal_stem,
+        hungarian_light_sql,
+        hungarian_light_stem,
+        norwegian_minimal_sql,
+        norwegian_minimal_stem,
+        swedish_light_sql,
+        swedish_light_stem,
+    )
+
+    for py, sql in ((swedish_light_stem, swedish_light_sql),
+                    (norwegian_minimal_stem, norwegian_minimal_sql),
+                    (hungarian_light_stem, hungarian_light_sql),
+                    (dutch_minimal_stem, dutch_minimal_sql)):
+        got = _sql_batch(words, sql)
+        assert all(py(w) == got[w] for w in words), py.__name__
+
+
+def test_nordic_chains_in_analyzer_registry():
+    from solr_spark.analysis import ANALYZERS
+    from solr_spark.stem import (
+        dutch_minimal_stem,
+        hungarian_light_stem,
+        norwegian_minimal_stem,
+        swedish_light_stem,
+    )
+
+    assert ANALYZERS["text_sv"] is swedish_light_stem
+    assert ANALYZERS["text_no"] is norwegian_minimal_stem
+    assert ANALYZERS["text_hu"] is hungarian_light_stem
+    assert ANALYZERS["text_nl"] is dutch_minimal_stem
