@@ -476,6 +476,11 @@ ANALYZERS: dict[str, "callable | None"] = {
     # text_folded: ASCIIFoldingFilter pre-transform chain, no dictionary
     # transform (PRE_TRANSFORMS["text_folded"])
     "text_folded": None,
+    # text_ru / text_el: Cyrillic/Greek chains — native-script light stem
+    # + transliteration fold as ingest pre-transforms
+    # (PRE_TRANSFORMS["text_ru"/"text_el"]), no dictionary transform
+    "text_ru": None,
+    "text_el": None,
 }
 
 
@@ -542,6 +547,79 @@ def ascii_fold(text: str) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# Russian chain (text_ru) and Greek chain (text_el): non-Latin-script
+# support via the same ingest PRE-transform slot the CJK chain uses.
+# Each maximal Cyrillic/Greek run is lowercased, light-stemmed in its
+# NATIVE script (stem.russian_light_stem / greek_light_stem — the CLEF
+# light-stemmer family of the reference's text_ru/text_el fieldTypes),
+# then DETERMINISTICALLY transliterated into the pinned [a-z0-9_]+ term
+# space (GOST-7.79-style for Cyrillic, ELOT-743-style for Greek), so
+# tf/df/BM25/positions work unchanged. The same fold applies to query
+# strings (query/index symmetry); content sha256 stays on the original
+# bytes. Latin text inside mixed documents is untouched.
+
+_RU_TRANSLIT = {
+    "а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "е": "e",
+    "ё": "e", "ж": "zh", "з": "z", "и": "i", "й": "j", "к": "k",
+    "л": "l", "м": "m", "н": "n", "о": "o", "п": "p", "р": "r",
+    "с": "s", "т": "t", "у": "u", "ф": "f", "х": "kh", "ц": "ts",
+    "ч": "ch", "ш": "sh", "щ": "shch", "ъ": "", "ы": "y", "ь": "",
+    "э": "e", "ю": "yu", "я": "ya",
+}
+_RU_RUN_RE = re.compile("[Ѐ-ӿ]+")
+
+_EL_TRANSLIT = {
+    "α": "a", "β": "v", "γ": "g", "δ": "d", "ε": "e", "ζ": "z",
+    "η": "i", "θ": "th", "ι": "i", "κ": "k", "λ": "l", "μ": "m",
+    "ν": "n", "ξ": "x", "ο": "o", "π": "p", "ρ": "r", "σ": "s",
+    "ς": "s", "τ": "t", "υ": "y", "φ": "f", "χ": "ch", "ψ": "ps",
+    "ω": "o",
+}
+_EL_RUN_RE = re.compile("[Ͱ-Ͽἀ-῿]+")
+
+
+def _script_fold(run_re, stem_fn, translit, normalize=None):
+    def fold(text: str) -> str:
+        if text is None:
+            return text
+        if not run_re.search(text):
+            return text
+
+        def one(m) -> str:
+            w = m.group(0).lower()
+            if normalize is not None:
+                w = normalize(w)
+            w = stem_fn(w)
+            out = "".join(translit.get(ch, "") for ch in w)
+            return f" {out} " if out else " "
+
+        return run_re.sub(one, text)
+
+    return fold
+
+
+def _el_normalize(w: str) -> str:
+    """Strip Greek diacritics (NFD + drop combining marks) and map final
+    sigma ς→σ — the GreekLowerCaseFilter normalization."""
+    import unicodedata
+
+    w = "".join(
+        ch
+        for ch in unicodedata.normalize("NFD", w)
+        if not unicodedata.combining(ch)
+    )
+    return w.replace("ς", "σ")
+
+
+from .stem import greek_light_stem, russian_light_stem  # noqa: E402
+
+russian_fold = _script_fold(_RU_RUN_RE, russian_light_stem, _RU_TRANSLIT)
+greek_fold = _script_fold(
+    _EL_RUN_RE, greek_light_stem, _EL_TRANSLIT, normalize=_el_normalize
+)
+
+
 # analyzer name → str→str ingest pre-transform, applied to document
 # content BEFORE tokenization (both the tf and the positional build
 # paths) and to query strings before parsing. Orthogonal to ANALYZERS
@@ -549,6 +627,8 @@ def ascii_fold(text: str) -> str:
 PRE_TRANSFORMS: dict[str, "callable"] = {
     "text_cjk": cjk_bigram_fold,
     "text_folded": ascii_fold,
+    "text_ru": russian_fold,
+    "text_el": greek_fold,
 }
 
 

@@ -855,3 +855,55 @@ def dutch_minimal_sql(var: str = "x") -> str:
         f"ELSE {v} END"
     )
     return _bind(v, var, body)
+
+
+# ---------------------------------------------------------------------------
+# Native-script light stemmers for the PRE-transform chains (text_ru /
+# text_el). These run on the ORIGINAL Cyrillic/Greek words inside the
+# ingest pre-transform, BEFORE the transliteration fold maps the result
+# into the engine's pinned [a-z0-9_]+ term space — so they have no
+# DuckDB SQL mirror (no gate oracle runs on pre-tokenization text; the
+# e2e pytest round-trips index/query symmetry instead, exactly like the
+# CJK chain).
+
+_RU_SUFFIXES = sorted([
+    # adjective / participle endings
+    "иями", "ями", "ами", "иях", "иям", "ием", "ому", "ему", "ого",
+    "его", "ыми", "ими", "ах", "ям", "ем", "ам", "ом", "ях", "ов",
+    "ев", "ий", "ый", "ой", "ая", "яя", "ую", "юю", "ое", "ее", "ые",
+    "ие", "ью", "ья", "ье",
+    # single-letter case/gender endings
+    "а", "я", "о", "е", "ы", "и", "й", "ь", "у", "ю",
+], key=len, reverse=True)
+
+
+def russian_light_stem(w: str) -> str:
+    """Russian light stemmer in the spirit of the reference's text_ru
+    chain (the CLEF light-stemmer family Lucene's RussianLightStemmer
+    implements — case/gender/number ending removal, no aggressive
+    derivational stripping). Pinned rule table, longest matching suffix
+    wins, and a strip must leave at least 3 letters; applied at most
+    once. No bit-parity claim with any particular Lucene filter."""
+    for suf in _RU_SUFFIXES:
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            return w[: -len(suf)]
+    return w
+
+
+_EL_SUFFIXES = sorted([
+    "ματα", "ματων", "ματος", "ουσα", "οντας",
+    "ος", "ον", "ου", "ης", "ων", "ες", "ας", "οι", "αι", "εις", "ους",
+    "α", "η", "ο", "ι", "ε", "υ", "ω",
+], key=len, reverse=True)
+
+
+def greek_light_stem(w: str) -> str:
+    """Greek light stemmer in the spirit of the reference's text_el
+    chain (GreekStemmer slot — inflectional ending removal over the
+    lowercased, diacritic-stripped, final-sigma-normalized form).
+    Pinned rule table, longest suffix wins, strip must leave >= 3
+    letters, applied at most once. No bit-parity claim."""
+    for suf in _EL_SUFFIXES:
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            return w[: -len(suf)]
+    return w
