@@ -428,16 +428,26 @@ S_STEM_CASE_SQL = (
 # Lucene's per-segment term dictionary). None = identity (the pinned
 # "code" contract above).
 from .stem import (  # noqa: E402
+    catalan_light_stem,
+    czech_light_stem,
+    danish_minimal_stem,
     dutch_minimal_stem,
+    finnish_light_stem,
     french_minimal_stem,
+    galician_minimal_stem,
     german_minimal_stem,
     hungarian_light_stem,
+    indonesian_light_stem,
+    irish_light_stem,
     italian_light_stem,
+    latvian_light_stem,
     norwegian_minimal_stem,
     porter_stem,
     portuguese_minimal_stem,
+    romanian_light_stem,
     spanish_light_stem,
     swedish_light_stem,
+    turkish_light_stem,
 )
 
 ANALYZERS: dict[str, "callable | None"] = {
@@ -481,6 +491,23 @@ ANALYZERS: dict[str, "callable | None"] = {
     # (PRE_TRANSFORMS["text_ru"/"text_el"]), no dictionary transform
     "text_ru": None,
     "text_el": None,
+    # Batch 2: the remaining Latin-script chains of the reference's
+    # language fieldType registry (managed-schema text_fi/text_da/
+    # text_ro/text_cz/text_tr/text_lv/text_ca/text_gl/text_id/text_ga).
+    # Every chain is the same pinned rule-table → dual Python/SQL
+    # design in stem.py: fi/da/ro/cz/tr/lv come from the shared
+    # suffix-table factory (_table_stem/_table_sql generate BOTH sides
+    # from ONE list), ca/gl/id/ga are hand-written tier pairs.
+    "text_fi": finnish_light_stem,
+    "text_da": danish_minimal_stem,
+    "text_ro": romanian_light_stem,
+    "text_cz": czech_light_stem,
+    "text_tr": turkish_light_stem,
+    "text_lv": latvian_light_stem,
+    "text_ca": catalan_light_stem,
+    "text_gl": galician_minimal_stem,
+    "text_id": indonesian_light_stem,
+    "text_ga": irish_light_stem,
 }
 
 

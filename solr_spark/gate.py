@@ -1603,13 +1603,23 @@ def fts_stemmed_french(spark, sf_dir):
 
 def _stem_vocab_oracle() -> str:
     from .stem import (
+        catalan_light_sql,
+        czech_light_sql,
+        danish_minimal_sql,
         dutch_minimal_sql,
+        finnish_light_sql,
+        galician_minimal_sql,
         hungarian_light_sql,
+        indonesian_light_sql,
+        irish_light_sql,
         italian_light_sql,
+        latvian_light_sql,
         norwegian_minimal_sql,
         portuguese_minimal_sql,
+        romanian_light_sql,
         spanish_light_sql,
         swedish_light_sql,
+        turkish_light_sql,
     )
 
     return f"""WITH v AS (SELECT DISTINCT unnest({TOKS_SQL}) AS term FROM documents)
@@ -1619,7 +1629,17 @@ SELECT term, {spanish_light_sql('term')} AS stem_es,
 {swedish_light_sql('term')} AS stem_sv,
 {norwegian_minimal_sql('term')} AS stem_no,
 {hungarian_light_sql('term')} AS stem_hu,
-{dutch_minimal_sql('term')} AS stem_nl FROM v"""
+{dutch_minimal_sql('term')} AS stem_nl,
+{finnish_light_sql('term')} AS stem_fi,
+{danish_minimal_sql('term')} AS stem_da,
+{romanian_light_sql('term')} AS stem_ro,
+{czech_light_sql('term')} AS stem_cz,
+{turkish_light_sql('term')} AS stem_tr,
+{latvian_light_sql('term')} AS stem_lv,
+{catalan_light_sql('term')} AS stem_ca,
+{galician_minimal_sql('term')} AS stem_gl,
+{indonesian_light_sql('term')} AS stem_id,
+{irish_light_sql('term')} AS stem_ga FROM v"""
 
 
 @entry("t_stem_vocab", _stem_vocab_oracle())
@@ -1633,17 +1653,32 @@ def t_stem_vocab(spark, sf_dir):
     Arrow-batched pandas UDF over the vocabulary, cost ∝ vocabulary not
     corpus), while the oracle stems independently via the
     machine-generated DuckDB SQL mirrors (stem.*_sql). A
-    full-vocabulary match across seven independent rule tables is a far
-    stronger check than any single top-10 query."""
+    full-vocabulary match across seventeen independent rule tables is a
+    far stronger check than any single top-10 query. Batch 2 (fi/da/ro/
+    cz/tr/lv/ca/gl/id/ga — the remaining Latin-script chains of the
+    reference's registry) rides the same entry; the six suffix-table
+    chains' Python and SQL sides are generated from ONE pinned list
+    (stem._table_stem/_table_sql), so the differential proves the
+    generator, not just each table."""
 
     from .stem import (
+        catalan_light_stem,
+        czech_light_stem,
+        danish_minimal_stem,
         dutch_minimal_stem,
+        finnish_light_stem,
+        galician_minimal_stem,
         hungarian_light_stem,
+        indonesian_light_stem,
+        irish_light_stem,
         italian_light_stem,
+        latvian_light_stem,
         norwegian_minimal_stem,
         portuguese_minimal_stem,
+        romanian_light_stem,
         spanish_light_stem,
         swedish_light_stem,
+        turkish_light_stem,
     )
 
     chains = {
@@ -1654,6 +1689,16 @@ def t_stem_vocab(spark, sf_dir):
         "stem_no": norwegian_minimal_stem,
         "stem_hu": hungarian_light_stem,
         "stem_nl": dutch_minimal_stem,
+        "stem_fi": finnish_light_stem,
+        "stem_da": danish_minimal_stem,
+        "stem_ro": romanian_light_stem,
+        "stem_cz": czech_light_stem,
+        "stem_tr": turkish_light_stem,
+        "stem_lv": latvian_light_stem,
+        "stem_ca": catalan_light_stem,
+        "stem_gl": galician_minimal_stem,
+        "stem_id": indonesian_light_stem,
+        "stem_ga": irish_light_stem,
     }
 
     def _stem_udf(fn):

@@ -907,3 +907,418 @@ def greek_light_stem(w: str) -> str:
         if w.endswith(suf) and len(w) - len(suf) >= 3:
             return w[: -len(suf)]
     return w
+
+
+# ---------------------------------------------------------------------------
+# Round-4 batch 2: the remaining Latin-script light chains of the
+# reference's language fieldType registry (managed-schema text_fi /
+# text_da / text_ro / text_cz / text_tr / text_ca / text_gl / text_id /
+# text_lv / text_ga; capability anchor CORE/schema/TextField.java:1).
+# Same ONE-rule-table design: most chains are a single longest-match
+# suffix table with a minimum-stem guard, built by the shared factory
+# below so the Python transform and the DuckDB SQL mirror are generated
+# from the SAME pinned list; the tiered/replacement chains (ca, gl, id,
+# ga) are hand-written pairs like the french/dutch ones above. No
+# bit-parity claim with any particular Lucene filter — each docstring
+# names the public algorithm family it follows.
+
+
+def _suffix_sorted(suffixes: list[str]) -> list[str]:
+    # deterministic longest-first order shared by BOTH implementations
+    # (ties broken lexicographically; two same-length suffixes can never
+    # both match one word, so ties never change results — the sort is
+    # pinned anyway so the generated SQL is reproducible)
+    return sorted(suffixes, key=lambda s: (-len(s), s))
+
+
+def _table_stem(suffixes: list[str], min_stem: int, fold=None):
+    """Python side of the shared suffix-table factory: fold (optional
+    1:1 translate map), then strip the LONGEST matching suffix that
+    leaves >= min_stem letters; applied at most once."""
+    sufs = _suffix_sorted(suffixes)
+
+    def stem(w: str) -> str:
+        if fold is not None:
+            w = w.translate(fold)
+        for suf in sufs:
+            if len(w) - len(suf) >= min_stem and w.endswith(suf):
+                return w[: -len(suf)]
+        return w
+
+    return stem
+
+
+def _table_sql(var: str, suffixes: list[str], min_stem: int,
+               fold_src: str = "", fold_dst: str = "",
+               prefix: str = "s") -> str:
+    """SQL side of the shared factory: a CASE over the SAME pinned
+    longest-first list, each branch carrying the same min-stem guard."""
+    v = _fresh(prefix)
+    whens = " ".join(
+        f"WHEN length({v}) >= {len(suf) + min_stem} AND {v} LIKE '%{suf}' "
+        f"THEN substr({v}, 1, length({v}) - {len(suf)})"
+        for suf in _suffix_sorted(suffixes)
+    )
+    body = f"CASE {whens} ELSE {v} END"
+    expr = var
+    if fold_src:
+        expr = f"translate({var}, '{fold_src}', '{fold_dst}')"
+    return _bind(v, expr, body)
+
+
+# --- Finnish light chain (text_fi) -----------------------------------------
+# Savoy, "Report on CLEF-2003 monolingual tracks" light-stemmer family
+# (the public family Lucene's FinnishLightStemFilter implements): case
+# endings (inessive/elative/adessive/ablative/allative/translative/
+# partitive), plural markers and common possessives, folded ä/ö/å.
+
+_FI_FOLD = str.maketrans({"ä": "a", "ö": "o", "å": "a"})
+_FI_SUFFIXES = [
+    "oiden", "oihin", "eiden", "eihin", "iin", "ssa", "sta", "lla",
+    "lta", "lle", "ksi", "tta", "nsa", "aan", "een", "in", "an", "en",
+    "at", "et", "it", "t", "a", "i", "n",
+]
+
+finnish_light_stem = _table_stem(_FI_SUFFIXES, 3, _FI_FOLD)
+finnish_light_stem.__doc__ = """Finnish light stemmer (Savoy CLEF
+family; the FinnishLightStemFilter slot of the reference's text_fi
+fieldType). Fold a/o umlauts, strip the longest matching case/plural
+ending leaving >= 3 letters, at most once."""
+
+
+def finnish_light_sql(var: str = "x") -> str:
+    """SQL mirror of finnish_light_stem (same pinned table)."""
+    return _table_sql(var, _FI_SUFFIXES, 3, "äöå", "aoa", "fi")
+
+
+# --- Danish minimal chain (text_da) -----------------------------------------
+# Definite/plural reduction in the spirit of the Scandinavian light
+# family (cf. swedish/norwegian above; the reference's text_da slot).
+
+_DA_FOLD = str.maketrans({"æ": "a", "ø": "o", "å": "a"})
+_DA_SUFFIXES = [
+    "hederne", "heden", "erne", "ende", "erer", "ene", "ede", "ere",
+    "ens", "ets", "er", "en", "et", "es", "e", "s",
+]
+
+danish_minimal_stem = _table_stem(_DA_SUFFIXES, 3, _DA_FOLD)
+danish_minimal_stem.__doc__ = """Danish minimal stemmer (Scandinavian
+light family; the text_da slot of the reference's registry). Fold
+ae/o/aa vowels, strip the longest matching definite/plural ending
+leaving >= 3 letters, at most once."""
+
+
+def danish_minimal_sql(var: str = "x") -> str:
+    """SQL mirror of danish_minimal_stem (same pinned table)."""
+    return _table_sql(var, _DA_SUFFIXES, 3, "æøå", "aoa", "da")
+
+
+# --- Romanian light chain (text_ro) -----------------------------------------
+
+_RO_FOLD = str.maketrans({
+    "ă": "a", "â": "a", "î": "i", "ș": "s", "ț": "t", "ş": "s", "ţ": "t",
+})
+_RO_SUFFIXES = [
+    "iilor", "ilor", "ului", "elor", "iile", "atia", "atii", "uri",
+    "ule", "ile", "ul", "le", "ii", "ei", "ea", "a", "e", "i",
+]
+
+romanian_light_stem = _table_stem(_RO_SUFFIXES, 3, _RO_FOLD)
+romanian_light_stem.__doc__ = """Romanian light stemmer (CLEF light
+family; the RomanianAnalyzer slot of the reference's text_ro
+fieldType). Fold diacritics (both comma-below and legacy cedilla
+forms), strip the longest matching article/case/plural ending leaving
+>= 3 letters, at most once."""
+
+
+def romanian_light_sql(var: str = "x") -> str:
+    """SQL mirror of romanian_light_stem (same pinned table)."""
+    return _table_sql(var, _RO_SUFFIXES, 3, "ăâîșțşţ", "aaistst", "ro")
+
+
+# --- Czech light chain (text_cz) --------------------------------------------
+# Dolamic & Savoy, "Indexing and stemming approaches for the Czech
+# language" (IP&M 2009) light-stemmer family (the public family
+# Lucene's CzechStemmer implements): case-ending removal over the
+# diacritic-folded form.
+
+_CZ_FOLD = str.maketrans({
+    "á": "a", "č": "c", "ď": "d", "é": "e", "ě": "e", "í": "i",
+    "ň": "n", "ó": "o", "ř": "r", "š": "s", "ť": "t", "ú": "u",
+    "ů": "u", "ý": "y", "ž": "z",
+})
+_CZ_SUFFIXES = [
+    "atech", "atum", "etem", "ach", "ama", "ami", "ata", "aty", "ech",
+    "eho", "emi", "emu", "ete", "eti", "ich", "iho", "imi", "imu",
+    "ove", "ovi", "ych", "ymi", "am", "at", "em", "es", "im", "mi",
+    "om", "os", "ou", "um", "us", "ym", "a", "e", "i", "o", "u", "y",
+]
+
+czech_light_stem = _table_stem(_CZ_SUFFIXES, 3, _CZ_FOLD)
+czech_light_stem.__doc__ = """Czech light stemmer (Dolamic & Savoy 2009
+family; the CzechStemFilterFactory slot of the reference's text_cz
+fieldType). Fold diacritics, strip the longest matching case ending
+leaving >= 3 letters, at most once."""
+
+
+def czech_light_sql(var: str = "x") -> str:
+    """SQL mirror of czech_light_stem (same pinned table)."""
+    return _table_sql(
+        var, _CZ_SUFFIXES, 3, "áčďéěíňóřšťúůýž", "acdeeinorstuuyz", "cz"
+    )
+
+
+# --- Turkish light chain (text_tr) ------------------------------------------
+# Conservative agglutinative-suffix reduction over the folded form
+# (the text_tr slot; Lucene ships TurkishLowerCaseFilter + snowball —
+# this pinned table covers the high-frequency plural/case/possessive
+# layer only, by design).
+
+_TR_FOLD = str.maketrans({
+    "ç": "c", "ğ": "g", "ı": "i", "ö": "o", "ş": "s", "ü": "u",
+})
+_TR_SUFFIXES = [
+    "lerden", "lardan", "lerde", "larda", "lerin", "larin", "leri",
+    "lari", "ler", "lar", "den", "dan", "ten", "tan", "nin", "nun",
+    "de", "da", "te", "ta", "in", "un",
+]
+
+turkish_light_stem = _table_stem(_TR_SUFFIXES, 3, _TR_FOLD)
+turkish_light_stem.__doc__ = """Turkish light stemmer (the text_tr slot
+of the reference's registry). Fold the six non-ASCII letters, strip the
+longest matching plural/case/genitive suffix leaving >= 3 letters, at
+most once (one layer of the agglutinative stack, by design)."""
+
+
+def turkish_light_sql(var: str = "x") -> str:
+    """SQL mirror of turkish_light_stem (same pinned table)."""
+    return _table_sql(var, _TR_SUFFIXES, 3, "çğıöşü", "cgiosu", "tr")
+
+
+# --- Latvian light chain (text_lv) ------------------------------------------
+
+_LV_FOLD = str.maketrans({
+    "ā": "a", "č": "c", "ē": "e", "ģ": "g", "ī": "i", "ķ": "k",
+    "ļ": "l", "ņ": "n", "š": "s", "ū": "u", "ž": "z",
+})
+_LV_SUFFIXES = [
+    "ajiem", "ajam", "ajos", "iem", "ies", "am", "as", "at", "em",
+    "es", "im", "is", "os", "ot", "us", "a", "e", "i", "s", "u",
+]
+
+latvian_light_stem = _table_stem(_LV_SUFFIXES, 3, _LV_FOLD)
+latvian_light_stem.__doc__ = """Latvian light stemmer (the
+LatvianStemFilterFactory slot of the reference's text_lv fieldType;
+case-ending removal over the folded form). Longest matching ending
+leaving >= 3 letters, at most once."""
+
+
+def latvian_light_sql(var: str = "x") -> str:
+    """SQL mirror of latvian_light_stem (same pinned table)."""
+    return _table_sql(
+        var, _LV_SUFFIXES, 3, "āčēģīķļņšūž", "acegiklnsuz", "lv"
+    )
+
+
+# --- Catalan light chain (text_ca) ------------------------------------------
+
+_CA_FOLD = str.maketrans({
+    "à": "a", "è": "e", "é": "e", "í": "i", "ï": "i", "ò": "o",
+    "ó": "o", "ú": "u", "ü": "u", "ç": "c",
+})
+
+
+def catalan_light_stem(w: str) -> str:
+    """Catalan light stemmer (the CatalanAnalyzer slot of the
+    reference's text_ca fieldType; plural/gender reduction — elision
+    forms like l'/d' are already split off by the tokenizer). Pinned
+    tiers, first match decides:
+
+      0. fold accents (à→a è/é→e í/ï→i ò/ó→o ú/ü→u ç→c)
+      1. len >= 6, ends 'ques' -> 'ca'   (butxaques→butxaca)
+      2. len >= 5, ends 'ns' -> 'n'      (cancons→cancon)
+      3. len >= 5, ends 'es'/'os' -> strip 2   (cases→cas)
+      4. len >= 4, ends 's'/'a'/'e'/'o' -> strip 1
+    """
+    w = w.translate(_CA_FOLD)
+    n = len(w)
+    if n >= 6 and w.endswith("ques"):
+        return w[:-4] + "ca"
+    if n >= 5 and w.endswith("ns"):
+        return w[:-1]
+    if n >= 5 and w.endswith(("es", "os")):
+        return w[:-2]
+    if n >= 4 and w[-1] in "saeo":
+        return w[:-1]
+    return w
+
+
+def catalan_light_sql(var: str = "x") -> str:
+    """SQL mirror of catalan_light_stem (same tiers, same order)."""
+    v = _fresh("ca")
+    body = (
+        f"CASE WHEN length({v}) >= 6 AND {v} LIKE '%ques' "
+        f"THEN substr({v}, 1, length({v}) - 4) || 'ca' "
+        f"WHEN length({v}) >= 5 AND {v} LIKE '%ns' "
+        f"THEN substr({v}, 1, length({v}) - 1) "
+        f"WHEN length({v}) >= 5 AND ({v} LIKE '%es' OR {v} LIKE '%os') "
+        f"THEN substr({v}, 1, length({v}) - 2) "
+        f"WHEN length({v}) >= 4 AND substr({v}, -1) IN ('s','a','e','o') "
+        f"THEN substr({v}, 1, length({v}) - 1) "
+        f"ELSE {v} END"
+    )
+    fold = f"translate({var}, 'àèéíïòóúüç', 'aeeiioouuc')"
+    return _bind(v, fold, body)
+
+
+# --- Galician minimal chain (text_gl) ---------------------------------------
+
+_GL_FOLD = str.maketrans({
+    "á": "a", "é": "e", "í": "i", "ó": "o", "ú": "u", "ü": "u",
+    "ñ": "n",
+})
+
+
+def galician_minimal_stem(w: str) -> str:
+    """Galician minimal stemmer (plural reduction in the spirit of the
+    Orengo & Huyck RSLP family the reference's text_gl GalicianStemmer
+    descends from). Pinned tiers, first match decides:
+
+      0. fold accents (á é í ó ú/ü ñ)
+      1. len >= 5, ends 'ns'  -> 'n'    (cancions→cancion)
+      2. len >= 5, ends 'ais'/'eis'/'ois'/'uis' -> drop 'is', add 'l'
+         (animais→animal, papeis→papel)
+      3. len >= 5, ends 'es'/'as'/'os' -> strip 2   (luces→luc)
+      4. len >= 4, ends 's'/'a'/'e'/'o' -> strip 1
+    """
+    w = w.translate(_GL_FOLD)
+    n = len(w)
+    if n >= 5 and w.endswith("ns"):
+        return w[:-1]
+    if n >= 5 and w.endswith(("ais", "eis", "ois", "uis")):
+        return w[:-2] + "l"
+    if n >= 5 and w.endswith(("es", "as", "os")):
+        return w[:-2]
+    if n >= 4 and w[-1] in "saeo":
+        return w[:-1]
+    return w
+
+
+def galician_minimal_sql(var: str = "x") -> str:
+    """SQL mirror of galician_minimal_stem (same tiers, same order)."""
+    v = _fresh("gl")
+    body = (
+        f"CASE WHEN length({v}) >= 5 AND {v} LIKE '%ns' "
+        f"THEN substr({v}, 1, length({v}) - 1) "
+        f"WHEN length({v}) >= 5 AND ({v} LIKE '%ais' OR {v} LIKE '%eis' "
+        f"OR {v} LIKE '%ois' OR {v} LIKE '%uis') "
+        f"THEN substr({v}, 1, length({v}) - 2) || 'l' "
+        f"WHEN length({v}) >= 5 AND ({v} LIKE '%es' OR {v} LIKE '%as' "
+        f"OR {v} LIKE '%os') THEN substr({v}, 1, length({v}) - 2) "
+        f"WHEN length({v}) >= 4 AND substr({v}, -1) IN ('s','a','e','o') "
+        f"THEN substr({v}, 1, length({v}) - 1) "
+        f"ELSE {v} END"
+    )
+    fold = f"translate({var}, 'áéíóúüñ', 'aeiouun')"
+    return _bind(v, fold, body)
+
+
+# --- Indonesian light chain (text_id) ---------------------------------------
+
+
+def indonesian_light_stem(w: str) -> str:
+    """Indonesian light stemmer (F. Tala, "A Study of Stemming Effects
+    on Information Retrieval in Bahasa Indonesia", 2003 — the public
+    family the reference's text_id IndonesianStemFilterFactory
+    implements; inflectional layer only). Sequential strips, each
+    leaving >= 3 letters:
+
+      1. particle:    -lah / -kah / -tah / -pun
+      2. possessive:  -ku / -mu / -nya
+      3. one derivational suffix: -kan / -an / -i
+    """
+    if len(w) - 3 >= 3 and w.endswith(("lah", "kah", "tah", "pun")):
+        w = w[:-3]
+    if w.endswith("nya"):
+        if len(w) - 3 >= 3:
+            w = w[:-3]
+    elif len(w) - 2 >= 3 and w.endswith(("ku", "mu")):
+        w = w[:-2]
+    if len(w) - 3 >= 3 and w.endswith("kan"):
+        w = w[:-3]
+    elif len(w) - 2 >= 3 and w.endswith("an"):
+        w = w[:-2]
+    elif len(w) - 1 >= 3 and w.endswith("i"):
+        w = w[:-1]
+    return w
+
+
+def indonesian_light_sql(var: str = "x") -> str:
+    """SQL mirror of indonesian_light_stem (same strips, same order)."""
+    v0, v1, v2 = _fresh("id"), _fresh("id"), _fresh("id")
+    e1 = (
+        f"CASE WHEN length({v0}) >= 6 AND ({v0} LIKE '%lah' "
+        f"OR {v0} LIKE '%kah' OR {v0} LIKE '%tah' OR {v0} LIKE '%pun') "
+        f"THEN substr({v0}, 1, length({v0}) - 3) ELSE {v0} END"
+    )
+    e2 = (
+        f"CASE WHEN {v1} LIKE '%nya' THEN "
+        f"(CASE WHEN length({v1}) >= 6 THEN substr({v1}, 1, length({v1}) - 3) "
+        f"ELSE {v1} END) "
+        f"WHEN length({v1}) >= 5 AND ({v1} LIKE '%ku' OR {v1} LIKE '%mu') "
+        f"THEN substr({v1}, 1, length({v1}) - 2) ELSE {v1} END"
+    )
+    e3 = (
+        f"CASE WHEN length({v2}) >= 6 AND {v2} LIKE '%kan' "
+        f"THEN substr({v2}, 1, length({v2}) - 3) "
+        f"WHEN length({v2}) >= 5 AND {v2} LIKE '%an' "
+        f"THEN substr({v2}, 1, length({v2}) - 2) "
+        f"WHEN length({v2}) >= 4 AND {v2} LIKE '%i' "
+        f"THEN substr({v2}, 1, length({v2}) - 1) ELSE {v2} END"
+    )
+    return _bind(v0, var, _bind(v1, e1, _bind(v2, e2, e3)))
+
+
+# --- Irish chain (text_ga) ---------------------------------------------------
+
+
+def irish_light_stem(w: str) -> str:
+    """Irish initial-mutation reduction (the text_ga slot: the
+    IrishLowerCaseFilter's t-/n- prefix handling plus the eclipsis
+    table the Snowball Irish stemmer carries; suffix morphology is
+    deliberately left alone). Pinned prefix tiers, first match decides,
+    each leaving >= 3 letters:
+
+      1. 'bhf' + ...  -> strip 'bh'   (bhfuinneog→fuinneog)
+      2. eclipsis pair mb/gc/nd/bp/dt/ng -> strip first letter
+         (mbord→bord, gcarr→carr)
+      3. 'ts' + ...   -> strip 't'    (tsolas→solas)
+      4. h/n/t + vowel -> strip it    (hathair/nathair/tathair→athair)
+    """
+    n = len(w)
+    if n >= 5 and w.startswith("bhf"):
+        return w[2:]
+    if n >= 4 and w[:2] in ("mb", "gc", "nd", "bp", "dt", "ng"):
+        return w[1:]
+    if n >= 4 and w.startswith("ts"):
+        return w[1:]
+    if n >= 4 and w[0] in "hnt" and w[1] in "aeiou":
+        return w[1:]
+    return w
+
+
+def irish_light_sql(var: str = "x") -> str:
+    """SQL mirror of irish_light_stem (same tiers, same order)."""
+    v = _fresh("ga")
+    body = (
+        f"CASE WHEN length({v}) >= 5 AND {v} LIKE 'bhf%' "
+        f"THEN substr({v}, 3) "
+        f"WHEN length({v}) >= 4 AND substr({v}, 1, 2) IN "
+        f"('mb','gc','nd','bp','dt','ng') THEN substr({v}, 2) "
+        f"WHEN length({v}) >= 4 AND {v} LIKE 'ts%' THEN substr({v}, 2) "
+        f"WHEN length({v}) >= 4 AND substr({v}, 1, 1) IN ('h','n','t') "
+        f"AND substr({v}, 2, 1) IN ('a','e','i','o','u') "
+        f"THEN substr({v}, 2) "
+        f"ELSE {v} END"
+    )
+    return _bind(v, var, body)

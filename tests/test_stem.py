@@ -426,3 +426,149 @@ def test_nordic_chains_in_analyzer_registry():
     assert ANALYZERS["text_no"] is norwegian_minimal_stem
     assert ANALYZERS["text_hu"] is hungarian_light_stem
     assert ANALYZERS["text_nl"] is dutch_minimal_stem
+
+
+# ---------------------------------------------------------------------------
+# round-4 batch 3: the remaining Latin-script chains (fi/da/ro/cz/tr/lv
+# table chains from the shared factory; ca/gl/id/ga hand-written tiers)
+
+
+def test_batch2_table_chain_vectors():
+    from solr_spark.stem import (
+        czech_light_stem,
+        danish_minimal_stem,
+        finnish_light_stem,
+        latvian_light_stem,
+        romanian_light_stem,
+        turkish_light_stem,
+    )
+
+    vecs = {
+        finnish_light_stem: {
+            "taloissa": "taloi", "kirjassa": "kirja", "autolla": "auto",
+            "kissat": "kiss", "päivää": "paiva", "taloon": "taloo",
+            "ssa": "ssa", "talo": "talo",
+        },
+        danish_minimal_stem: {
+            "mulighederne": "mulig", "husene": "hus", "huset": "hus",
+            "bilerne": "bil", "løbende": "lob", "hunde": "hund",
+            "hus": "hus",
+        },
+        romanian_light_stem: {
+            "copiilor": "cop", "orașului": "oras", "cartea": "cart",
+            "casele": "case", "băieții": "baiet",
+        },
+        czech_light_stem: {
+            "studentech": "student", "městech": "mest", "ženami": "zen",
+            "pánové": "pan", "hradem": "hrad", "města": "mest",
+        },
+        turkish_light_stem: {
+            "kitaplardan": "kitap", "arabaların": "araba",
+            "gözlerden": "goz", "evlerde": "evler", "evler": "evler",
+        },
+        latvian_light_stem: {
+            "vīriem": "vir", "galdiem": "gald", "mājas": "maj",
+            "lielajiem": "liel", "grāmatas": "gramat",
+        },
+    }
+    for fn, vec in vecs.items():
+        bad = {w: (fn(w), want) for w, want in vec.items()
+               if fn(w) != want}
+        assert bad == {}, (fn.__name__, bad)
+
+
+def test_batch2_tier_chain_vectors():
+    from solr_spark.stem import (
+        catalan_light_stem,
+        galician_minimal_stem,
+        indonesian_light_stem,
+        irish_light_stem,
+    )
+
+    vecs = {
+        catalan_light_stem: {
+            "butxaques": "butxaca", "cançons": "cancon", "cases": "cas",
+            "taula": "taul", "gats": "gat", "gos": "gos",
+        },
+        galician_minimal_stem: {
+            "cancións": "cancion", "animais": "animal",
+            "papeis": "papel", "luces": "luc", "casa": "cas",
+        },
+        indonesian_light_stem: {
+            "bukunya": "buku", "makanlah": "mak", "bukuku": "buku",
+            "ajaran": "ajar", "memukuli": "memukul", "minumlah": "minum",
+        },
+        irish_light_stem: {
+            "bhfuinneog": "fuinneog", "mbord": "bord", "gcarr": "carr",
+            "tsolas": "solas", "nathair": "athair", "hiontas": "iontas",
+            "dteach": "teach", "bord": "bord",
+        },
+    }
+    for fn, vec in vecs.items():
+        bad = {w: (fn(w), want) for w, want in vec.items()
+               if fn(w) != want}
+        assert bad == {}, (fn.__name__, bad)
+
+
+_BATCH2_PAIRS_NAMES = [
+    ("finnish_light_stem", "finnish_light_sql"),
+    ("danish_minimal_stem", "danish_minimal_sql"),
+    ("romanian_light_stem", "romanian_light_sql"),
+    ("czech_light_stem", "czech_light_sql"),
+    ("turkish_light_stem", "turkish_light_sql"),
+    ("latvian_light_stem", "latvian_light_sql"),
+    ("catalan_light_stem", "catalan_light_sql"),
+    ("galician_minimal_stem", "galician_minimal_sql"),
+    ("indonesian_light_stem", "indonesian_light_sql"),
+    ("irish_light_stem", "irish_light_sql"),
+]
+
+
+def _batch2_pairs():
+    import solr_spark.stem as stem
+    return [(getattr(stem, py), getattr(stem, sql))
+            for py, sql in _BATCH2_PAIRS_NAMES]
+
+
+def test_batch2_sql_mirrors():
+    words = ["taloissa", "autolla", "kissat", "päivää", "mulighederne",
+             "husene", "løbende", "copiilor", "orașului", "băieții",
+             "studentech", "ženami", "města", "kitaplardan",
+             "arabaların", "evlerde", "vīriem", "lielajiem", "mājas",
+             "butxaques", "cançons", "cases", "cancións", "animais",
+             "papeis", "bukunya", "makanlah", "memukuli", "bhfuinneog",
+             "mbord", "tsolas", "nathair", "dteach", "", "s", "en",
+             "nya", "lah", "ques", "ns", "x1_foo", "a_b_c", "iem"]
+    for py, sql in _batch2_pairs():
+        got = _sql_batch(words, sql)
+        bad = {w: (py(w), got[w]) for w in words if py(w) != got[w]}
+        assert bad == {}, (py.__name__, bad)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(
+    st.text(alphabet=("abcdefghijklmnopqrstuvwxyz0123456789_"
+                      "äöåæøăâîșțşţáčďéěíňóřšťúůýžçğıöşü"
+                      "āēģīķļņūàèéïòóúüñ"),
+            min_size=0, max_size=14),
+    min_size=1, max_size=40, unique=True))
+def test_batch2_sql_mirror_property(words):
+    for py, sql in _batch2_pairs():
+        got = _sql_batch(words, sql)
+        assert all(py(w) == got[w] for w in words), py.__name__
+
+
+def test_batch2_chains_in_analyzer_registry():
+    import solr_spark.stem as stem
+    from solr_spark.analysis import ANALYZERS
+
+    wired = {
+        "text_fi": "finnish_light_stem", "text_da": "danish_minimal_stem",
+        "text_ro": "romanian_light_stem", "text_cz": "czech_light_stem",
+        "text_tr": "turkish_light_stem", "text_lv": "latvian_light_stem",
+        "text_ca": "catalan_light_stem",
+        "text_gl": "galician_minimal_stem",
+        "text_id": "indonesian_light_stem", "text_ga": "irish_light_stem",
+    }
+    for chain, fn_name in wired.items():
+        assert ANALYZERS[chain] is getattr(stem, fn_name), chain
