@@ -508,6 +508,9 @@ ANALYZERS: dict[str, "callable | None"] = {
     "text_gl": galician_minimal_stem,
     "text_id": indonesian_light_stem,
     "text_ga": irish_light_stem,
+    # text_en_splitting: WordDelimiterGraph pre-transform (PRE_TRANSFORMS
+    # below) + the same stop+Porter tail as text_en
+    "text_en_splitting": porter_stem,
 }
 
 
@@ -572,6 +575,104 @@ def ascii_fold(text: str) -> str:
         for ch in unicodedata.normalize("NFKD", text)
         if not unicodedata.combining(ch)
     )
+
+
+# ---------------------------------------------------------------------------
+# text_en_splitting: the WordDelimiterGraphFilter chain of the
+# reference's schema (managed-schema.xml text_en_splitting —
+# WhitespaceTokenizer + WordDelimiterGraphFilter(generateWordParts=1,
+# generateNumberParts=1, catenateWords=1, catenateNumbers=1,
+# splitOnCaseChange=1) + stop + Porter; filter semantics in
+# lucene/analysis/common/.../miscellaneous/WordDelimiterGraphFilter.java).
+# Implemented as an ingest PRE-transform over the ORIGINAL-case text
+# (pre-transforms run before the lowercase step, so case transitions
+# are still visible): every intra-word-delimited run is replaced by its
+# parts plus the catenations, then the standard tokenize/stop/Porter
+# pipeline runs unchanged. Pinned contract:
+#
+#   run   = [A-Za-z0-9]+ segments joined by single '-' or '_'
+#   split = at '-'/'_', at lower→Upper ("fooBar"→foo|Bar), at the last
+#           upper of an upper-run before a lower ("XMLParser"→XML|Parser),
+#           and at letter↔digit transitions ("foo123bar"→foo|123|bar)
+#   emit  = the parts in order, then one catenation per maximal run of
+#           ≥2 consecutive same-type parts (letters: "wi-fi"→wifi;
+#           digits: "A380-800"→380800)  [catenateWords/catenateNumbers]
+#
+# Documented deviations from the Lucene graph filter: the emission is a
+# FLAT token stream (catenations take their own position instead of
+# overlapping — they therefore also count toward doclen), and the same
+# fold is applied to query strings (the reference's query chain sets
+# catenateWords=0; symmetry keeps the oracle/query contract simple and
+# strictly widens recall). preserveOriginal=0 matches the reference.
+
+_WDG_TRIGGER_RE = re.compile(
+    r"[a-z][A-Z]|[A-Za-z][0-9]|[0-9][A-Za-z]"
+    r"|[A-Za-z0-9][-_][A-Za-z0-9]|[A-Z][A-Z][a-z]"
+)
+_WDG_RUN_RE = re.compile(r"[A-Za-z0-9]+(?:[-_][A-Za-z0-9]+)*")
+
+
+def _wdg_split_segment(seg: str) -> list:
+    """Split one alphanumeric segment at case and letter/digit
+    transitions (WordDelimiterGraphFilter's splitOnCaseChange +
+    splitOnNumerics rules). Every returned part is homogeneous
+    (all-letters or all-digits)."""
+    parts = []
+    start = 0
+    for i in range(1, len(seg)):
+        a, b = seg[i - 1], seg[i]
+        if (
+            (a.islower() and b.isupper())
+            or (a.isalpha() and b.isdigit())
+            or (a.isdigit() and b.isalpha())
+        ):
+            parts.append(seg[start:i])
+            start = i
+        elif (
+            a.isupper() and b.islower() and i - 1 > start
+            and seg[start : i].isupper()
+        ):
+            # upper-run followed by lower: boundary before the LAST upper
+            parts.append(seg[start : i - 1])
+            start = i - 1
+    parts.append(seg[start:])
+    return parts
+
+
+def _wdg_run(m) -> str:
+    run = m.group(0)
+    parts: list = []
+    for seg in run.replace("-", "_").split("_"):
+        if seg:
+            parts.extend(_wdg_split_segment(seg))
+    if len(parts) <= 1:
+        return run
+    # catenations: one per maximal group of >=2 consecutive same-type
+    # parts (catenateWords=1 over letter parts, catenateNumbers=1 over
+    # digit parts; catenateAll=0)
+    cats: list = []
+    i = 0
+    n = len(parts)
+    while i < n:
+        j = i
+        is_num = parts[i].isdigit()
+        while j + 1 < n and parts[j + 1].isdigit() == is_num:
+            j += 1
+        if j > i:
+            cats.append("".join(parts[i : j + 1]))
+        i = j + 1
+    return " " + " ".join(parts + cats) + " "
+
+
+def word_delimiter_fold(text: str) -> str:
+    """The text_en_splitting pre-transform (contract above). Strings
+    with no delimiter boundary return the SAME object (identity fast
+    path — one regex scan)."""
+    if text is None:
+        return text
+    if not _WDG_TRIGGER_RE.search(text):
+        return text
+    return _WDG_RUN_RE.sub(_wdg_run, text)
 
 
 # ---------------------------------------------------------------------------
@@ -656,6 +757,10 @@ PRE_TRANSFORMS: dict[str, "callable"] = {
     "text_folded": ascii_fold,
     "text_ru": russian_fold,
     "text_el": greek_fold,
+    # camelCase / delimiter splitting BEFORE the lowercase step (the
+    # only chain whose pre-transform needs original case); Porter runs
+    # after as the dictionary transform (ANALYZERS entry below)
+    "text_en_splitting": word_delimiter_fold,
 }
 
 
