@@ -428,10 +428,12 @@ S_STEM_CASE_SQL = (
 # Lucene's per-segment term dictionary). None = identity (the pinned
 # "code" contract above).
 from .stem import (  # noqa: E402
+    basque_light_stem,
     catalan_light_stem,
     czech_light_stem,
     danish_minimal_stem,
     dutch_minimal_stem,
+    estonian_light_stem,
     finnish_light_stem,
     french_minimal_stem,
     galician_minimal_stem,
@@ -508,6 +510,8 @@ ANALYZERS: dict[str, "callable | None"] = {
     "text_gl": galician_minimal_stem,
     "text_id": indonesian_light_stem,
     "text_ga": irish_light_stem,
+    "text_et": estonian_light_stem,
+    "text_eu": basque_light_stem,
     # text_en_splitting: WordDelimiterGraph pre-transform (PRE_TRANSFORMS
     # below) + the same stop+Porter tail as text_en
     "text_en_splitting": porter_stem,

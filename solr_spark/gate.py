@@ -1603,10 +1603,12 @@ def fts_stemmed_french(spark, sf_dir):
 
 def _stem_vocab_oracle() -> str:
     from .stem import (
+        basque_light_sql,
         catalan_light_sql,
         czech_light_sql,
         danish_minimal_sql,
         dutch_minimal_sql,
+        estonian_light_sql,
         finnish_light_sql,
         galician_minimal_sql,
         hungarian_light_sql,
@@ -1639,7 +1641,9 @@ SELECT term, {spanish_light_sql('term')} AS stem_es,
 {catalan_light_sql('term')} AS stem_ca,
 {galician_minimal_sql('term')} AS stem_gl,
 {indonesian_light_sql('term')} AS stem_id,
-{irish_light_sql('term')} AS stem_ga FROM v"""
+{irish_light_sql('term')} AS stem_ga,
+{estonian_light_sql('term')} AS stem_et,
+{basque_light_sql('term')} AS stem_eu FROM v"""
 
 
 @entry("t_stem_vocab", _stem_vocab_oracle())
@@ -1653,7 +1657,7 @@ def t_stem_vocab(spark, sf_dir):
     Arrow-batched pandas UDF over the vocabulary, cost ∝ vocabulary not
     corpus), while the oracle stems independently via the
     machine-generated DuckDB SQL mirrors (stem.*_sql). A
-    full-vocabulary match across seventeen independent rule tables is a
+    full-vocabulary match across nineteen independent rule tables is a
     far stronger check than any single top-10 query. Batch 2 (fi/da/ro/
     cz/tr/lv/ca/gl/id/ga — the remaining Latin-script chains of the
     reference's registry) rides the same entry; the six suffix-table
@@ -1662,10 +1666,12 @@ def t_stem_vocab(spark, sf_dir):
     generator, not just each table."""
 
     from .stem import (
+        basque_light_stem,
         catalan_light_stem,
         czech_light_stem,
         danish_minimal_stem,
         dutch_minimal_stem,
+        estonian_light_stem,
         finnish_light_stem,
         galician_minimal_stem,
         hungarian_light_stem,
@@ -1699,6 +1705,8 @@ def t_stem_vocab(spark, sf_dir):
         "stem_gl": galician_minimal_stem,
         "stem_id": indonesian_light_stem,
         "stem_ga": irish_light_stem,
+        "stem_et": estonian_light_stem,
+        "stem_eu": basque_light_stem,
     }
 
     def _stem_udf(fn):

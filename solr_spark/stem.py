@@ -1322,3 +1322,52 @@ def irish_light_sql(var: str = "x") -> str:
         f"ELSE {v} END"
     )
     return _bind(v, var, body)
+
+
+# --- Estonian light chain (text_et) ------------------------------------------
+# CLEF-style light case-ending reduction for Estonian (the reference's
+# text_et slot ships the snowball Estonian stemmer — this pinned table
+# covers the high-frequency case/plural layer only, by design; same
+# honest-light posture as the Turkish chain above).
+
+_ET_FOLD = str.maketrans({"ä": "a", "ö": "o", "õ": "o", "ü": "u"})
+_ET_SUFFIXES = [
+    "dele", "dest", "dega", "deks", "tele", "test", "tega",
+    "sse", "ile", "ilt", "ist", "iks", "iga", "ini",
+    "le", "lt", "st", "ks", "ga", "ni", "na", "ta", "de", "te",
+    "id", "d", "l", "s", "t", "i", "e", "u",
+]
+
+estonian_light_stem = _table_stem(_ET_SUFFIXES, 3, _ET_FOLD)
+estonian_light_stem.__doc__ = """Estonian light stemmer (the text_et
+slot of the reference's registry; CLEF light family). Fold the four
+umlaut vowels, strip the longest matching case/plural ending leaving
+>= 3 letters, at most once (one layer of the agglutinative stack, by
+design)."""
+
+
+def estonian_light_sql(var: str = "x") -> str:
+    """SQL mirror of estonian_light_stem (same pinned table)."""
+    return _table_sql(var, _ET_SUFFIXES, 3, "äöõü", "aoou", "et")
+
+
+# --- Basque light chain (text_eu) ---------------------------------------------
+# Light determiner/case reduction for Basque (the reference's text_eu
+# slot ships the snowball Basque stemmer — this pinned table covers the
+# determiner/common-case layer only, by design).
+
+_EU_SUFFIXES = [
+    "etako", "etatik", "etara", "arekin", "aren", "ekin", "etan",
+    "tik", "ari", "era", "ean", "eko", "ak", "ek", "en",
+    "an", "ra", "az", "a", "k",
+]
+
+basque_light_stem = _table_stem(_EU_SUFFIXES, 3)
+basque_light_stem.__doc__ = """Basque light stemmer (the text_eu slot
+of the reference's registry). Strip the longest matching determiner/
+case ending leaving >= 3 letters, at most once."""
+
+
+def basque_light_sql(var: str = "x") -> str:
+    """SQL mirror of basque_light_stem (same pinned table)."""
+    return _table_sql(var, _EU_SUFFIXES, 3, prefix="eu")

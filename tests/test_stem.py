@@ -435,8 +435,10 @@ def test_nordic_chains_in_analyzer_registry():
 
 def test_batch2_table_chain_vectors():
     from solr_spark.stem import (
+        basque_light_stem,
         czech_light_stem,
         danish_minimal_stem,
+        estonian_light_stem,
         finnish_light_stem,
         latvian_light_stem,
         romanian_light_stem,
@@ -465,6 +467,15 @@ def test_batch2_table_chain_vectors():
         turkish_light_stem: {
             "kitaplardan": "kitap", "arabaların": "araba",
             "gözlerden": "goz", "evlerde": "evler", "evler": "evler",
+        },
+        estonian_light_stem: {
+            "majadele": "maja", "majast": "maja",
+            "raamatutega": "raamatu", "maja": "maja", "autod": "auto",
+            "linnas": "linna",
+        },
+        basque_light_stem: {
+            "etxeetako": "etxe", "etxeak": "etxe", "mendietan": "mendi",
+            "gizonarekin": "gizon", "etxe": "etxe", "urak": "ura",
         },
         latvian_light_stem: {
             "vīriem": "vir", "galdiem": "gald", "mājas": "maj",
@@ -511,6 +522,8 @@ def test_batch2_tier_chain_vectors():
 
 
 _BATCH2_PAIRS_NAMES = [
+    ("estonian_light_stem", "estonian_light_sql"),
+    ("basque_light_stem", "basque_light_sql"),
     ("finnish_light_stem", "finnish_light_sql"),
     ("danish_minimal_stem", "danish_minimal_sql"),
     ("romanian_light_stem", "romanian_light_sql"),
@@ -538,7 +551,9 @@ def test_batch2_sql_mirrors():
              "butxaques", "cançons", "cases", "cancións", "animais",
              "papeis", "bukunya", "makanlah", "memukuli", "bhfuinneog",
              "mbord", "tsolas", "nathair", "dteach", "", "s", "en",
-             "nya", "lah", "ques", "ns", "x1_foo", "a_b_c", "iem"]
+             "nya", "lah", "ques", "ns", "x1_foo", "a_b_c", "iem",
+             "majadele", "raamatutega", "linnas", "etxeetako",
+             "mendietan", "gizonarekin", "etako", "dele"]
     for py, sql in _batch2_pairs():
         got = _sql_batch(words, sql)
         bad = {w: (py(w), got[w]) for w in words if py(w) != got[w]}
@@ -569,6 +584,7 @@ def test_batch2_chains_in_analyzer_registry():
         "text_ca": "catalan_light_stem",
         "text_gl": "galician_minimal_stem",
         "text_id": "indonesian_light_stem", "text_ga": "irish_light_stem",
+        "text_et": "estonian_light_stem", "text_eu": "basque_light_stem",
     }
     for chain, fn_name in wired.items():
         assert ANALYZERS[chain] is getattr(stem, fn_name), chain
