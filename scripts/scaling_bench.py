@@ -111,7 +111,10 @@ def main() -> None:
     import datetime
 
     key = f"rerun_{datetime.date.today().isoformat()}_n{args.n}_docs{args.docs}"
-    ledger[key] = results
+    k, i = key, 2
+    while k in ledger:  # same-day re-runs get their own entries
+        k, i = f"{key}_r{i}", i + 1
+    ledger[k] = results
     with open(path, "w") as f:
         json.dump(ledger, f, indent=1)
     print(f"\nN={args.n}: {med_n:.0f} docs/s | 4N={4*args.n}: {med_4n:.0f} docs/s "

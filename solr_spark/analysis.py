@@ -512,10 +512,59 @@ ANALYZERS: dict[str, "callable | None"] = {
     "text_ga": irish_light_stem,
     "text_et": estonian_light_stem,
     "text_eu": basque_light_stem,
-    # text_en_splitting: WordDelimiterGraph pre-transform (PRE_TRANSFORMS
-    # below) + the same stop+Porter tail as text_en
-    "text_en_splitting": porter_stem,
+    # text_ar / text_fa: Arabic-script chains — normalization +
+    # (Arabic-only) light10 stem + romanization as ingest pre-transforms
+    # (PRE_TRANSFORMS["text_ar"/"text_fa"]), no dictionary transform
+    "text_ar": None,
+    "text_fa": None,
+    # remaining non-Latin chains: all pre-transform-only
+    # (PRE_TRANSFORMS carries the normalization/stem/romanization)
+    "text_bg": None,
+    "text_hy": None,
+    "text_hi": None,
+    "text_th": None,
+    "text_ja": None,
+    "text_ko": None,
+    # the tight splitting variant indexes catenations only (no Porter —
+    # the reference's text_en_splitting_tight uses EnglishMinimalStem,
+    # which is the s_stem slot)
+    "text_en_splitting_tight": s_stem,
+    # text_general is the chain the pinned base contract derives from
+    # (StandardTokenizer+stop+lowercase, managed-schema text_general) —
+    # an explicit alias of the default "code" chain
+    "text_general": None,
+    # text_greek: the reference schema carries BOTH text_greek (its own
+    # GreekLowerCase+GreekStem chain) and text_el (the *_txt_el dynamic
+    # slot) — one chain here, two names
+    "text_greek": None,
 }
+
+# Reference text_* fieldTypes (managed-schema.xml) NOT carried as
+# chains, with reasons — the parity test freezes this list so a new
+# reference name can never silently fall through.
+ANALYZER_EXCLUSIONS: dict[str, str] = {
+    # KeywordTokenizer + collation sort field: a SORT KEY, not a search
+    # analyzer — the engine sorts stored columns directly
+    # (relational.py sort/export), so a separate analyzed sort field
+    # has no role
+    "text_gen_sort": "collation sort key, not a search chain",
+    # WhitespaceTokenizer-only chain: breaks the pinned [a-z0-9_]+
+    # token-space contract every oracle/codec path relies on
+    # (punctuation would survive inside tokens); the default chain is
+    # the supported tokenization
+    "text_ws": "whitespace tokenization conflicts with the pinned "
+               "token-space contract",
+    # ReversedWildcardFilter chain: leading-wildcard acceleration is
+    # provided by the term-dictionary reversed-prefix scan instead
+    # (kernel multiterm component) — a separate indexed field is the
+    # Lucene mechanism, not the capability
+    "text_general_rev": "leading wildcards served by the reversed-prefix "
+                        "term-dictionary scan, not a second indexed field",
+}
+
+# text_en_splitting: WordDelimiterGraph pre-transform (PRE_TRANSFORMS
+# below) + the same stop+Porter tail as text_en
+ANALYZERS["text_en_splitting"] = porter_stem
 
 
 # ---------------------------------------------------------------------------
@@ -752,6 +801,183 @@ greek_fold = _script_fold(
 )
 
 
+# ---------------------------------------------------------------------------
+# Arabic chain (text_ar) and Persian chain (text_fa): the same
+# native-script-stem + deterministic-transliteration fold design as
+# text_ru/text_el. Arabic runs are normalized (ArabicNormalizer
+# semantics), light10-stemmed (Larkey 2002; the ArabicStemFilterFactory
+# slot), then romanized into the pinned [a-z0-9_]+ term space with a
+# chat-Arabizi-style map (digraphs for the fricatives, the conventional
+# digit codes 2/3 for hamza/ain, digit-suffixed forms for the emphatic
+# consonants — deterministic, not injective, same posture as the ru/el
+# maps). Persian runs go through the Arabic normalizer THEN the Persian
+# normalizer (the PersianAnalyzer chain order) with NO stemmer, and the
+# map adds the four Persian letters. ZWNJ (U+200C) is outside the run
+# regex, so half-space-joined Persian compounds split into separate
+# tokens — exactly the PersianCharFilter behavior. Reference anchor:
+# managed-schema.xml text_ar / text_fa.
+
+_AR_RUN_RE = re.compile("[ء-ْٮ-ۓٰ]+")
+
+_AR_TRANSLIT = {
+    "ا": "a", "ب": "b", "ت": "t", "ث": "th", "ج": "j", "ح": "h",
+    "خ": "kh", "د": "d", "ذ": "dh", "ر": "r", "ز": "z", "س": "s",
+    "ش": "sh", "ص": "s9", "ض": "d9", "ط": "t9", "ظ": "z9", "ع": "3",
+    "غ": "gh", "ف": "f", "ق": "q", "ك": "k", "ل": "l", "م": "m",
+    "ن": "n", "ه": "h", "و": "w", "ي": "y",
+    "ء": "2", "ئ": "2", "ؤ": "2",
+    # forms the normalizer did not fold (kept for robustness on mixed
+    # or unnormalized input reaching the map directly)
+    "ة": "h", "ى": "y",
+}
+
+_FA_TRANSLIT = dict(_AR_TRANSLIT)
+_FA_TRANSLIT.update({"پ": "p", "چ": "ch", "ژ": "zh", "گ": "g"})
+
+from .stem import (  # noqa: E402
+    arabic_light_stem,
+    arabic_normalize,
+    persian_normalize,
+)
+
+arabic_fold = _script_fold(
+    _AR_RUN_RE, arabic_light_stem, _AR_TRANSLIT, normalize=arabic_normalize
+)
+_persian_script_fold = _script_fold(
+    _AR_RUN_RE, lambda w: w, _FA_TRANSLIT, normalize=persian_normalize
+)
+
+
+def persian_fold(text: str) -> str:
+    """text_fa pre-transform: ZWNJ -> space first (the PersianCharFilter
+    half-space rule, so compounds split into separate tokens), then the
+    normalize+romanize script fold."""
+    if text is None:
+        return text
+    if "‌" in text:
+        text = text.replace("‌", " ")
+    return _persian_script_fold(text)
+
+
+# ---------------------------------------------------------------------------
+# Bulgarian (text_bg), Armenian (text_hy), Hindi (text_hi): three more
+# native-script chains on the same _script_fold machinery. Bulgarian
+# reuses the Cyrillic map with the two letters whose standard Bulgarian
+# romanization differs from the Russian one (ъ is a full vowel -> 'a',
+# щ -> 'sht' — the official Streamlined System); Armenian uses an
+# ISO-9985-style map; Hindi a conventional Devanagari romanization
+# (consonants carry no inherent-vowel synthesis — deterministic fold,
+# not a phonetic transcription, same posture as every map here).
+
+_BG_TRANSLIT = dict(_RU_TRANSLIT)
+_BG_TRANSLIT.update({"ъ": "a", "щ": "sht", "ь": "y"})
+_BG_RUN_RE = _RU_RUN_RE  # same Cyrillic block
+
+_HY_TRANSLIT = {
+    "ա": "a", "բ": "b", "գ": "g", "դ": "d", "ե": "e", "զ": "z",
+    "է": "e", "ը": "e", "թ": "t", "ժ": "zh", "ի": "i", "լ": "l",
+    "խ": "kh", "ծ": "ts", "կ": "k", "հ": "h", "ձ": "dz", "ղ": "gh",
+    "ճ": "ch", "մ": "m", "յ": "y", "ն": "n", "շ": "sh", "ո": "o",
+    "չ": "ch", "պ": "p", "ջ": "j", "ռ": "r", "ս": "s", "վ": "v",
+    "տ": "t", "ր": "r", "ց": "ts", "ւ": "w", "փ": "p", "ք": "k",
+    "օ": "o", "ֆ": "f", "և": "ev",
+}
+_HY_RUN_RE = re.compile("[Ա-֏]+")
+
+_HI_TRANSLIT = {
+    "क": "k", "ख": "kh", "ग": "g", "घ": "gh", "ङ": "n",
+    "च": "ch", "छ": "chh", "ज": "j", "झ": "jh", "ञ": "n",
+    "ट": "t", "ठ": "th", "ड": "d", "ढ": "dh", "ण": "n",
+    "त": "t", "थ": "th", "द": "d", "ध": "dh", "न": "n",
+    "प": "p", "फ": "ph", "ब": "b", "भ": "bh", "म": "m",
+    "य": "y", "र": "r", "ल": "l", "व": "v",
+    "श": "sh", "ष": "sh", "स": "s", "ह": "h",
+    "अ": "a", "आ": "aa", "इ": "i", "ई": "ii", "उ": "u", "ऊ": "uu",
+    "ऋ": "ri", "ए": "e", "ऐ": "ai", "ओ": "o", "औ": "au",
+    "ा": "aa", "ि": "i", "ी": "ii", "ु": "u", "ू": "uu",
+    "ृ": "ri", "े": "e", "ै": "ai", "ो": "o", "ौ": "au",
+    "ं": "n", "ः": "h", "्": "",
+}
+_HI_RUN_RE = re.compile("[ऀ-ॏ]+")
+
+from .stem import (  # noqa: E402
+    armenian_light_stem,
+    bulgarian_light_stem,
+    hindi_light_stem,
+    hindi_normalize,
+)
+
+bulgarian_fold = _script_fold(_BG_RUN_RE, bulgarian_light_stem, _BG_TRANSLIT)
+armenian_fold = _script_fold(_HY_RUN_RE, armenian_light_stem, _HY_TRANSLIT)
+hindi_fold = _script_fold(
+    _HI_RUN_RE, hindi_light_stem, _HI_TRANSLIT, normalize=hindi_normalize
+)
+
+
+# ---------------------------------------------------------------------------
+# Thai chain (text_th): the reference's ThaiTokenizer does
+# dictionary-based word segmentation (no Thai word separators); the
+# honest no-dictionary fallback is overlapping character bigrams —
+# exactly the CJK posture above — folded injectively into the pinned
+# term space as th_<hex>_<hex>. Query/index symmetric; documented
+# deviation from morphological segmentation.
+
+_TH_RUN_RE = re.compile("[ก-๎]+")
+
+
+def _th_run_tokens(run: str) -> str:
+    if len(run) == 1:
+        return f"th_{ord(run):04x}"
+    return " ".join(
+        f"th_{ord(a):04x}_{ord(b):04x}" for a, b in zip(run, run[1:])
+    )
+
+
+def thai_bigram_fold(text: str) -> str:
+    """text_th pre-transform: each maximal Thai run becomes its
+    space-separated character bigrams (CJK-bigram posture — the
+    no-dictionary fallback for an unsegmented script)."""
+    if text is None:
+        return text
+    if not _TH_RUN_RE.search(text):
+        return text
+    return _TH_RUN_RE.sub(lambda m: f" {_th_run_tokens(m.group(0))} ", text)
+
+
+def word_delimiter_fold_tight(text: str) -> str:
+    """text_en_splitting_tight: the reference's tight variant
+    (generateWordParts=0, catenateWords=1 — managed-schema
+    text_en_splitting_tight): splittable runs index ONLY the same-type
+    catenations ('wi-fi'->'wifi', 'getFooBar'->'getfoobar' after the
+    lowercase step), with parts that belong to no >=2-group kept as-is
+    so no text is dropped."""
+    if text is None:
+        return text
+    if not _WDG_TRIGGER_RE.search(text):
+        return text
+
+    def run(m) -> str:
+        r = m.group(0)
+        parts: list = []
+        for seg in r.replace("-", "_").split("_"):
+            if seg:
+                parts.extend(_wdg_split_segment(seg))
+        if len(parts) <= 1:
+            return r
+        out: list = []
+        i, n = 0, len(parts)
+        while i < n:
+            j = i
+            is_num = parts[i].isdigit()
+            while j + 1 < n and parts[j + 1].isdigit() == is_num:
+                j += 1
+            out.append("".join(parts[i : j + 1]))
+            i = j + 1
+        return " " + " ".join(out) + " "
+
+    return _WDG_RUN_RE.sub(run, text)
+
+
 # analyzer name → str→str ingest pre-transform, applied to document
 # content BEFORE tokenization (both the tf and the positional build
 # paths) and to query strings before parsing. Orthogonal to ANALYZERS
@@ -761,10 +987,22 @@ PRE_TRANSFORMS: dict[str, "callable"] = {
     "text_folded": ascii_fold,
     "text_ru": russian_fold,
     "text_el": greek_fold,
+    "text_ar": arabic_fold,
+    "text_fa": persian_fold,
+    "text_bg": bulgarian_fold,
+    "text_hy": armenian_fold,
+    "text_hi": hindi_fold,
+    "text_th": thai_bigram_fold,
+    # text_ja / text_ko: the reference ships morphological tokenizers
+    # (kuromoji / nori); the honest no-dictionary fallback is the CJK
+    # bigram chain — Lucene's own CJKAnalyzer posture for ja/ko
+    "text_ja": cjk_bigram_fold,
+    "text_ko": cjk_bigram_fold,
     # camelCase / delimiter splitting BEFORE the lowercase step (the
-    # only chain whose pre-transform needs original case); Porter runs
-    # after as the dictionary transform (ANALYZERS entry below)
+    # only chains whose pre-transform needs original case); Porter runs
+    # after as text_en_splitting's dictionary transform (ANALYZERS)
     "text_en_splitting": word_delimiter_fold,
+    "text_en_splitting_tight": word_delimiter_fold_tight,
 }
 
 

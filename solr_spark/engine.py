@@ -25,7 +25,7 @@ from .indexer import IndexMeta, build_index
 from .kernel import dismax_search, search
 from .qparser import Query, parse
 
-ENGINE_VERSION = "v3"  # bump to invalidate cached gate indexes (v3: payload stream)
+ENGINE_VERSION = "v4"  # bump to invalidate cached gate indexes (v4: terms_rev)
 
 
 def documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,15 +162,39 @@ def _multiterm_component(
     never a driver-side term list."""
     from .kernel import postings_rows
 
+    import os as _os
+    import re as _re
+
     terms_df = spark.read.parquet(meta.terms_path)
+    expanded = None
     if mt.kind == "prefix":
         pred = F.col("term").startswith(mt.pattern[:-1])
     elif mt.kind == "wildcard":
         pred = F.col("term").like(_like_pattern(mt.pattern))
+        # ReversedWildcard capability (the reference's text_general_rev
+        # ReversedWildcardFilterFactory slot): a LEADING-wildcard pattern
+        # with a literal tail ('*foo', '?bar', '*mid?dle_tail') rewrites
+        # to a PREFIX scan of the reversed term dictionary — the
+        # StartsWith predicate pushes into the parquet scan of the
+        # rev-sorted table (min/max row-group pruning), so scan cost is
+        # ∝ matching-suffix range, not ∝ vocabulary — then the full LIKE
+        # verifies. Indexes without the table fall back to the LIKE scan.
+        wc_parts = _re.split(r"[*?]", mt.pattern)
+        tail = wc_parts[-1]
+        if not wc_parts[0] and tail and _os.path.exists(
+            _os.path.join(meta.terms_rev_path, "_SUCCESS")
+        ):
+            rev_df = spark.read.parquet(meta.terms_rev_path)
+            expanded = (
+                rev_df.filter(F.col("rev").startswith(tail[::-1]))
+                .filter(pred)
+                .select("term")
+            )
     else:  # fuzzy: classic Levenshtein (documented deviation from
         # Lucene's Damerau-Levenshtein, see qparser.MultiTermClause)
         pred = F.levenshtein(F.col("term"), F.lit(mt.pattern)) <= mt.max_edits
-    expanded = terms_df.filter(pred).select("term")
+    if expanded is None:
+        expanded = terms_df.filter(pred).select("term")
     rows = postings_rows(spark, meta, expanded)
     out = rows.select("docid").dropDuplicates(["docid"])
     if filters:

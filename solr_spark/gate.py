@@ -1194,6 +1194,9 @@ _PRIORITY = [
     # index-time SynonymGraph injection (analysis.SynonymGraph —
     # flattened-graph positions, discountOverlaps doclen)
     "fts_synonyms_index",
+    # reversed term dictionary: leading-wildcard prefix scan
+    # (indexer write_term_stats _rev table + engine rewrite)
+    "fts_leading_wildcard",
     # -- (b) round-4 UPGRADED: rows-only -> full oracle ------------------
     # t_classify: unrolled-GD DuckDB mirror; a_convex_hull: Jarvis-march
     # recursive-CTE oracle
@@ -1228,9 +1231,10 @@ _PRIORITY = [
     "t_minhash_pairs", "t_exact_dups", "e_near_dup", "t_token_stats",
     # windowed / LTR (w_ltr_linear spilled for fts_synonyms_index — it
     # holds an r3 triple-green row and stays pinned by tests)
-    "w_collapse",
-    # ---- 50-entry window edge (w_collapse is row 50) ----
-    "w_ltr_linear",
+    # ---- 50-entry window edge (t_token_stats is row 50; w_collapse
+    # spilled for fts_leading_wildcard — it holds an r1 triple-green
+    # row and stays pinned by tests) ----
+    "w_collapse", "w_ltr_linear",
     # Spillovers below all hold prior triple-green rows (r1-r3) and stay
     # exercised by tests/test_gate.py + oracle_check against the same
     # oracles: the evaluator long tail, facet variants, component
@@ -2924,6 +2928,27 @@ def fts_mixed_wildcard(spark, sf_dir):
     clause combined additively (BooleanQuery with a WildcardQuery
     SHOULD clause)."""
     return gate_search(spark, sf_dir, "table w?ndow*", k=10)
+
+
+_LEADING_WILDCARD_SQL = f"""WITH tok AS (SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents),
+mt AS (SELECT DISTINCT doc_id FROM tok WHERE term LIKE '%ow')
+SELECT d.doc_id AS doc_id, 1.0 AS score
+FROM documents d JOIN mt ON mt.doc_id = d.doc_id
+ORDER BY 2 DESC, d.source ASC, d.doc_id ASC
+LIMIT 10"""
+
+
+@entry("fts_leading_wildcard", _LEADING_WILDCARD_SQL)
+def fts_leading_wildcard(spark, sf_dir):
+    """q='*ow': a LEADING-wildcard clause (constant-score WildcardQuery).
+    The engine serves it from the REVERSED term dictionary — a prefix
+    scan of the rev-sorted terms_rev table (StartsWith pushed into the
+    parquet read; the ReversedWildcardFilterFactory capability of the
+    reference's text_general_rev fieldType,
+    CORE/analysis/ReversedWildcardFilterFactory.java) — so scan cost is
+    ∝ the matching-suffix range, not ∝ vocabulary. Oracle recomputes via
+    a brute LIKE '%ow' over every analyzed token."""
+    return gate_search(spark, sf_dir, "*ow", k=10)
 
 
 # edismax: DisjunctionMax over (text, source) fields + mm + pf2/pf3

@@ -110,6 +110,14 @@ class IndexMeta:
     def terms_path(self) -> str:
         return os.path.join(self.out_dir, "terms")
 
+    @property
+    def terms_rev_path(self) -> str:
+        """Reversed term dictionary (sorted by reversed term) — the
+        leading-wildcard prefix-scan table; may be absent on indexes
+        built before it existed (query path falls back to a LIKE
+        scan)."""
+        return os.path.join(self.out_dir, "terms_rev")
+
     def save(self) -> None:
         with open(os.path.join(self.out_dir, "meta.json"), "w") as f:
             json.dump(asdict(self), f, indent=1)
@@ -340,7 +348,14 @@ def write_bucket_stats(docs_df: DataFrame, out_path: str, P: int,
 
 def write_term_stats(postings_df: DataFrame, out_path: str, P: int) -> None:
     """Stage 4 writer: global (df, cf, n_buckets) per term, range-sorted
-    (shared by build_index and segment merge)."""
+    (shared by build_index and segment merge). Alongside the stats table
+    it writes ``<out_path>_rev``: the REVERSED term dictionary, range-
+    sorted by the reversed form — the ReversedWildcardFilterFactory
+    capability (reference text_general_rev fieldType;
+    CORE/analysis/ReversedWildcardFilterFactory.java): a leading-wildcard
+    query becomes a PREFIX scan on this table (parquet min/max row-group
+    pruning applies) instead of a full dictionary LIKE scan. Cost ∝
+    vocabulary (two narrow columns), negligible next to postings."""
     (
         postings_df.groupBy("term")
         .agg(
@@ -353,6 +368,20 @@ def write_term_stats(postings_df: DataFrame, out_path: str, P: int) -> None:
         .write.mode("overwrite")
         .parquet(out_path)
     )
+    (
+        spark_read_parquet_same_session(postings_df, out_path)
+        .select(F.reverse(F.col("term")).alias("rev"), "term")
+        .repartitionByRange(max(P // 8, 1), "rev")
+        .sortWithinPartitions("rev")
+        .write.mode("overwrite")
+        .parquet(out_path + "_rev")
+    )
+
+
+def spark_read_parquet_same_session(df: DataFrame, path: str) -> DataFrame:
+    """Read ``path`` with the session that produced ``df`` (write_term_stats
+    is called with a DataFrame, not a session handle)."""
+    return df.sparkSession.read.parquet(path)
 
 
 def _done(path: str) -> bool:

@@ -1371,3 +1371,163 @@ case ending leaving >= 3 letters, at most once."""
 def basque_light_sql(var: str = "x") -> str:
     """SQL mirror of basque_light_stem (same pinned table)."""
     return _table_sql(var, _EU_SUFFIXES, 3, prefix="eu")
+
+
+# ---------------------------------------------------------------------------
+# Arabic-script chains (text_ar / text_fa): native-script normalization
+# + light stemming, consumed by analysis.py's _script_fold machinery
+# exactly like the Russian/Greek chains. Public algorithm families:
+# Lucene's ArabicNormalizer/ArabicStemmer implement Larkey, Ballesteros
+# & Connell, "Improving Stemming for Arabic Information Retrieval:
+# Light Stemming and Co-occurrence Analysis" (SIGIR 2002) — the
+# "light10" stemmer; PersianNormalizer follows the PersianAnalyzer
+# chain (normalization only, no stemmer). Reference capability anchor:
+# managed-schema.xml text_ar / text_fa fieldTypes. No bit-parity claim.
+
+_AR_TASHKEEL = set("ًٌٍَُِّْ")
+_AR_NORM_MAP = {
+    "آ": "ا", "أ": "ا", "إ": "ا",
+    "ٱ": "ا",                       # alef variants -> alef
+    "ى": "ي",                       # alef maqsura -> yeh
+    "ة": "ه",                       # teh marbuta -> heh
+}
+
+
+def arabic_normalize(w: str) -> str:
+    """ArabicNormalizer semantics: drop tatweel (U+0640), the eight
+    tashkeel marks (U+064B-U+0652) and superscript alef (U+0670);
+    normalize alef-with-hamza/madda/wasla to bare alef, alef maqsura to
+    yeh, teh marbuta to heh."""
+    out = []
+    for ch in w:
+        if ch == "ـ" or ch == "ٰ" or ch in _AR_TASHKEEL:
+            continue
+        out.append(_AR_NORM_MAP.get(ch, ch))
+    return "".join(out)
+
+
+_AR_PREFIXES = ["وال", "فال",
+                "بال", "كال",
+                "لل", "ال", "و"]
+_AR_SUFFIXES = ["ها", "ان", "ات",
+                "ون", "ين", "يه",
+                "ية", "ه", "ة", "ي"]
+
+
+def arabic_light_stem(w: str) -> str:
+    """Light10 stemmer (Larkey 2002 family; the ArabicStemFilterFactory
+    slot of the reference's text_ar fieldType). One prefix strip —
+    first match of [wal- fal- bal- kal- lil- al- wa-], leaving >= 2
+    letters (>= 3 for bare waw) — then the pinned suffix list applied
+    IN ORDER, each stripping if it matches and leaves >= 2 letters
+    (several suffixes may strip in sequence, matching the Lucene
+    loop)."""
+    for p in _AR_PREFIXES:
+        if w.startswith(p):
+            rest = len(w) - len(p)
+            if rest >= (3 if p == "و" else 2):
+                w = w[len(p):]
+            break
+    for s in _AR_SUFFIXES:
+        if w.endswith(s) and len(w) - len(s) >= 2:
+            w = w[: -len(s)]
+    return w
+
+
+_FA_NORM_MAP = {
+    "ی": "ي", "ے": "ي",   # farsi yeh / yeh barree
+    "ک": "ك",                       # keheh -> kaf
+    "ۀ": "ه", "ہ": "ه",   # heh+yeh / heh goal -> heh
+}
+
+
+def persian_normalize(w: str) -> str:
+    """PersianNormalizer semantics applied AFTER arabic_normalize (the
+    PersianAnalyzer chain order): farsi yeh / yeh barree -> yeh, keheh
+    -> kaf, heh-with-yeh / heh goal -> heh, drop hamza-above
+    (U+0654)."""
+    w = arabic_normalize(w)
+    return "".join(
+        _FA_NORM_MAP.get(ch, ch) for ch in w if ch != "ٔ"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bulgarian (text_bg), Armenian (text_hy), Hindi (text_hi): native-script
+# normalization/light-stem layers for analysis.py's _script_fold, same
+# posture as the Russian/Greek/Arabic chains. Public families: Lucene's
+# BulgarianStemmer implements Nakov's BulStem (light, inflectional);
+# HindiNormalizer/HindiStemmer follow Ramanathan & Rao, "A Lightweight
+# Stemmer for Hindi" (2003); the Armenian slot ships snowball — here a
+# pinned light case/plural table, honest-light by design. No bit-parity
+# claim with any particular Lucene filter.
+
+_BG_SUFFIXES = sorted([
+    "овете", "евете", "ищата",
+    "ията", "ият", "ите", "ове", "еве", "ища", "ище",
+    "та", "то", "те", "ът", "ят", "ия", "ие",
+    "а", "я", "о", "е", "и", "ю",
+], key=len, reverse=True)
+
+
+def bulgarian_light_stem(w: str) -> str:
+    """Bulgarian light stemmer (BulStem family; the
+    BulgarianStemFilterFactory slot of the reference's text_bg
+    fieldType): longest matching definite-article/plural/gender ending,
+    strip must leave >= 3 letters, applied at most once."""
+    for suf in _BG_SUFFIXES:
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            return w[: -len(suf)]
+    return w
+
+
+_HY_SUFFIXES = sorted([
+    "ներին", "ներում", "ների", "ներն", "ները", "ներ",
+    "երին", "երում", "երի", "երն", "երը", "եր",
+    "ում", "ին", "ից", "ով", "ան",
+    "ի", "ը", "ն",
+], key=len, reverse=True)
+
+
+def armenian_light_stem(w: str) -> str:
+    """Armenian light stemmer (the text_hy snowball slot; pinned light
+    table over the plural/case layer): longest matching ending, strip
+    must leave >= 3 letters, applied at most once."""
+    for suf in _HY_SUFFIXES:
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            return w[: -len(suf)]
+    return w
+
+
+# Hindi: normalization first (HindiNormalizer semantics — the subset
+# relevant to the Devanagari letters the transliteration map carries:
+# drop nukta (U+093C), candrabindu -> anusvara), then the light stemmer
+# (Ramanathan & Rao: strip ONE matra/plural/case ending).
+
+def hindi_normalize(w: str) -> str:
+    """HindiNormalizer (subset): remove nukta (U+093C) so क़->क etc.,
+    map candrabindu (U+0901) to anusvara (U+0902), drop virama
+    (U+094D) word-finally only (medial viramas carry conjunct
+    structure the transliteration keeps)."""
+    w = w.replace("़", "").replace("ँ", "ं")
+    if w.endswith("्"):
+        w = w[:-1]
+    return w
+
+
+_HI_SUFFIXES = sorted([
+    "ियों", "ाओं", "ुओं", "ाएं", "ाओ",
+    "ों", "ें", "ीं", "ियाँ", "ियां",
+    "ी", "े", "ो", "ा", "ि", "ु", "ू", "ँ", "ं",
+], key=len, reverse=True)
+
+
+def hindi_light_stem(w: str) -> str:
+    """Hindi light stemmer (Ramanathan & Rao 2003 family; the
+    HindiStemFilterFactory slot of the reference's text_hi fieldType):
+    longest matching matra/plural/case ending, strip must leave >= 2
+    characters, applied at most once."""
+    for suf in _HI_SUFFIXES:
+        if w.endswith(suf) and len(w) - len(suf) >= 2:
+            return w[: -len(suf)]
+    return w

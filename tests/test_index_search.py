@@ -259,3 +259,71 @@ def test_search_unsorted_with_fields_raises(spark, small_index):
 
     with _pytest.raises(ValueError, match="unsorted"):
         search(spark, small_index, "license", with_fields=True, unsorted=True)
+
+
+# ---------------------------------------------------------------------------
+# reversed term dictionary (ReversedWildcardFilterFactory capability)
+
+
+def test_leading_wildcard_reversed_scan(spark, tmp_path):
+    """A leading-wildcard clause resolves through the rev-sorted terms
+    table (prefix scan, pushed into the parquet read), matches the
+    brute LIKE fallback exactly, and falls back cleanly when the rev
+    table is absent (pre-upgrade indexes)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from solr_spark import kernel
+    from solr_spark.indexer import build_index
+    from solr_spark.qparser import parse
+
+    rows = [
+        ("r", "a", "0", "x", "window shadow widow"),
+        ("r", "b", "0", "x", "meadow below"),
+        ("r", "c", "0", "x", "nothing here"),
+        ("r", "d", "0", "x", "windows dow"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    meta = build_index(
+        spark, docs, str(tmp_path / "rev_idx"), bucket_docs=256,
+        num_partitions=2,
+    )
+    import os
+
+    assert os.path.exists(os.path.join(meta.terms_rev_path, "_SUCCESS"))
+    # the rev table holds exactly the reversed dictionary
+    rev = spark.read.parquet(meta.terms_rev_path)
+    pairs = {(r["rev"], r["term"]) for r in rev.collect()}
+    assert all(a == b[::-1] for a, b in pairs)
+
+    from solr_spark.engine import _multiterm_component
+    from solr_spark.qparser import MultiTermClause
+
+    def search(q):
+        # multiterm clauses expand in the engine layer, not the kernel
+        mt = parse(q).multiterm[0]
+        res = _multiterm_component(spark, meta, mt)
+        dm = spark.read.parquet(meta.docs_path).select("docid", "path")
+        return {r["path"] for r in res.join(dm, "docid").collect()}
+
+    # *dow matches window/shadow/widow/meadow/dow... every term ENDING
+    # in 'dow' ('windows' does not match)
+    assert search("*dow") == {"a", "b", "d"}
+    # leading '?' with literal tail also routes through the rev table
+    assert search("?indow") == {"a"}
+    # mixed leading pattern with inner wildcard: verify-LIKE still holds
+    assert search("*ad?w") == {"a", "b"}  # shadow, meadow
+    # the reversed-prefix scan shows a pushed StartsWith on rev
+    plan = _multiterm_component(
+        spark, meta, MultiTermClause(kind="wildcard", pattern="*dow",
+                                     max_edits=0, boost=1.0)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "StartsWith(rev" in plan, plan
+
+    # fallback: remove the rev table -> same results through LIKE scan
+    shutil.rmtree(meta.terms_rev_path)
+    assert search("*dow") == {"a", "b", "d"}
+    assert search("*ad?w") == {"a", "b"}
