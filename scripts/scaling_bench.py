@@ -9,7 +9,15 @@ T_N_throughput) / 4. The sandbox stand-in for N vs 4N executor clusters
 per the measurement protocol in BASELINE.md.
 
 Usage: python scripts/scaling_bench.py [--docs 120000] [--n 8] [--runs 3]
+                                       [--partitions P]
 Writes results to BENCH_SCALING.json and prints a summary.
+
+--partitions fixes the postings-partition count for BOTH arms. Default
+keeps the historical behavior (partitions = cores), but for a clean
+core-scaling measurement pass a fixed P: on a real cluster the partition
+count is data-size-driven, not core-count-driven, and tying it to cores
+conflates task granularity with parallelism (at N=1 it also concentrates
+the full postings merge into one task, which OOMs at 480k docs).
 """
 
 from __future__ import annotations
@@ -31,7 +39,8 @@ from solr_spark.indexer import build_index
 from solr_spark.corpus import materialize_corpus
 
 cpus = {cpus}
-spark = get_spark(master=f"local[{{cpus}}]", shuffle_partitions=cpus,
+parts = {parts}
+spark = get_spark(master=f"local[{{cpus}}]", shuffle_partitions=parts,
                   app_name="scaling_bench")
 corpus = {corpus!r}
 if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
@@ -45,26 +54,32 @@ if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
 # host-level contention spikes this sandbox exhibits).
 warm = f"/tmp/solr_spark_scale_warm_{{cpus}}"
 shutil.rmtree(warm, ignore_errors=True)
-build_index(spark, spark.read.parquet(corpus), warm, num_partitions=cpus)
+build_index(spark, spark.read.parquet(corpus), warm, num_partitions=parts)
 walls = []
 for rep in range(3):
     idx = f"/tmp/solr_spark_scale_idx_{{cpus}}"
     shutil.rmtree(idx, ignore_errors=True)
     t0 = time.time()
-    meta = build_index(spark, spark.read.parquet(corpus), idx, num_partitions=cpus)
+    meta = build_index(spark, spark.read.parquet(corpus), idx, num_partitions=parts)
     walls.append(time.time() - t0)
 wall = min(walls)
-print("RESULT " + json.dumps({{"cpus": cpus, "wall": wall, "walls": walls,
+print("RESULT " + json.dumps({{"cpus": cpus, "partitions": parts, "wall": wall, "walls": walls,
                                "docs": meta.n_docs,
                                "docs_per_sec": meta.n_docs / wall}}))
 """
 
 
-def run_once(cpus: int, docs: int, corpus: str) -> dict:
-    code = RUN_SNIPPET.format(repo=REPO, cpus=cpus, docs=docs, corpus=corpus)
+def run_once(cpus: int, docs: int, corpus: str, parts: int) -> dict:
+    code = RUN_SNIPPET.format(repo=REPO, cpus=cpus, docs=docs, corpus=corpus,
+                              parts=parts)
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, check=True
+        [sys.executable, "-c", code], capture_output=True, text=True
     )
+    if out.returncode != 0:
+        raise RuntimeError(
+            f"local[{cpus}] run failed (rc={out.returncode}); stderr tail:\n"
+            + out.stderr[-4000:]
+        )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
@@ -76,14 +91,19 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=120000)
     ap.add_argument("--n", type=int, default=8, help="small cluster size (big = 4N)")
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--partitions", type=int, default=0,
+                    help="fixed postings-partition count for both arms "
+                         "(0 = historical behavior: partitions = cores)")
     args = ap.parse_args()
 
     corpus = f"/tmp/solr_spark_scale_corpus_{args.docs}"
-    results = {"docs": args.docs, "n": args.n, "runs": []}
+    results = {"docs": args.docs, "n": args.n,
+               "partitions": args.partitions or "=cores", "runs": []}
     tput: dict[int, list[float]] = {args.n: [], 4 * args.n: []}
     for r in range(args.runs):
         for cpus in (args.n, 4 * args.n):
-            res = run_once(cpus, args.docs, corpus)
+            parts = args.partitions or cpus
+            res = run_once(cpus, args.docs, corpus, parts)
             results["runs"].append(res)
             tput[cpus].append(res["docs_per_sec"])
             print(f"run {r} local[{cpus}]: {res['docs_per_sec']:.0f} docs/s "
@@ -110,7 +130,9 @@ def main() -> None:
         ledger = {"headline": ledger} if ledger else {}
     import datetime
 
-    key = f"rerun_{datetime.date.today().isoformat()}_n{args.n}_docs{args.docs}"
+    key = (f"rerun_{datetime.date.today().isoformat()}_n{args.n}"
+           f"_docs{args.docs}"
+           + (f"_p{args.partitions}" if args.partitions else ""))
     k, i = key, 2
     while k in ledger:  # same-day re-runs get their own entries
         k, i = f"{key}_r{i}", i + 1
