@@ -98,7 +98,11 @@ def main() -> None:
 
     corpus = f"/tmp/solr_spark_scale_corpus_{args.docs}"
     results = {"docs": args.docs, "n": args.n,
-               "partitions": args.partitions or "=cores", "runs": []}
+               "partitions": args.partitions or "=cores",
+               # identical for both arms; JVM startup (incl. AlwaysPreTouch
+               # of this heap) is outside the measured build wall
+               "driver_mem": os.environ.get("SOLR_SPARK_DRIVER_MEM", "8g"),
+               "runs": []}
     tput: dict[int, list[float]] = {args.n: [], 4 * args.n: []}
     for r in range(args.runs):
         for cpus in (args.n, 4 * args.n):
