@@ -189,38 +189,60 @@ def decode_blocks(
     return np.concatenate(out_docs), np.concatenate(out_tfs)
 
 
-def encode_posting_runs(
+@dataclass
+class FlatEncodedRuns:
+    """Columnar form of MANY encoded posting runs — flat arrays indexed by
+    run (plus contiguous byte streams with per-run offset vectors), the
+    zero-copy shape the Arrow encode stage turns straight into a
+    RecordBatch (indexer._encode_partition_arrow) without creating one
+    Python object per run."""
+
+    lens: np.ndarray          # int64[G] df per run
+    cfs: np.ndarray           # int64[G]
+    stream_d: np.ndarray      # uint8[*] contiguous docid-delta varint stream
+    stream_t: np.ndarray      # uint8[*] contiguous (tf-1) varint stream
+    run_offs_d: np.ndarray    # int64[G+1] byte offset of each run in stream_d
+    run_offs_t: np.ndarray    # int64[G+1]
+    cum_nb: np.ndarray        # int64[G+1] block-count prefix (run g owns [cum_nb[g], cum_nb[g+1]))
+    offs_d: np.ndarray        # int32[nb_total] per-block byte offs, run-relative
+    offs_t: np.ndarray        # int32[nb_total]
+    block_last: np.ndarray    # int64[nb_total]
+    block_max_tf: np.ndarray  # int32[nb_total]
+    block_min_dl: np.ndarray  # int32[nb_total]
+
+
+def encode_posting_runs_flat(
     docids: np.ndarray,
     tfs: np.ndarray,
     doclens: np.ndarray,
     starts: np.ndarray,
     ends: np.ndarray,
     bases: np.ndarray,
-) -> list[EncodedPostings]:
-    """Encode MANY sorted posting runs in one vectorized pass — the
-    partition-level batch form of encode_postings (bit-identical output).
+) -> FlatEncodedRuns:
+    """Encode MANY sorted posting runs in one vectorized pass, returning
+    the columnar FlatEncodedRuns form (no per-run Python objects).
 
     ``starts``/``ends`` delimit each run inside the parent arrays and must
     tile them contiguously in order; ``bases`` is each run's bucket base.
     All varint sizing/encoding happens over the whole partition at once;
     per-block max-tf / min-doclen use np.maximum/minimum.reduceat over the
     global block-start index vector (blocks tile the arrays exactly, so
-    reduceat's [i, i+1) segment semantics give block ranges). The only
-    per-run Python work is byte-slicing the two shared streams.
+    reduceat's [i, i+1) segment semantics give block ranges).
     """
     n = docids.size
     G = starts.size
-    if n == 0 or G == 0:
-        return []
     docids = np.ascontiguousarray(docids, dtype=np.int64)
     tfs = np.ascontiguousarray(tfs, dtype=np.int64)
     doclens = np.ascontiguousarray(doclens, dtype=np.int64)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
     lens = ends - starts
 
     deltas = np.empty(n, dtype=np.uint64)
     if n > 1:
         np.subtract(docids[1:], docids[:-1], out=deltas[1:], casting="unsafe")
-    deltas[starts] = (docids[starts] - bases).astype(np.uint64)
+    if n:
+        deltas[starts] = (docids[starts] - bases).astype(np.uint64)
     tf_enc = (tfs - 1).astype(np.uint64)
 
     sizes_d = _varint_sizes(deltas)
@@ -241,32 +263,69 @@ def encode_posting_runs(
     within = np.arange(nb_total, dtype=np.int64) - cum_nb[block_group]
     bstart = starts[block_group] + within * BLOCK_SIZE
     bend = np.minimum(bstart + BLOCK_SIZE, ends[block_group])
-    block_last = docids[bend - 1]
-    block_max_tf = np.maximum.reduceat(tfs, bstart).astype(np.int32)
-    block_min_dl = np.minimum.reduceat(doclens, bstart).astype(np.int32)
+    block_last = docids[bend - 1] if nb_total else np.empty(0, np.int64)
+    if nb_total:
+        block_max_tf = np.maximum.reduceat(tfs, bstart).astype(np.int32)
+        block_min_dl = np.minimum.reduceat(doclens, bstart).astype(np.int32)
+    else:
+        block_max_tf = np.empty(0, np.int32)
+        block_min_dl = np.empty(0, np.int32)
     offs_d = (cum_d[bstart] - cum_d[starts[block_group]]).astype(np.int32)
     offs_t = (cum_t[bstart] - cum_t[starts[block_group]]).astype(np.int32)
 
     # per-run cf via reduceat over run starts
-    cfs = np.add.reduceat(tfs, starts)
+    cfs = np.add.reduceat(tfs, starts) if G else np.empty(0, np.int64)
+    boundaries = np.append(starts, n)
 
-    db = stream_d.tobytes()
-    tb = stream_t.tobytes()
+    return FlatEncodedRuns(
+        lens=lens,
+        cfs=cfs,
+        stream_d=stream_d,
+        stream_t=stream_t,
+        run_offs_d=cum_d[boundaries],
+        run_offs_t=cum_t[boundaries],
+        cum_nb=cum_nb,
+        offs_d=offs_d,
+        offs_t=offs_t,
+        block_last=block_last,
+        block_max_tf=block_max_tf,
+        block_min_dl=block_min_dl,
+    )
+
+
+def encode_posting_runs(
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    doclens: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    bases: np.ndarray,
+) -> list[EncodedPostings]:
+    """Per-run object form of encode_posting_runs_flat (bit-identical to
+    encode_postings run by run) — kept for callers that want one
+    EncodedPostings per run; the hot build path consumes the flat form
+    directly."""
+    n = docids.size
+    G = starts.size
+    if n == 0 or G == 0:
+        return []
+    f = encode_posting_runs_flat(docids, tfs, doclens, starts, ends, bases)
+    db = f.stream_d.tobytes()
+    tb = f.stream_t.tobytes()
     out: list[EncodedPostings] = []
     for g in range(G):
-        s, e = starts[g], ends[g]
-        b0, b1 = cum_nb[g], cum_nb[g + 1]
+        b0, b1 = f.cum_nb[g], f.cum_nb[g + 1]
         out.append(
             EncodedPostings(
-                df=int(lens[g]),
-                cf=int(cfs[g]),
-                doc_bytes=db[cum_d[s] : cum_d[e]],
-                tf_bytes=tb[cum_t[s] : cum_t[e]],
-                block_offs_doc=offs_d[b0:b1],
-                block_offs_tf=offs_t[b0:b1],
-                block_last=block_last[b0:b1],
-                block_max_tf=block_max_tf[b0:b1],
-                block_min_dl=block_min_dl[b0:b1],
+                df=int(f.lens[g]),
+                cf=int(f.cfs[g]),
+                doc_bytes=db[f.run_offs_d[g] : f.run_offs_d[g + 1]],
+                tf_bytes=tb[f.run_offs_t[g] : f.run_offs_t[g + 1]],
+                block_offs_doc=f.offs_d[b0:b1],
+                block_offs_tf=f.offs_t[b0:b1],
+                block_last=f.block_last[b0:b1],
+                block_max_tf=f.block_max_tf[b0:b1],
+                block_min_dl=f.block_min_dl[b0:b1],
             )
         )
     return out

@@ -13,12 +13,23 @@ ordinary parquet tables:
   [2] doc_stats docid = global sort ordinal (offset[pid] + local_idx —
                 deterministic across any parallelism), sha256, doclen,
                 bucket = docid DIV bucket_docs; global N / avgdl
-  [3] postings  ONE shuffle keyed (term, bucket): range-repartition then a
-                vectorized numpy encode kernel -> delta+varint blocks with
-                block-max metadata. Hot-term skew is structurally salted:
-                a term's postings split across docid buckets, so no single
-                reducer ever sees more than bucket_docs postings per term
-                (the reference's CompositeIdRouter-style routing,
+  [3] postings  two sub-stages forming a sorted-merge shuffle keyed
+                (term, bucket):
+                [3a] per-partition sorted partial posting runs — each task
+                     reads ONE staging file directly with pyarrow (the
+                     triples never cross the JVM→Python row pipe) and
+                     emits delta+varint runs per (term, bucket);
+                     checkpointed under _stage/runs
+                [3b] range exchange of the COMPACT runs on (term, bucket),
+                     JVM sort by (term, bucket, min_docid), then a
+                     vectorized decode→merge→re-encode pass producing
+                     delta+varint blocks with block-max metadata —
+                     byte-identical to encoding raw triples, at a shuffle
+                     cost of ~postings bytes instead of ~raw-triple rows.
+                Hot-term skew is structurally salted: a term's postings
+                split across docid buckets, so no single reducer ever
+                sees more than bucket_docs postings per term (the
+                reference's CompositeIdRouter-style routing,
                 solrj/src/java/org/apache/solr/common/cloud/CompositeIdRouter.java:136-148).
   [4] term_stats global (df, cf) per term — exact global IDF, stronger
                 than the reference's default per-shard IDF
@@ -47,7 +58,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .analysis import term_frequencies
-from .codec import encode_posting_runs
 
 # Narrow union schema: posting rows dominate (~500× doc rows), so they
 # carry exactly one object column. Doc rows pack their metadata into that
@@ -256,65 +266,429 @@ def _analyze_partitions(
     return fn
 
 
-def _encode_partition(bucket_docs: int, enc_acc=None):
-    """mapInPandas closure: vectorized posting-run encoder. Input partition
-    holds complete (term, bucket) groups (range-partitioned upstream); the
-    whole partition is varint-encoded in ONE numpy pass
-    (codec.encode_posting_runs), per-run Python reduced to byte slicing."""
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        chunks = [b for b in batches if len(b)]
-        if not chunks:
-            return
-        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-        pdf = pdf.sort_values(["term", "bucket", "docid"], kind="mergesort", ignore_index=True)
-        terms = pdf["term"].to_numpy()
-        buckets = pdf["bucket"].to_numpy(np.int64)
-        docids = pdf["docid"].to_numpy(np.int64)
-        tfs = pdf["tf"].to_numpy(np.int64)
-        dls = pdf["doclen"].to_numpy(np.int64)
-        # group boundaries where (term, bucket) changes
-        change = np.empty(len(pdf), dtype=bool)
-        change[0] = True
-        change[1:] = (terms[1:] != terms[:-1]) | (buckets[1:] != buckets[:-1])
-        starts = np.flatnonzero(change)
-        ends = np.append(starts[1:], len(pdf))
-        encs = encode_posting_runs(
-            docids, tfs, dls, starts, ends, buckets[starts] * bucket_docs
-        )
-        if enc_acc is not None:
-            nbytes = sum(len(e.doc_bytes) + len(e.tf_bytes) for e in encs)
-            enc_acc.add({0: (len(encs), nbytes)})
-        rows = []
-        for g, enc in enumerate(encs):
-            s = starts[g]
-            rows.append(
-                (
-                    terms[s], int(buckets[s]), enc.df, enc.cf,
-                    enc.doc_bytes, enc.tf_bytes,
-                    enc.block_offs_doc.tolist(), enc.block_offs_tf.tolist(),
-                    enc.block_last.tolist(), enc.block_max_tf.tolist(),
-                    enc.block_min_dl.tolist(),
-                )
-            )
-            if len(rows) >= 4000:
-                yield _rows_to_pdf(rows)
-                rows = []
-        if rows:
-            yield _rows_to_pdf(rows)
-
-    return fn
+PARTIAL_RUNS_SCHEMA = (
+    "term string, bucket bigint, min_docid bigint, df bigint, cf bigint, "
+    "doc_bytes binary, tf_bytes binary, dl_bytes binary"
+)
 
 
-def _rows_to_pdf(rows: list) -> pd.DataFrame:
-    return pd.DataFrame(
-        rows,
-        columns=[
+def _flat_to_batch(pa, term_arr, buckets, f):
+    """Assemble a POSTINGS_SCHEMA RecordBatch zero-copy from a
+    codec.FlatEncodedRuns: binary columns reuse the contiguous byte
+    streams via Array.from_buffers, list columns reuse the flat block
+    vectors via ListArray.from_arrays — no per-run Python objects."""
+    G = len(term_arr)
+    bin_col = lambda offs, stream: pa.Array.from_buffers(  # noqa: E731
+        pa.binary(), G,
+        [None, pa.py_buffer(offs.astype(np.int32)), pa.py_buffer(stream)],
+    )
+    lists32 = lambda vals: pa.ListArray.from_arrays(  # noqa: E731
+        pa.array(f.cum_nb.astype(np.int32)), pa.array(vals)
+    )
+    return pa.RecordBatch.from_arrays(
+        [
+            term_arr,
+            pa.array(buckets, type=pa.int64()),
+            pa.array(f.lens, type=pa.int64()),
+            pa.array(f.cfs, type=pa.int64()),
+            bin_col(f.run_offs_d, f.stream_d),
+            bin_col(f.run_offs_t, f.stream_t),
+            lists32(f.offs_d),
+            lists32(f.offs_t),
+            pa.ListArray.from_arrays(
+                pa.array(f.cum_nb.astype(np.int32)),
+                pa.array(f.block_last, type=pa.int64()),
+            ),
+            lists32(f.block_max_tf),
+            lists32(f.block_min_dl),
+        ],
+        names=[
             "term", "bucket", "df", "cf", "doc_bytes", "tf_bytes",
             "block_offs_doc", "block_offs_tf", "block_last",
             "block_max_tf", "block_min_dl",
         ],
     )
+
+
+def _strip_file_scheme(path: str) -> str:
+    """file:-scheme URIs (Spark's input_file_name form) -> local paths;
+    other schemes pass through for pyarrow.fs to resolve."""
+    if path.startswith("file://"):
+        return path[7:]
+    if path.startswith("file:"):
+        return path[5:]
+    return path
+
+
+def _partial_runs_fn(offsets: dict, bucket_docs: int):
+    """mapInArrow closure over STAGED FILE PATHS (one row per staging
+    parquet file): each task reads its file(s) DIRECTLY with pyarrow's
+    C++ parquet reader — the posting triples never cross the JVM→Python
+    row pipe, which profiling showed costs ~20 s for ~50 M rows while the
+    direct columnar read costs ~0.5 s — and emits per-partition sorted
+    partial posting runs, one row per (term, bucket) present in the file:
+    docid-delta varint streams exactly like the final format (base =
+    bucket * bucket_docs) plus a varint doclen stream, with min_docid
+    for the reduce-side merge order. This is the north-star shape:
+    per-partition sorted posting lists built map-side, merged by a
+    sorted-merge shuffle keyed (term, bucket) in stage 3b. Staging must
+    live on a filesystem pyarrow can open (local/NFS/S3/HDFS via
+    pyarrow.fs — true for Spark-writable storage in this deployment).
+
+    ``offsets`` (pid -> global docid offset) is a small broadcast-by-
+    closure dict; memory per task is bounded by one stage-1 partition's
+    triples (the same bound the old reduce-side encode had)."""
+    import pyarrow as pa
+
+    from .codec import _varint_sizes, varint_encode
+
+    max_pid = max(offsets) if offsets else 0
+    off_lookup = np.zeros(max_pid + 1, dtype=np.int64)
+    for p, o in offsets.items():
+        off_lookup[p] = o
+
+    def fn(batches):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            for path in b.column(0).to_pylist():
+                tbl = pq.read_table(
+                    _strip_file_scheme(path),
+                    columns=["pid", "local_idx", "term", "tf", "doclen"],
+                    filters=[("kind", "=", 1)],
+                ).combine_chunks()
+                n = tbl.num_rows
+                if n == 0:
+                    continue
+                pid = tbl.column("pid").to_numpy()
+                local = tbl.column("local_idx").to_numpy()
+                term = tbl.column("term")
+                term = term.chunk(0) if isinstance(term, pa.ChunkedArray) else term
+                tf = tbl.column("tf").to_numpy()
+                dl = tbl.column("doclen").to_numpy()
+                docid = off_lookup[pid] + local
+                # group sort: dictionary codes stand in for the term (the
+                # global term order is imposed by stage 3b's range
+                # exchange, so code order — not lexicographic order — is
+                # fine here and skips a string sort); bucket is monotonic
+                # in docid, so (code, docid) fully orders (term, bucket)
+                codes = term.dictionary_encode().indices.to_numpy()
+                order = np.lexsort((docid, codes))
+                codes_s = codes[order]
+                docid_s = docid[order]
+                bucket_s = docid_s // bucket_docs
+                tf_s = tf[order].astype(np.int64)
+                dl_s = dl[order].astype(np.int64)
+                change = np.empty(n, dtype=bool)
+                change[0] = True
+                change[1:] = (codes_s[1:] != codes_s[:-1]) | (
+                    bucket_s[1:] != bucket_s[:-1]
+                )
+                starts = np.flatnonzero(change)
+                ends = np.append(starts[1:], n)
+                boundaries = np.append(starts, n)
+                G = len(starts)
+
+                deltas = np.empty(n, dtype=np.uint64)
+                if n > 1:
+                    np.subtract(
+                        docid_s[1:], docid_s[:-1], out=deltas[1:], casting="unsafe"
+                    )
+                deltas[starts] = (
+                    docid_s[starts] - bucket_s[starts] * bucket_docs
+                ).astype(np.uint64)
+                tf_enc = (tf_s - 1).astype(np.uint64)
+                dl_enc = dl_s.astype(np.uint64)
+
+                streams, offs = [], []
+                for vals in (deltas, tf_enc, dl_enc):
+                    cum = np.zeros(n + 1, dtype=np.int64)
+                    np.cumsum(_varint_sizes(vals), out=cum[1:])
+                    streams.append(varint_encode(vals))
+                    offs.append(cum[boundaries])
+
+                bin_col = lambda i: pa.Array.from_buffers(  # noqa: E731
+                    pa.binary(), G,
+                    [None, pa.py_buffer(offs[i].astype(np.int32)),
+                     pa.py_buffer(streams[i])],
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pc.take(term, pa.array(order[starts])),
+                        pa.array(bucket_s[starts], type=pa.int64()),
+                        pa.array(docid_s[starts], type=pa.int64()),
+                        pa.array(ends - starts, type=pa.int64()),
+                        pa.array(np.add.reduceat(tf_s, starts), type=pa.int64()),
+                        bin_col(0),
+                        bin_col(1),
+                        bin_col(2),
+                    ],
+                    names=[
+                        "term", "bucket", "min_docid", "df", "cf",
+                        "doc_bytes", "tf_bytes", "dl_bytes",
+                    ],
+                )
+
+    return fn
+
+
+def _binary_stream(pa, arr):
+    """View an Arrow binary column as (data uint8, row byte offsets int64)
+    — row i's bytes are data[offs[i]:offs[i+1]]; rows are back-to-back,
+    so data[offs[0]:offs[-1]] is the concatenation of every row."""
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    return data, offs
+
+
+def _merge_runs_arrow(bucket_docs: int, enc_acc=None, chunk_rows: int = 256 * 1024):
+    """mapInArrow closure for stage 3b: the reduce side of the sorted-merge
+    shuffle. Input rows are partial runs (PARTIAL_RUNS_SCHEMA) range-
+    partitioned on (term, bucket) and sorted by (term, bucket, min_docid)
+    within the partition, so each (term, bucket) group's runs arrive
+    contiguous and in docid order (map tasks own disjoint docid ranges,
+    so runs never interleave). The whole chunk is decoded in ONE
+    vectorized varint pass (the three streams are back-to-back in the
+    Arrow value buffers), docids are rebased with a segmented cumsum, and
+    the merged runs are re-encoded with codec.encode_posting_runs_flat —
+    byte-identical to encoding the raw triples directly, at a shuffle
+    cost of ~compressed-postings bytes instead of ~raw-triple rows."""
+    import pyarrow as pa
+
+    from .codec import encode_posting_runs_flat, varint_decode
+
+    def fn(batches):
+        import pyarrow.compute as pc
+
+        carry: tuple | None = None  # (term pa.Array, bucket, min_docid, df, cf, 3×(data, offs))
+        pend: list = []
+        pend_rows = 0
+
+        def drain(final: bool):
+            nonlocal carry, pend, pend_rows
+            if carry is None and not pend:
+                return None
+            col = lambda b, name: b.column(b.schema.get_field_index(name))  # noqa: E731
+            term = pa.concat_arrays(
+                ([carry[0]] if carry is not None else [])
+                + [col(b, "term") for b in pend]
+            )
+            nums = {}
+            for i, name in enumerate(("bucket", "min_docid", "df", "cf")):
+                nums[name] = np.concatenate(
+                    ([carry[1 + i]] if carry is not None else [])
+                    + [col(b, name).to_numpy() for b in pend]
+                ) if len(term) else np.empty(0, np.int64)
+            bins = {}
+            for j, name in enumerate(("doc_bytes", "tf_bytes", "dl_bytes")):
+                parts = ([carry[5 + j]] if carry is not None else []) + [
+                    _binary_stream(pa, col(b, name)) for b in pend
+                ]
+                datas = [d[o[0] : o[-1]] for d, o in parts]
+                offs = [o - o[0] for _, o in parts]
+                base = np.cumsum([0] + [d.size for d in datas[:-1]])
+                bins[name] = (
+                    np.concatenate(datas) if datas else np.empty(0, np.uint8),
+                    np.concatenate(
+                        [offs[0]] + [o[1:] + b for o, b in zip(offs[1:], base[1:])]
+                    ) if datas else np.zeros(1, np.int64),
+                )
+            pend, pend_rows = [], 0
+            carry = None
+            R = len(term)
+            if R == 0:
+                return None
+            bucket = nums["bucket"]
+            change = np.empty(R, dtype=bool)
+            change[0] = True
+            if R > 1:
+                tdiff = pc.not_equal(term.slice(1), term.slice(0, R - 1)).to_numpy(
+                    zero_copy_only=False
+                )
+                change[1:] = tdiff | (bucket[1:] != bucket[:-1])
+            gstarts = np.flatnonzero(change)
+            if not final:
+                if len(gstarts) <= 1:
+                    carry = (
+                        term, bucket, nums["min_docid"], nums["df"], nums["cf"],
+                        bins["doc_bytes"], bins["tf_bytes"], bins["dl_bytes"],
+                    )
+                    return None
+                cut = int(gstarts[-1])
+                cut_bins = {}
+                for name in ("doc_bytes", "tf_bytes", "dl_bytes"):
+                    d, o = bins[name]
+                    cut_bins[name] = (d[: o[cut]], o[: cut + 1])
+                    bins[name] = (d[o[cut] :], o[cut:] - o[cut])
+                carry = (
+                    term.slice(cut), bucket[cut:], nums["min_docid"][cut:],
+                    nums["df"][cut:], nums["cf"][cut:],
+                    bins["doc_bytes"], bins["tf_bytes"], bins["dl_bytes"],
+                )
+                term = term.slice(0, cut)
+                bucket = bucket[:cut]
+                for name in ("df", "cf", "min_docid"):
+                    nums[name] = nums[name][:cut]
+                bins = cut_bins
+                gstarts = gstarts[:-1]
+                R = cut
+            df = nums["df"]
+            vstarts = np.zeros(R + 1, dtype=np.int64)
+            np.cumsum(df, out=vstarts[1:])
+
+            d_data, _ = bins["doc_bytes"]
+            t_data, _ = bins["tf_bytes"]
+            l_data, _ = bins["dl_bytes"]
+            d = varint_decode(d_data).astype(np.int64)
+            tfs = varint_decode(t_data).astype(np.int64) + 1
+            dls = varint_decode(l_data).astype(np.int64)
+            # segmented docid reconstruction: within run r the deltas
+            # chain from base_r + first_delta; a single global cumsum plus
+            # a per-run correction (repeated across the run) rebases all
+            # runs at once
+            first_abs = d[vstarts[:-1]] + bucket * bucket_docs
+            c = np.cumsum(d)
+            corr = np.repeat(first_abs - c[vstarts[:-1]], df)
+            docids = c + corr
+
+            gends = np.append(gstarts[1:], R)
+            f = encode_posting_runs_flat(
+                docids, tfs, dls,
+                vstarts[gstarts], vstarts[gends],
+                bucket[gstarts] * bucket_docs,
+            )
+            if enc_acc is not None:
+                enc_acc.add(
+                    {0: (len(gstarts), int(f.stream_d.size + f.stream_t.size))}
+                )
+            return _flat_to_batch(
+                pa, pc.take(term, pa.array(gstarts)), bucket[gstarts], f
+            )
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            pend.append(b)
+            pend_rows += b.num_rows
+            if pend_rows + (len(carry[1]) if carry is not None else 0) >= chunk_rows:
+                out = drain(final=False)
+                if out is not None:
+                    yield out
+        out = drain(final=True)
+        if out is not None:
+            yield out
+
+    return fn
+
+
+def _encode_partition_arrow(bucket_docs: int, enc_acc=None, chunk_rows: int = 512 * 1024):
+    """mapInArrow closure: vectorized posting-run encoder over PRESORTED
+    input — the upstream exchange must be
+    ``repartitionByRange(P, "term", "bucket").sortWithinPartitions("term",
+    "bucket", "docid")`` so the sort happens JVM-side (Tungsten radix
+    sort, parallel and spill-capable) and groups arrive contiguous.
+
+    The Python side is then a pure streaming group-detector + ONE numpy
+    varint pass per ~chunk_rows rows (codec.encode_posting_runs_flat),
+    with the output RecordBatch assembled zero-copy from the flat arrays:
+    the binary columns reuse the contiguous byte streams via
+    Array.from_buffers and the block-metadata list columns reuse the flat
+    block vectors via ListArray.from_arrays — no per-run Python objects
+    at all (the reference's DocumentsWriterPerThread flush writes its
+    postings in one sequential pass the same way;
+    lucene/core/.../index/FreqProxTermsWriter). Memory stays bounded at
+    ~chunk_rows triples regardless of partition size; the carried tail
+    (an unfinished (term,bucket) group) is ≤ bucket_docs rows by
+    construction."""
+    import pyarrow as pa
+
+    from .codec import encode_posting_runs_flat
+
+    def fn(batches):
+        import pyarrow.compute as pc
+
+        carry: tuple | None = None  # (term pa.Array, docid, tf, doclen, bucket)
+        pend: list = []
+        pend_rows = 0
+
+        def drain(final: bool):
+            nonlocal carry, pend, pend_rows
+            if carry is None and not pend:
+                return None
+            terms_parts = ([carry[0]] if carry is not None else []) + [
+                b.column(b.schema.get_field_index("term")) for b in pend
+            ]
+            np_parts = lambda name, i: ([carry[i]] if carry is not None else []) + [  # noqa: E731
+                b.column(b.schema.get_field_index(name)).to_numpy() for b in pend
+            ]
+            term = pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in terms_parts])
+            docid = np.concatenate(np_parts("docid", 1)) if terms_parts else np.empty(0, np.int64)
+            tf = np.concatenate(np_parts("tf", 2)) if terms_parts else np.empty(0, np.int64)
+            doclen = np.concatenate(np_parts("doclen", 3)) if terms_parts else np.empty(0, np.int64)
+            bucket = np.concatenate(np_parts("bucket", 4)) if terms_parts else np.empty(0, np.int64)
+            pend, pend_rows = [], 0
+            carry = None
+            n = len(term)
+            if n == 0:
+                return None
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            if n > 1:
+                tdiff = pc.not_equal(term.slice(1), term.slice(0, n - 1)).to_numpy(
+                    zero_copy_only=False
+                )
+                change[1:] = tdiff | (bucket[1:] != bucket[:-1])
+            starts = np.flatnonzero(change)
+            if not final:
+                if len(starts) <= 1:
+                    # one unfinished group: keep accumulating (≤ bucket_docs rows)
+                    carry = (term, docid, tf, doclen, bucket)
+                    return None
+                cut = int(starts[-1])
+                carry = (
+                    term.slice(cut),
+                    docid[cut:], tf[cut:], doclen[cut:], bucket[cut:],
+                )
+                term = term.slice(0, cut)
+                docid, tf, doclen, bucket = (
+                    docid[:cut], tf[:cut], doclen[:cut], bucket[:cut],
+                )
+                starts = starts[:-1]
+                n = cut
+            ends = np.append(starts[1:], n)
+            f = encode_posting_runs_flat(
+                docid.astype(np.int64), tf.astype(np.int64),
+                doclen.astype(np.int64), starts, ends,
+                bucket[starts] * bucket_docs,
+            )
+            if enc_acc is not None:
+                enc_acc.add(
+                    {0: (len(starts), int(f.stream_d.size + f.stream_t.size))}
+                )
+            return _flat_to_batch(
+                pa, pc.take(term, pa.array(starts, type=pa.int64())),
+                bucket[starts], f,
+            )
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            pend.append(b)
+            pend_rows += b.num_rows
+            if pend_rows + (len(carry[1]) if carry is not None else 0) >= chunk_rows:
+                out = drain(final=False)
+                if out is not None:
+                    yield out
+        out = drain(final=True)
+        if out is not None:
+            yield out
+
+    return fn
 
 
 def write_bucket_stats(docs_df: DataFrame, out_path: str, P: int,
@@ -581,27 +955,51 @@ def build_index(
     post_out = os.path.join(out_dir, "postings")
     ran_stage3 = not (resume and _done(post_out))
     if ran_stage3:
-        triples = (
-            stage.where(F.col("kind") == 1)
-            .join(offs_df, "pid")
-            .select(
-                F.col("term"),
-                (F.col("offset") + F.col("local_idx")).alias("docid"),
-                F.col("tf"),
-                F.col("doclen"),
+        # --- 3a: map-side partial posting runs (its own _SUCCESS-gated
+        # checkpoint, so a killed build resumes past it). One task per
+        # staging file; the triples are read with pyarrow directly — see
+        # _partial_runs_fn for why the JVM→Python row pipe is avoided.
+        runs_dir = os.path.join(out_dir, "_stage", "runs")
+        if not (resume and _done(runs_dir)):
+            files = (
+                sorted(
+                    os.path.join(stage_dir, f_)
+                    for f_ in os.listdir(stage_dir)
+                    if f_.endswith(".parquet")
+                )
+                if os.path.isdir(stage_dir)
+                else []
             )
-            .withColumn("bucket", F.expr(f"docid DIV {bucket_docs}"))
-        )
-        # range exchange on (term, bucket): groups stay complete per
-        # partition AND each postings file covers a contiguous term span,
-        # so a query term's pruned scan touches one file (row-group
-        # min/max stats line up with the sort). Costs the range
-        # partitioner's sampling pass over the staging table — paid once
-        # at build, repaid on every query. Skew stays structural: a term
-        # never exceeds bucket_docs postings per (term,bucket) group.
+            if not files:  # non-local staging: list through Spark instead
+                files = sorted(
+                    r[0]
+                    for r in stage.select(F.input_file_name()).distinct().collect()
+                )
+            paths_df = spark.createDataFrame(
+                [(p,) for p in files], "path string"
+            ).repartition(max(len(files), 1))  # round-robin: one file per task
+            (
+                paths_df.mapInArrow(
+                    _partial_runs_fn(offsets, bucket_docs), PARTIAL_RUNS_SCHEMA
+                )
+                .write.mode("overwrite")
+                .parquet(runs_dir)
+            )
+        # --- 3b: sorted-merge shuffle keyed (term, bucket) over the
+        # COMPACT runs (~postings-sized bytes, not raw-triple rows).
+        # Range exchange: groups stay complete per partition AND each
+        # postings file covers a contiguous term span, so a query term's
+        # pruned scan touches one file (row-group min/max stats line up
+        # with the sort); the range partitioner's sampling pass now scans
+        # the small runs table, not the triples. Skew stays structural: a
+        # term never exceeds bucket_docs postings per (term,bucket)
+        # group, and a group never holds more runs than stage-1
+        # partitions. The row sort rides the exchange JVM-side.
+        runs = spark.read.parquet(os.path.join(out_dir, "_stage", "runs"))
         (
-            triples.repartitionByRange(P, "term", "bucket")
-            .mapInPandas(_encode_partition(bucket_docs, enc_acc), POSTINGS_SCHEMA)
+            runs.repartitionByRange(P, "term", "bucket")
+            .sortWithinPartitions("term", "bucket", "min_docid")
+            .mapInArrow(_merge_runs_arrow(bucket_docs, enc_acc), POSTINGS_SCHEMA)
             .write.mode("overwrite")
             .parquet(post_out)
         )

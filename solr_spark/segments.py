@@ -189,7 +189,7 @@ def merge_segments(
     from .indexer import (
         POSTINGS_SCHEMA,
         IndexMeta,
-        _encode_partition,
+        _encode_partition_arrow,
         write_bucket_stats,
         write_term_stats,
     )
@@ -258,7 +258,8 @@ def merge_segments(
     post_out = os.path.join(out_dir, "postings")
     (
         merged.repartitionByRange(P, "term", "bucket")
-        .mapInPandas(_encode_partition(bucket_docs), POSTINGS_SCHEMA)
+        .sortWithinPartitions("term", "bucket", "docid")
+        .mapInArrow(_encode_partition_arrow(bucket_docs), POSTINGS_SCHEMA)
         .write.mode("overwrite")
         .parquet(post_out)
     )
