@@ -69,12 +69,21 @@ print("RESULT " + json.dumps({{"cpus": cpus, "partitions": parts, "wall": wall, 
 """
 
 
-def run_once(cpus: int, docs: int, corpus: str, parts: int) -> dict:
+def run_once(cpus: int, docs: int, corpus: str, parts: int,
+             pin: bool = False) -> dict:
     code = RUN_SNIPPET.format(repo=REPO, cpus=cpus, docs=docs, corpus=corpus,
                               parts=parts)
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True
-    )
+    cmd = [sys.executable, "-c", code]
+    if pin:
+        # confine the WHOLE process tree (JVM GC/IO/shuffle threads,
+        # python workers) to exactly `cpus` hardware threads — local[N]
+        # alone only caps Spark TASK slots, so an unpinned local[1] JVM
+        # still borrows the host's other cores for its service threads,
+        # inflating the small arm and corrupting the N-vs-4N comparison.
+        # taskset-pinned local[N] is the honest stand-in for an N-core
+        # executor.
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True)
     if out.returncode != 0:
         raise RuntimeError(
             f"local[{cpus}] run failed (rc={out.returncode}); stderr tail:\n"
@@ -94,11 +103,15 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=0,
                     help="fixed postings-partition count for both arms "
                          "(0 = historical behavior: partitions = cores)")
+    ap.add_argument("--pin", action="store_true",
+                    help="taskset-pin each arm to exactly its core count "
+                         "(see run_once; recommended for honest N-vs-4N)")
     args = ap.parse_args()
 
     corpus = f"/tmp/solr_spark_scale_corpus_{args.docs}"
     results = {"docs": args.docs, "n": args.n,
                "partitions": args.partitions or "=cores",
+               "pinned": bool(args.pin),
                # identical for both arms; JVM startup (incl. AlwaysPreTouch
                # of this heap) is outside the measured build wall
                "driver_mem": os.environ.get("SOLR_SPARK_DRIVER_MEM", "8g"),
@@ -107,7 +120,7 @@ def main() -> None:
     for r in range(args.runs):
         for cpus in (args.n, 4 * args.n):
             parts = args.partitions or cpus
-            res = run_once(cpus, args.docs, corpus, parts)
+            res = run_once(cpus, args.docs, corpus, parts, pin=args.pin)
             results["runs"].append(res)
             tput[cpus].append(res["docs_per_sec"])
             print(f"run {r} local[{cpus}]: {res['docs_per_sec']:.0f} docs/s "
@@ -136,7 +149,8 @@ def main() -> None:
 
     key = (f"rerun_{datetime.date.today().isoformat()}_n{args.n}"
            f"_docs{args.docs}"
-           + (f"_p{args.partitions}" if args.partitions else ""))
+           + (f"_p{args.partitions}" if args.partitions else "")
+           + ("_pinned" if args.pin else ""))
     k, i = key, 2
     while k in ledger:  # same-day re-runs get their own entries
         k, i = f"{key}_r{i}", i + 1
