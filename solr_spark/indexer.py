@@ -353,10 +353,18 @@ def _partial_runs_fn(offsets: dict, bucket_docs: int):
 
         for b in batches:
             for path in b.column(0).to_pylist():
+                # use_threads=False: Spark owns the parallelism here (one
+                # task per file, all cores busy). pyarrow's default pool
+                # spawns cpu_count decode threads PER concurrent task —
+                # measured 1.8x slower at 4 parallel tasks on 4 cores
+                # (thread thrash), and it inverts the N-vs-4N scaling
+                # signal (3a speedup 2.0x -> 3.9x on 4 cores with the
+                # pool disabled).
                 tbl = pq.read_table(
                     _strip_file_scheme(path),
                     columns=["pid", "local_idx", "term", "tf", "doclen"],
                     filters=[("kind", "=", 1)],
+                    use_threads=False,
                 ).combine_chunks()
                 n = tbl.num_rows
                 if n == 0:
@@ -985,6 +993,7 @@ def build_index(
                 .write.mode("overwrite")
                 .parquet(runs_dir)
             )
+        meta.stages["postings_3a"] = round(time.time() - t0, 3)
         # --- 3b: sorted-merge shuffle keyed (term, bucket) over the
         # COMPACT runs (~postings-sized bytes, not raw-triple rows).
         # Range exchange: groups stay complete per partition AND each
