@@ -25,15 +25,17 @@ BLOCK_SIZE = 128
 _MAX_VARINT_BYTES = 10  # 64-bit worst case
 
 
-def varint_encode(values: np.ndarray) -> np.ndarray:
-    """Vectorized LEB128 encode of a uint64 array -> uint8 array."""
+def varint_encode(values: np.ndarray, sizes: np.ndarray | None = None) -> np.ndarray:
+    """Vectorized LEB128 encode of a uint64 array -> uint8 array.
+
+    ``sizes``: optional precomputed ``_varint_sizes(values)`` — callers
+    that already need the per-value byte sizes (for offset vectors) pass
+    them back in so the size passes aren't run twice over the array.
+    """
     a = np.ascontiguousarray(values, dtype=np.uint64)
     if a.size == 0:
         return np.empty(0, dtype=np.uint8)
-    # bytes needed per value: 1 + floor(bit_length-1 / 7)
-    nbytes = np.ones(a.shape, dtype=np.int64)
-    for k in range(1, _MAX_VARINT_BYTES):
-        nbytes += (a >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    nbytes = sizes if sizes is not None else _varint_sizes(a)
     total = int(nbytes.sum())
     out = np.zeros(total, dtype=np.uint8)
     starts = np.cumsum(nbytes) - nbytes
@@ -100,11 +102,12 @@ def encode_postings(
     offs_doc = np.zeros(n_blocks, dtype=np.int32)
     offs_tf = np.zeros(n_blocks, dtype=np.int32)
     # encode whole stream once; compute block byte offsets from per-value sizes
-    doc_stream = varint_encode(deltas)
-    tf_stream = varint_encode((tfs - 1).astype(np.uint64))
+    tf_enc = (tfs - 1).astype(np.uint64)
+    sizes_doc = _varint_sizes(deltas)
+    sizes_tf = _varint_sizes(tf_enc)
+    doc_stream = varint_encode(deltas, sizes=sizes_doc)
+    tf_stream = varint_encode(tf_enc, sizes=sizes_tf)
     if n:
-        sizes_doc = _varint_sizes(deltas)
-        sizes_tf = _varint_sizes((tfs - 1).astype(np.uint64))
         cuts = np.arange(1, n_blocks) * BLOCK_SIZE
         offs_doc[1:] = np.cumsum(sizes_doc)[cuts - 1]
         offs_tf[1:] = np.cumsum(sizes_tf)[cuts - 1]
@@ -133,9 +136,24 @@ def encode_postings(
 
 
 def _varint_sizes(a: np.ndarray) -> np.ndarray:
+    """Per-value LEB128 byte count: 1 + floor((bit_length-1) / 7).
+
+    Caps the pass count at the ACTUAL maximum byte length instead of the
+    64-bit worst case: postings streams are overwhelmingly 1-2 byte
+    values (delta/tf/doclen), so this turns nine full-array comparisons
+    into one or two — the size passes were the single hottest loop of
+    the map-side postings encode (stage 3a), which is memory-bandwidth
+    bound under multi-task concurrency."""
+    a = np.ascontiguousarray(a, dtype=np.uint64)
     nbytes = np.ones(a.shape, dtype=np.int64)
+    if a.size == 0:
+        return nbytes
+    amax = np.uint64(a.max())
     for k in range(1, _MAX_VARINT_BYTES):
-        nbytes += (a >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+        t = np.uint64(1) << np.uint64(7 * k)
+        if amax < t:
+            break
+        nbytes += (a >= t).astype(np.int64)
     return nbytes
 
 
@@ -247,8 +265,8 @@ def encode_posting_runs_flat(
 
     sizes_d = _varint_sizes(deltas)
     sizes_t = _varint_sizes(tf_enc)
-    stream_d = varint_encode(deltas)
-    stream_t = varint_encode(tf_enc)
+    stream_d = varint_encode(deltas, sizes=sizes_d)
+    stream_t = varint_encode(tf_enc, sizes=sizes_t)
     cum_d = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(sizes_d, out=cum_d[1:])
     cum_t = np.zeros(n + 1, dtype=np.int64)

@@ -382,7 +382,24 @@ def _partial_runs_fn(offsets: dict, bucket_docs: int):
                 # fine here and skips a string sort); bucket is monotonic
                 # in docid, so (code, docid) fully orders (term, bucket)
                 codes = term.dictionary_encode().indices.to_numpy()
-                order = np.lexsort((docid, codes))
+                # single-key argsort beats np.lexsort (two stable merge
+                # passes over ~100MB of gather traffic) when (code,
+                # docid) packs into one int64: (code, docid) pairs are
+                # unique (stage 1 emits one triple per term x doc), so
+                # an unstable sort of the packed key gives the same
+                # order with roughly half the memory traffic — this is
+                # the bandwidth-bound hot loop of the map side, and the
+                # contended multi-task arm gains the most. Falls back to
+                # lexsort when the key would overflow (docid ranges past
+                # 2^62 / vocab — not reachable before int64 docids are).
+                span = int(docid.max()) + 1 if n else 1
+                ncodes = int(codes.max()) + 1 if n else 1
+                if ncodes * span < (1 << 62):
+                    order = np.argsort(
+                        codes.astype(np.int64) * span + docid, kind="quicksort"
+                    )
+                else:
+                    order = np.lexsort((docid, codes))
                 codes_s = codes[order]
                 docid_s = docid[order]
                 bucket_s = docid_s // bucket_docs
@@ -411,9 +428,10 @@ def _partial_runs_fn(offsets: dict, bucket_docs: int):
 
                 streams, offs = [], []
                 for vals in (deltas, tf_enc, dl_enc):
+                    sizes = _varint_sizes(vals)
                     cum = np.zeros(n + 1, dtype=np.int64)
-                    np.cumsum(_varint_sizes(vals), out=cum[1:])
-                    streams.append(varint_encode(vals))
+                    np.cumsum(sizes, out=cum[1:])
+                    streams.append(varint_encode(vals, sizes=sizes))
                     offs.append(cum[boundaries])
 
                 bin_col = lambda i: pa.Array.from_buffers(  # noqa: E731

@@ -245,8 +245,9 @@ def encode_position_runs(
     dd[1:] = docids[1:] - docids[:-1]
     run_of_doc = np.cumsum(change) - 1
     dd[starts] = docids[starts] - bases[run_of_doc[starts]]
-    doc_stream = varint_encode(dd.astype(np.uint64))
-    dsz = _varint_sizes(dd.astype(np.uint64))
+    dd_u = dd.astype(np.uint64)
+    dsz = _varint_sizes(dd_u)
+    doc_stream = varint_encode(dd_u, sizes=dsz)
     dends = np.cumsum(dsz)
     dstarts_b = dends - dsz  # byte offset where each doc's delta begins
 
@@ -256,12 +257,14 @@ def encode_position_runs(
     if m:
         pdelta[1:] = flat_pos[1:] - flat_pos[:-1]
         pdelta[seg_starts[counts > 0]] = flat_pos[seg_starts[counts > 0]]
-    pos_stream = varint_encode(pdelta.astype(np.uint64))
-    psz = _varint_sizes(pdelta.astype(np.uint64)) if m else np.empty(0, np.int64)
+    pdelta_u = pdelta.astype(np.uint64)
+    psz = _varint_sizes(pdelta_u) if m else np.empty(0, np.int64)
+    pos_stream = varint_encode(pdelta_u, sizes=psz if m else None)
     pends = np.cumsum(psz) if m else np.empty(0, np.int64)
     if flat_pay is not None:
-        pay_stream = varint_encode(flat_pay.astype(np.uint64))
-        ysz = _varint_sizes(flat_pay.astype(np.uint64)) if m else np.empty(0, np.int64)
+        pay_u = flat_pay.astype(np.uint64)
+        ysz = _varint_sizes(pay_u) if m else np.empty(0, np.int64)
+        pay_stream = varint_encode(pay_u, sizes=ysz if m else None)
         yends = np.cumsum(ysz) if m else np.empty(0, np.int64)
     # value-level boundaries of each run in the flat position stream
     run_val_start = seg_starts[starts]
