@@ -68,7 +68,7 @@ POSITIONS_SCHEMA = (
 
 _STAGE_SCHEMA = (
     "term string, bucket bigint, docid bigint, "
-    "positions array<int>, payloads array<int>"
+    "count int, pos_bytes binary, pay_bytes binary"
 )
 
 
@@ -342,10 +342,53 @@ def decode_position_run(row, bucket_docs: int):
 # build stage
 
 
+def _per_row_varints(pa, list_arr, delta: bool):
+    """Encode an Arrow list<int32> column into a per-row varint binary
+    column in ONE whole-batch numpy pass. ``delta=True`` delta-encodes
+    within each row with the first value absolute — the per-doc position
+    stream layout, which is self-contained per row, so the streams can be
+    produced map-side and byte-concatenated reduce-side without decoding.
+    Returns (binary Array, counts int64[n_rows])."""
+    arr = list_arr.combine_chunks() if isinstance(list_arr, pa.ChunkedArray) else list_arr
+    offs = arr.offsets.to_numpy().astype(np.int64)
+    counts = np.diff(offs)
+    flat = arr.values.to_numpy().astype(np.int64)
+    m = flat.size
+    if delta and m:
+        enc = np.empty(m, dtype=np.int64)
+        enc[1:] = flat[1:] - flat[:-1]
+        seg_starts = offs[:-1][counts > 0]
+        enc[seg_starts] = flat[seg_starts]
+    else:
+        enc = flat
+    enc_u = enc.astype(np.uint64)
+    sizes = _varint_sizes(enc_u) if m else np.empty(0, np.int64)
+    stream = varint_encode(enc_u, sizes=sizes if m else None)
+    cum = np.zeros(m + 1, dtype=np.int64)
+    if m:
+        np.cumsum(sizes, out=cum[1:])
+    row_offs = cum[offs].astype(np.int32)
+    col = pa.Array.from_buffers(
+        pa.binary(), len(counts),
+        [None, pa.py_buffer(row_offs), pa.py_buffer(stream)],
+    )
+    return col, counts
+
+
 def _extract_positions(
     term_transform, bucket_docs: int, payload_fn=None, synonyms=None,
     pre_transform=None,
 ):
+    """mapInPandas closure: analyze content into per-(doc, term) position
+    runs and varint-encode them MAP-SIDE. The shuffle then moves compact
+    byte cells (~1-2 bytes/occurrence) instead of int64 position lists
+    (~8 bytes + Arrow list overhead) — the same shuffle-volume posture as
+    the main postings stage's sorted-merge (indexer stage 3a), which
+    matters at the 100 TB target where the positional stream is the
+    largest intermediate of the whole build. Per-doc streams reset their
+    delta chain at the doc start, so the reduce side concatenates cells
+    in (term, bucket, docid) order byte-identically to a whole-partition
+    encode."""
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow as pa
 
@@ -364,22 +407,30 @@ def _extract_positions(
                 synonyms=synonyms,
             )
             if len(out):
-                out["bucket"] = (
-                    out["docid"].to_numpy() // np.int64(bucket_docs)
+                pos_col, counts = _per_row_varints(
+                    pa, pa.array(out["positions"]), delta=True
                 )
-                if payload_fn is None:
-                    # empty (not null) lists: Spark's pandas->Arrow
-                    # conversion can't serialize pd.NA list cells
-                    out["payloads"] = pd.arrays.ArrowExtensionArray(
-                        pa.ListArray.from_arrays(
-                            pa.array(
-                                np.zeros(len(out) + 1, np.int32),
-                                type=pa.int32(),
-                            ),
-                            pa.array([], type=pa.int32()),
-                        )
+                res = pd.DataFrame(
+                    {
+                        "term": out["term"],
+                        "bucket": out["docid"].to_numpy() // np.int64(bucket_docs),
+                        "docid": out["docid"].to_numpy(),
+                        "count": counts.astype(np.int32),
+                        "pos_bytes": pd.arrays.ArrowExtensionArray(pos_col),
+                    }
+                )
+                if payload_fn is not None:
+                    # plain varint, no delta (payloads are small
+                    # non-monotonic values) — the Lucene .pay analog
+                    pay_col, _ = _per_row_varints(
+                        pa, pa.array(out["payloads"]), delta=False
                     )
-                yield out[["term", "bucket", "docid", "positions", "payloads"]]
+                    res["pay_bytes"] = pd.arrays.ArrowExtensionArray(pay_col)
+                else:
+                    res["pay_bytes"] = pd.arrays.ArrowExtensionArray(
+                        pa.nulls(len(res), type=pa.binary())
+                    )
+                yield res
 
     return fn
 
@@ -388,7 +439,29 @@ _ENC_COLS = ["term", "bucket", "df", "doc_bytes", "pos_counts", "pos_bytes",
              "pay_bytes"]
 
 
+def _binary_cells(pa, col):
+    """(data uint8, row byte offsets int64) view of a binary column — row
+    i's bytes are data[offs[i]:offs[i+1]]; rows are back-to-back, so a
+    sorted column's run [s:e) concatenates by pure slicing (the
+    indexer._binary_stream trick)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    return data, offs
+
+
 def _encode_pos_partition(bucket_docs: int, with_payloads: bool = False):
+    """mapInPandas closure: the reduce side of the positions build. Input
+    rows carry MAP-SIDE-ENCODED per-doc varint streams (see
+    _extract_positions); this side sorts by (term, bucket, docid), cuts
+    (term, bucket) runs, varint-encodes the docid deltas (one value per
+    doc — the only cross-doc stream), and byte-concatenates the per-doc
+    position/payload cells by buffer slicing. No position decode happens
+    here; output bytes are identical to a whole-partition encode because
+    each doc's delta chain restarts at the doc boundary."""
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow as pa
 
@@ -399,29 +472,47 @@ def _encode_pos_partition(bucket_docs: int, with_payloads: bool = False):
         pdf = pdf.sort_values(
             ["term", "bucket", "docid"], kind="mergesort", ignore_index=True
         )
-        arr = pa.array(pdf["positions"])
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks()
-        offs = arr.offsets.to_numpy().astype(np.int64)
-        counts = np.diff(offs)
-        flat = arr.values.to_numpy().astype(np.int64)
-        flat_pay = None
+        terms = pdf["term"].to_numpy()
+        buckets = pdf["bucket"].to_numpy(np.int64)
+        docids = pdf["docid"].to_numpy(np.int64)
+        counts = pdf["count"].to_numpy(np.int64)
+        pos_data, pos_offs = _binary_cells(pa, pa.array(pdf["pos_bytes"]))
         if with_payloads:
-            parr = pa.array(pdf["payloads"])
-            if isinstance(parr, pa.ChunkedArray):
-                parr = parr.combine_chunks()
-            flat_pay = parr.values.to_numpy().astype(np.int64)
+            pay_data, pay_offs = _binary_cells(pa, pa.array(pdf["pay_bytes"]))
+
+        n = len(pdf)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (terms[1:] != terms[:-1]) | (buckets[1:] != buckets[:-1])
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        bases = buckets[starts].astype(np.int64) * bucket_docs
+
+        dd = np.empty(n, dtype=np.int64)
+        dd[1:] = docids[1:] - docids[:-1]
+        run_of_doc = np.cumsum(change) - 1
+        dd[starts] = docids[starts] - bases[run_of_doc[starts]]
+        dd_u = dd.astype(np.uint64)
+        dsz = _varint_sizes(dd_u)
+        doc_stream = varint_encode(dd_u, sizes=dsz)
+        dends = np.cumsum(dsz)
+        dstarts_b = dends - dsz
+
         rows = []
-        for tup in encode_position_runs(
-            pdf["term"].to_numpy(),
-            pdf["bucket"].to_numpy(np.int64),
-            pdf["docid"].to_numpy(np.int64),
-            counts,
-            flat,
-            bucket_docs,
-            flat_pay=flat_pay,
-        ):
-            rows.append(tup)
+        for g in range(len(starts)):
+            s, e = int(starts[g]), int(ends[g])
+            rows.append(
+                (
+                    terms[s],
+                    int(buckets[s]),
+                    e - s,
+                    doc_stream[int(dstarts_b[s]):int(dends[e - 1])].tobytes(),
+                    counts[s:e].astype(np.int32).tolist(),
+                    pos_data[pos_offs[s]:pos_offs[e]].tobytes(),
+                    pay_data[pay_offs[s]:pay_offs[e]].tobytes()
+                    if with_payloads else None,
+                )
+            )
             if len(rows) >= 4000:
                 yield pd.DataFrame(rows, columns=_ENC_COLS)
                 rows = []

@@ -332,3 +332,72 @@ def test_positions_payload_resume_upgrade(spark, tmp_path_factory):
     assert meta.has_payloads
     got = payload_score_frame(spark, meta, "aa", func="max").collect()
     assert got  # the payload stream is actually queryable
+
+
+# ---------------------------------------------------------------------------
+# map-side per-doc encode == whole-partition encode (shuffle-volume rebuild)
+
+
+def test_mapside_encode_matches_whole_partition():
+    """The two-stage positions build (per-doc varint cells encoded
+    map-side, byte-concatenated reduce-side) must produce byte-identical
+    output rows to the legacy whole-partition encode_position_runs — the
+    per-doc delta chains reset at doc boundaries, which is the property
+    the rebuild relies on. Randomized over terms/buckets/docids with
+    payloads, input deliberately unsorted."""
+    import pyarrow as pa
+
+    from solr_spark import positions as P
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for t in ["alpha", "beta", "gamma", "delta"]:
+        for b in range(3):
+            docs = np.sort(rng.choice(
+                np.arange(b * 256, (b + 1) * 256), size=25, replace=False))
+            for d in docs:
+                pos = np.sort(rng.choice(
+                    4000, size=int(rng.integers(1, 14)), replace=False
+                )).astype(np.int64)
+                rows.append((t, b, int(d), pos))
+    rng.shuffle(rows)
+    terms = np.array([r[0] for r in rows])
+    buckets = np.array([r[1] for r in rows], dtype=np.int64)
+    docids = np.array([r[2] for r in rows], dtype=np.int64)
+    poslists = [r[3] for r in rows]
+    pays = [(np.arange(len(p)) % 16).astype(np.int64) for p in poslists]
+
+    order = np.lexsort((docids, buckets, terms))
+    counts = np.array([len(poslists[i]) for i in order], dtype=np.int64)
+    legacy = list(P.encode_position_runs(
+        terms[order], buckets[order], docids[order], counts,
+        np.concatenate([poslists[i] for i in order]), 256,
+        flat_pay=np.concatenate([pays[i] for i in order]),
+    ))
+
+    def _list_arr(lists):
+        offs = np.concatenate([[0], np.cumsum([len(p) for p in lists])])
+        return pa.ListArray.from_arrays(
+            pa.array(offs.astype(np.int32)),
+            pa.array(np.concatenate(lists).astype(np.int32)),
+        )
+
+    pos_col, cnts = P._per_row_varints(pa, _list_arr(poslists), delta=True)
+    pay_col, _ = P._per_row_varints(pa, _list_arr(pays), delta=False)
+    pdf = pd.DataFrame({
+        "term": terms, "bucket": buckets, "docid": docids,
+        "count": cnts.astype(np.int32),
+        "pos_bytes": pd.arrays.ArrowExtensionArray(pos_col),
+        "pay_bytes": pd.arrays.ArrowExtensionArray(pay_col),
+    })
+    fn = P._encode_pos_partition(256, with_payloads=True)
+    new = [tuple(r) for out in fn(iter([pdf]))
+           for r in out.itertuples(index=False)]
+
+    assert len(legacy) == len(new) and len(new) == 12
+    for l, nw in zip(legacy, new):
+        assert (l[0], l[1], l[2]) == (nw[0], nw[1], nw[2])
+        assert l[3] == nw[3]                      # doc_bytes
+        assert list(l[4]) == list(nw[4])          # pos_counts
+        assert l[5] == nw[5]                      # pos_bytes
+        assert l[6] == nw[6]                      # pay_bytes
