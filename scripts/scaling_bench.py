@@ -89,6 +89,11 @@ def run_once(cpus: int, docs: int, corpus: str, parts: int,
         import multiprocessing
 
         ncpu = multiprocessing.cpu_count()
+        if cpus > ncpu:
+            # the modulo below would silently reuse CPU ids and confine
+            # the run to fewer distinct cores than the arm label claims,
+            # corrupting the N-vs-4N comparison — fail loudly instead.
+            raise ValueError(f"arm requests {cpus} cores but host has {ncpu}")
         stride = max(ncpu // cpus, 1)
         cores = ",".join(str((i * stride) % ncpu) for i in range(cpus))
         cmd = ["taskset", "-c", cores] + cmd

@@ -1336,13 +1336,27 @@ SCALAR.update(
 )
 
 
+RECNUM_WINDOW_MAX = 100_000
+
+
 def recnum(df: DataFrame, order_by: str | list[str],
            out_col: str = "recNum") -> DataFrame:
     """recNum() (RecNumEvaluator: ++index per tuple, 0-based).  The
     reference counts tuples as they stream past in one process; a
     distributed analog needs an explicit total order, so order_by is
-    required — same contract as export()'s global rank."""
+    required — same contract as export()'s global rank.
+
+    Scale guard: the single-stream Window mirror funnels every row
+    through one task, which is the reference's semantics but not a plan
+    you want at corpus scale — above RECNUM_WINDOW_MAX rows this
+    auto-switches to relational.global_rank's range-shuffle (identical
+    output, every stage parallel)."""
     cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    if df.count() > RECNUM_WINDOW_MAX:
+        from ..operators.relational import global_rank
+
+        ranked = global_rank(df, [F.asc(c) for c in cols], rank_col=out_col)
+        return ranked.withColumn(out_col, F.col(out_col).cast("int") - 1)
     w = Window.orderBy(*[F.asc(c) for c in cols])
     return df.withColumn(out_col, F.row_number().over(w) - 1)
 

@@ -29,6 +29,12 @@ from typing import Any, Callable
 
 from pyspark.sql import DataFrame
 
+# Hard ceiling on rows an un-sized memset() may bring to the driver —
+# the reference's let() arrays are "small in-memory vectors" by usage;
+# anything larger is a driver OOM waiting to happen, so the collect is
+# limit-capped Spark-side and over-cap raises (see memset()).
+MEMSET_MAX_ROWS = 1_000_000
+
 
 class LetContext:
     """One let() scope: ordered variable bindings + the object cache."""
@@ -71,7 +77,20 @@ class LetContext:
         sel = df.select(*cols)
         if size > 0:
             sel = sel.limit(size)
+        else:
+            # let()-scope arrays are driver memory by contract, but an
+            # unbounded collect over a corpus-scale stream is a driver
+            # OOM, not a semantics mirror — cap Spark-side (limit before
+            # the collect, same pattern as classify's max_vocab) and
+            # raise actionably when the stream exceeds it.
+            sel = sel.limit(MEMSET_MAX_ROWS + 1)
         rows = sel.collect()
+        if size <= 0 and len(rows) > MEMSET_MAX_ROWS:
+            raise ValueError(
+                f"memset: stream exceeds MEMSET_MAX_ROWS={MEMSET_MAX_ROWS} "
+                "driver-array rows; pass an explicit size= cap or "
+                "aggregate the stream before memset()"
+            )
         for c, v in zip(cols, vars):
             self.vars[v] = [r[c] for r in rows]
         return self

@@ -367,6 +367,15 @@ def _per_row_varints(pa, list_arr, delta: bool):
     cum = np.zeros(m + 1, dtype=np.int64)
     if m:
         np.cumsum(sizes, out=cum[1:])
+    if cum[-1] >= 2**31:
+        # pa.binary() carries int32 offsets; a >=2 GiB batch would wrap
+        # silently into a corrupt column — fail loudly (upstream batch
+        # sizing keeps real batches orders of magnitude below this).
+        raise ValueError(
+            f"varint stream for one Arrow batch is {cum[-1]} bytes, "
+            "exceeding pa.binary()'s int32 offset limit; reduce "
+            "spark.sql.execution.arrow.maxRecordsPerBatch"
+        )
     row_offs = cum[offs].astype(np.int32)
     col = pa.Array.from_buffers(
         pa.binary(), len(counts),
@@ -445,6 +454,10 @@ def _binary_cells(pa, col):
     sorted column's run [s:e) concatenates by pure slicing (the
     indexer._binary_stream trick)."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if not pa.types.is_binary(arr.type):
+        # large_binary carries int64 offsets; reading them as int32 below
+        # would silently produce garbage slices — fail loudly instead.
+        raise TypeError(f"expected binary (int32-offset) column, got {arr.type}")
     bufs = arr.buffers()
     offs = np.frombuffer(bufs[1], dtype=np.int32)[
         arr.offset : arr.offset + len(arr) + 1

@@ -190,3 +190,18 @@ def test_list_plist_union(spark):
     got = sorted((r["id"], r["v"]) for r in list_streams(a, b).collect())
     assert got == [(1, "a"), (2, "b")]
     assert plist is list_streams
+
+
+def test_memset_over_cap_raises(spark, monkeypatch):
+    # an un-sized memset over a stream larger than the cap must raise
+    # actionably BEFORE materializing the whole stream on the driver
+    import solr_spark.lets as lets_mod
+
+    monkeypatch.setattr(lets_mod, "MEMSET_MAX_ROWS", 5)
+    df = spark.range(100).selectExpr("id", "cast(id as double) v")
+    ctx = LetContext()
+    with pytest.raises(ValueError, match="MEMSET_MAX_ROWS"):
+        ctx.memset(df, cols=["v"], vars=["allv"])
+    # an explicit size= cap is the documented escape hatch
+    ctx.memset(df, cols=["v"], vars=["capped"], size=7)
+    assert len(ctx.get("capped")) == 7

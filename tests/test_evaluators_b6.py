@@ -304,3 +304,15 @@ def test_recnum_and_cell(spark):
         ("a", 0), ("b", 1), ("c", 2)]
     c = ev.cell(df, "tuples").collect()[0]["tuples"]
     assert len(c) == 3 and {t["k"] for t in c} == {"a", "b", "c"}
+
+
+def test_recnum_over_threshold_runs_distributed(spark, monkeypatch):
+    # above RECNUM_WINDOW_MAX the guard switches to global_rank's
+    # range-shuffle: same 0-based values, but no single-partition Window
+    monkeypatch.setattr(ev, "RECNUM_WINDOW_MAX", 10)
+    df = spark.range(50).selectExpr("id k")
+    out = ev.recnum(df, "k")
+    assert "Window" not in out._jdf.queryExecution().executedPlan().toString()
+    rows = out.orderBy("recNum").collect()
+    assert [r["recNum"] for r in rows] == list(range(50))
+    assert [r["k"] for r in rows] == list(range(50))
