@@ -436,6 +436,7 @@ from .stem import (  # noqa: E402
     estonian_light_stem,
     finnish_light_stem,
     french_minimal_stem,
+    french_snowball_stem,
     galician_minimal_stem,
     german_minimal_stem,
     hungarian_light_stem,
@@ -463,8 +464,17 @@ ANALYZERS: dict[str, "callable | None"] = {
     # (stem.german_minimal_stem) — the non-English chain slot
     "text_de": german_minimal_stem,
     # text_fr: accent folding + Savoy-style light ending removal
-    # (stem.french_minimal_stem)
+    # (stem.french_minimal_stem) — the reference text_fr fieldType's
+    # DEFAULT frenchLightStem slot (managed-schema.xml text_fr)
     "text_fr": french_minimal_stem,
+    # text_fr_snowball: the SAME fieldType's documented "more
+    # aggressive" alternative slot (`<filter name="snowballPorter"
+    # language="French"/>`, shipped commented in managed-schema.xml
+    # text_fr) — the FULL Snowball French algorithm
+    # (stem.french_snowball_stem), proving the one-table dual
+    # Python/SQL design carries full-algorithm complexity beyond the
+    # light tier (Porter English already does)
+    "text_fr_snowball": french_snowball_stem,
     # text_es / text_it / text_pt: the same Savoy/Orengo light-stemmer
     # family the reference's language fieldTypes ship (managed-schema
     # text_es/text_it/text_pt; each a pinned rule table in stem.py with

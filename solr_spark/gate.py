@@ -1591,6 +1591,35 @@ def _french_oracle() -> str:
     )
 
 
+def _fr_snowball_oracle() -> str:
+    from .stem import french_snowball_sql, french_snowball_stem
+
+    stem_toks = f"list_transform({TOKS_SQL}, x -> {french_snowball_sql('x')})"
+    return bm25_oracle_sql(
+        "merges customers", k=10,
+        toks_sql=stem_toks, term_transform=french_snowball_stem,
+    )
+
+
+@entry("fts_stemmed_fr_snowball", _fr_snowball_oracle())
+def fts_stemmed_fr_snowball(spark, sf_dir):
+    """FULL Snowball French chain (stem.french_snowball_stem — the
+    complete published algorithm: prelude marking, RV/R1/R2 regions,
+    flattened step-1 compound rules, the amment/emment/ment fail-through
+    into the verb-suffix steps, residual/undouble/un-accent steps) — the
+    reference text_fr fieldType's documented snowballPorter
+    language=French alternative slot (managed-schema.xml text_fr).
+    q='merges customers': merges→merg (step-4 s then e removal),
+    customers→customer (residual s). The oracle stems independently via
+    a ~34 KB machine-generated DuckDB expression built from the SAME
+    rule tables (stem.french_snowball_sql), so a full-algorithm rule
+    divergence between the two engines fails the hash. Dictionary-level
+    transform — cost ∝ vocabulary, not corpus."""
+    return gate_search(
+        spark, sf_dir, "merges customers", k=10, analyzer="text_fr_snowball"
+    )
+
+
 @entry("fts_stemmed_french", _french_oracle())
 def fts_stemmed_french(spark, sf_dir):
     """French light chain (stem.french_minimal_stem — Savoy SAC 2006
@@ -1614,6 +1643,7 @@ def _stem_vocab_oracle() -> str:
         dutch_minimal_sql,
         estonian_light_sql,
         finnish_light_sql,
+        french_snowball_sql,
         galician_minimal_sql,
         hungarian_light_sql,
         indonesian_light_sql,
@@ -1647,7 +1677,8 @@ SELECT term, {spanish_light_sql('term')} AS stem_es,
 {indonesian_light_sql('term')} AS stem_id,
 {irish_light_sql('term')} AS stem_ga,
 {estonian_light_sql('term')} AS stem_et,
-{basque_light_sql('term')} AS stem_eu FROM v"""
+{basque_light_sql('term')} AS stem_eu,
+{french_snowball_sql('term')} AS stem_fr_sb FROM v"""
 
 
 @entry("t_stem_vocab", _stem_vocab_oracle())
@@ -1677,6 +1708,7 @@ def t_stem_vocab(spark, sf_dir):
         dutch_minimal_stem,
         estonian_light_stem,
         finnish_light_stem,
+        french_snowball_stem,
         galician_minimal_stem,
         hungarian_light_stem,
         indonesian_light_stem,
@@ -1711,6 +1743,7 @@ def t_stem_vocab(spark, sf_dir):
         "stem_ga": irish_light_stem,
         "stem_et": estonian_light_stem,
         "stem_eu": basque_light_stem,
+        "stem_fr_sb": french_snowball_stem,
     }
 
     def _stem_udf(fn):

@@ -1531,3 +1531,406 @@ def hindi_light_stem(w: str) -> str:
         if w.endswith(suf) and len(w) - len(suf) >= 2:
             return w[: -len(suf)]
     return w
+
+
+# ---------------------------------------------------------------------------
+# French SNOWBALL stemmer — the FULL algorithm (M.F. Porter's French
+# stemmer, snowballstem.org/algorithms/french/stemmer.html), the
+# reference text_fr fieldType's documented "more aggressive" slot
+# (managed-schema.xml text_fr: `<filter name="snowballPorter"
+# language="French"/>`, shipped commented next to the default
+# frenchLightStem).  Same one-table dual design as every chain in this
+# module: ONE flattened rule table drives BOTH the Python transform and
+# the machine-generated DuckDB SQL mirror.
+#
+# The algorithm's nested "if preceded by ..." clauses are FLATTENED into
+# longer suffix entries (e.g. the `ité` rule's `abil`/`ic`/`iv`
+# secondaries become `abilité`/`icité`/`ivité` entries), which preserves
+# Snowball's longest-match-then-commit discipline exactly: each entry is
+# (suffix, [(conds, action), ...]) — the first branch whose conditions
+# all hold applies; a matched entry whose branches all fail leaves the
+# word unchanged with NO fall-through to shorter suffixes (Snowball
+# `among` semantics).  Region tests use the fixed RV/R1/R2 offsets
+# computed once after the prelude, as Snowball does.
+
+FR_VOWELS = "aeiouyâàëéêèïîôûù"
+
+# cond atoms (k = suffix char count from the end of the CURRENT word):
+#   ("R2", k) / ("R1", k) / ("RV", k)  — the last-k-chars substring
+#       starts inside that region (len(w) - k >= region offset)
+#   ("p_nonv", L)     — char before the L-suffix is a non-vowel
+#   ("p_nonv_rv", L)  — ... and sits inside RV (step 2a's setlimit)
+#   ("p_v_rv", L)     — char before is a vowel inside RV (ment/ments)
+#   ("p_in_rv", L, s) — char before is one of `s` and inside RV
+# actions: ("del", k) — drop last k chars; ("rep", k, r) — replace them.
+
+
+def _fr1(suffixes, branches):
+    return [(s, branches(len(s))) for s in suffixes]
+
+
+FR_STEP1: list[tuple[str, list]] = (
+    # base groups, with compound preceded-by clauses flattened into the
+    # longer entries below
+    _fr1(["ance", "iqUe", "isme", "able", "iste", "eux",
+          "ances", "iqUes", "ismes", "ables", "istes"],
+         lambda L: [([("R2", L)], ("del", L))])
+    + _fr1(["atrice", "ateur", "ation", "atrices", "ateurs", "ations"],
+           lambda L: [([("R2", L)], ("del", L))])
+    + _fr1(["icatrice", "icateur", "ication",
+            "icatrices", "icateurs", "ications"],
+           lambda L: [([("R2", L - 2), ("R2", L)], ("del", L)),
+                      ([("R2", L - 2)], ("rep", L, "iqU"))])
+    + _fr1(["logie", "logies"],
+           lambda L: [([("R2", L)], ("rep", L, "log"))])
+    + _fr1(["usion", "ution", "usions", "utions"],
+           lambda L: [([("R2", L)], ("rep", L, "u"))])
+    + _fr1(["ence", "ences"],
+           lambda L: [([("R2", L)], ("rep", L, "ent"))])
+    + _fr1(["ement", "ements"],
+           lambda L: [([("RV", L)], ("del", L))])
+    + _fr1(["ivement", "ivements"],
+           lambda L: [([("RV", L - 2), ("R2", L)], ("del", L)),
+                      ([("RV", L - 2)], ("del", L - 2))])
+    + _fr1(["ativement", "ativements"],
+           lambda L: [([("RV", L - 4), ("R2", L - 2), ("R2", L)], ("del", L)),
+                      ([("RV", L - 4), ("R2", L - 2)], ("del", L - 2)),
+                      ([("RV", L - 4)], ("del", L - 4))])
+    + _fr1(["eusement", "eusements"],
+           lambda L: [([("RV", L - 3), ("R2", L)], ("del", L)),
+                      ([("RV", L - 3), ("R1", L)], ("rep", L, "eux")),
+                      ([("RV", L - 3)], ("del", L - 3))])
+    + _fr1(["ablement", "ablements", "iqUement", "iqUements"],
+           lambda L: [([("RV", L - 3), ("R2", L)], ("del", L)),
+                      ([("RV", L - 3)], ("del", L - 3))])
+    + _fr1(["ièrement", "ièrements", "Ièrement", "Ièrements"],
+           lambda L: [([("RV", L - 3), ("RV", L)], ("rep", L, "i")),
+                      ([("RV", L - 3)], ("del", L - 3))])
+    + _fr1(["ité", "ités"],
+           lambda L: [([("R2", L)], ("del", L))])
+    + _fr1(["abilité", "abilités"],
+           lambda L: [([("R2", L - 4), ("R2", L)], ("del", L)),
+                      ([("R2", L - 4)], ("rep", L, "abl"))])
+    + _fr1(["icité", "icités"],
+           lambda L: [([("R2", L - 2), ("R2", L)], ("del", L)),
+                      ([("R2", L - 2)], ("rep", L, "iqU"))])
+    + _fr1(["ivité", "ivités"],
+           lambda L: [([("R2", L - 2), ("R2", L)], ("del", L)),
+                      ([("R2", L - 2)], ("del", L - 2))])
+    + _fr1(["if", "ive", "ifs", "ives"],
+           lambda L: [([("R2", L)], ("del", L))])
+    + _fr1(["atif", "ative", "atifs", "atives"],
+           lambda L: [([("R2", L - 2), ("R2", L)], ("del", L)),
+                      ([("R2", L - 2)], ("del", L - 2))])
+    + _fr1(["icatif", "icative", "icatifs", "icatives"],
+           lambda L: [([("R2", L - 4), ("R2", L - 2), ("R2", L)], ("del", L)),
+                      ([("R2", L - 4), ("R2", L - 2)], ("rep", L, "iqU")),
+                      ([("R2", L - 4)], ("del", L - 4))])
+    + [("eaux", [([], ("rep", 4, "eau"))]),
+       ("aux", [([("R1", 3)], ("rep", 3, "al"))])]
+    + _fr1(["euse", "euses"],
+           lambda L: [([("R2", L)], ("del", L)),
+                      ([("R1", L)], ("rep", L, "eux"))])
+    + _fr1(["issement", "issements"],
+           lambda L: [([("R1", L), ("p_nonv", L)], ("del", L))])
+    + [("amment", [([("RV", 6)], ("rep", 6, "ant"))]),
+       ("emment", [([("RV", 6)], ("rep", 6, "ent"))])]
+    + _fr1(["ment", "ments"],
+           lambda L: [([("p_v_rv", L)], ("del", L))])
+)
+
+# step 1 entries that apply their change but still hand control to step
+# 2a (Snowball french.sbl's fail(...) rules)
+FR_MENT_FAMILY = frozenset({"amment", "emment", "ment", "ments"})
+
+FR_STEP2A: list[tuple[str, list]] = _fr1(
+    ["îmes", "ît", "îtes", "i", "ie", "ies", "ir", "ira", "irai",
+     "iraIent", "irais", "irait", "iras", "irent", "irez", "iriez",
+     "irions", "irons", "iront", "is", "issaIent", "issais", "issait",
+     "issant", "issante", "issantes", "issants", "isse", "issent",
+     "isses", "issez", "issiez", "issions", "issons", "it"],
+    lambda L: [([("RV", L), ("p_nonv_rv", L)], ("del", L))])
+
+FR_STEP2B: list[tuple[str, list]] = (
+    [("ions", [([("RV", 4), ("R2", 4)], ("del", 4))])]
+    + _fr1(["é", "ée", "ées", "és", "èrent", "er", "era", "erai",
+            "eraIent", "erais", "erait", "eras", "erez", "eriez",
+            "erions", "erons", "eront", "ez", "iez"],
+           lambda L: [([("RV", L)], ("del", L))])
+    + _fr1(["âmes", "ât", "âtes", "a", "ai", "aIent", "ais", "ait",
+            "ant", "ante", "antes", "ants", "as", "asse", "assent",
+            "asses", "assiez", "assions"],
+           lambda L: [([("RV", L), ("p_in_rv", L, "e")], ("del", L + 1)),
+                      ([("RV", L)], ("del", L))])
+)
+
+FR_STEP4: list[tuple[str, list]] = (
+    [("ion", [([("RV", 3), ("R2", 3), ("p_in_rv", 3, "st")], ("del", 3))])]
+    + _fr1(["ier", "ière", "Ier", "Ière"],
+           lambda L: [([("RV", L)], ("rep", L, "i"))])
+    + [("e", [([("RV", 1)], ("del", 1))])]
+)
+
+
+def _fr_sorted(table):
+    return sorted(table, key=lambda e: -len(e[0]))
+
+
+def _fr_prelude(w: str) -> str:
+    """Mark u/i between vowels, y adjacent to a vowel, and u after q as
+    the non-vowel letters U/I/Y (the Snowball prelude; prev looks at the
+    already-marked char, next at the original — the left-to-right cursor
+    discipline)."""
+    out: list[str] = []
+    n = len(w)
+    for i, ch in enumerate(w):
+        prev = out[i - 1] if i else ""
+        nxt = w[i + 1] if i + 1 < n else ""
+        pv_, nv_ = prev in FR_VOWELS, nxt in FR_VOWELS
+        if ch == "u" and ((pv_ and nv_) or prev == "q"):
+            out.append("U")
+        elif ch == "i" and pv_ and nv_:
+            out.append("I")
+        elif ch == "y" and (pv_ or nv_):
+            out.append("Y")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _fr_regions(w: str) -> tuple[int, int, int]:
+    """(pv, p1, p2) — chars before RV / R1 / R2, Snowball's fixed
+    offsets: RV after the third letter when the word starts with two
+    vowels or par/col/tap, else after the first non-initial vowel; R1
+    after the first non-vowel following a vowel; R2 the same within
+    R1."""
+    n = len(w)
+    isv = [c in FR_VOWELS for c in w]
+    if n >= 3 and isv[0] and isv[1]:
+        pv = 3
+    elif w[:3] in ("par", "col", "tap"):
+        pv = 3
+    else:
+        pv = n
+        for i in range(1, n):
+            if isv[i]:
+                pv = i + 1
+                break
+    def nonv_after_v(start: int) -> int:
+        for i in range(start + 1, n):
+            if not isv[i] and isv[i - 1]:
+                return i + 1
+        return n
+    p1 = nonv_after_v(0)
+    p2 = nonv_after_v(p1)
+    return pv, p1, p2
+
+
+def _fr_atom(w: str, pv: int, p1: int, p2: int, a) -> bool:
+    n, kind = len(w), a[0]
+    if kind in ("R2", "R1", "RV"):
+        return n - a[1] >= {"R2": p2, "R1": p1, "RV": pv}[kind]
+    i = n - a[1] - 1
+    if i < 0:
+        return False
+    if kind == "p_nonv":
+        return w[i] not in FR_VOWELS
+    if kind == "p_nonv_rv":
+        return w[i] not in FR_VOWELS and i >= pv
+    if kind == "p_v_rv":
+        return w[i] in FR_VOWELS and i >= pv
+    if kind == "p_in_rv":
+        return w[i] in a[2] and i >= pv
+    raise AssertionError(kind)
+
+
+def _fr_apply(w, pv, p1, p2, table):
+    """Longest-match one table entry; returns (word', matched_suffix,
+    applied)."""
+    for suf, branches in table:
+        if w.endswith(suf):
+            for conds, act in branches:
+                if all(_fr_atom(w, pv, p1, p2, c) for c in conds):
+                    keep = w[: len(w) - act[1]]
+                    return (keep + act[2] if act[0] == "rep" else keep,
+                            suf, True)
+            return w, suf, False
+    return w, None, False
+
+
+_FR_STEP1_S = _fr_sorted(FR_STEP1)
+_FR_STEP2A_S = _fr_sorted(FR_STEP2A)
+_FR_STEP2B_S = _fr_sorted(FR_STEP2B)
+_FR_STEP4_S = _fr_sorted(FR_STEP4)
+_FR_ACCENT_RE = re.compile(f"[éè]([^{FR_VOWELS}]+)$")
+
+
+def french_snowball_stem(w: str) -> str:
+    """The full Snowball French algorithm (prelude → steps 1/2a/2b with
+    the fail-through ment control → 3 or 4 → 5 → 6 → postlude)."""
+    w = _fr_prelude(w)
+    pv, p1, p2 = _fr_regions(w)
+    w0 = w
+    w1, suf1, applied1 = _fr_apply(w0, pv, p1, p2, _FR_STEP1_S)
+    # amment/emment/ment/ments apply their change but signal failure
+    # (french.sbl fail(...)), handing the modified word to step 2a
+    success1 = w1 != w0 and not (applied1 and suf1 in FR_MENT_FAMILY)
+    if success1:
+        core, do3 = w1, True
+    else:
+        w2a, _s, applied2a = _fr_apply(w1, pv, p1, p2, _FR_STEP2A_S)
+        if applied2a:
+            core, do3 = w2a, True
+        else:
+            w2b, _s, applied2b = _fr_apply(w1, pv, p1, p2, _FR_STEP2B_S)
+            core, do3 = w2b, applied2b
+    w = core
+    if do3:  # step 3: only after an obeyed step altered the word
+        if w.endswith("Y"):
+            w = w[:-1] + "i"
+        elif w.endswith("ç"):
+            w = w[:-1] + "c"
+    else:  # step 4: residual suffix
+        if w.endswith("s") and len(w) >= 2 and w[-2] not in "aiouès":
+            w = w[:-1]
+        w, _s, _a = _fr_apply(w, pv, p1, p2, _FR_STEP4_S)
+    # step 5: undouble enn/onn/ett/ell/eill
+    if w.endswith(("enn", "onn", "ett", "ell", "eill")):
+        w = w[:-1]
+    # step 6: un-accent é/è before a final run of non-vowels
+    w = _FR_ACCENT_RE.sub(r"e\1", w)
+    return w.translate(_FR_POST)
+
+
+_FR_POST = str.maketrans("UIY", "uiy")
+
+
+# --- machine-generated DuckDB mirror of french_snowball_stem ---------------
+
+_FR_VSET = ", ".join(f"'{c}'" for c in FR_VOWELS)
+
+
+def _fr_atom_sql(v: str, a, pv: str, p1: str, p2: str) -> str:
+    n, kind = f"length({v})", a[0]
+    if kind in ("R2", "R1", "RV"):
+        bound = {"R2": p2, "R1": p1, "RV": pv}[kind]
+        return f"{n} - {a[1]} >= {bound}"
+    L = a[1]
+    ch = f"substr({v}, {n} - {L}, 1)"
+    if kind == "p_nonv":
+        return f"({n} > {L} AND {ch} NOT IN ({_FR_VSET}))"
+    if kind == "p_nonv_rv":
+        return (f"({n} > {L} AND {ch} NOT IN ({_FR_VSET}) "
+                f"AND {n} - {L} - 1 >= {pv})")
+    if kind == "p_v_rv":
+        return (f"({n} > {L} AND {ch} IN ({_FR_VSET}) "
+                f"AND {n} - {L} - 1 >= {pv})")
+    if kind == "p_in_rv":
+        cset = ", ".join(f"'{c}'" for c in a[2])
+        return (f"({n} > {L} AND {ch} IN ({cset}) "
+                f"AND {n} - {L} - 1 >= {pv})")
+    raise AssertionError(kind)
+
+
+def _fr_act_sql(v: str, act) -> str:
+    keep = f"substr({v}, 1, length({v}) - {act[1]})"
+    return f"{keep} || '{act[2]}'" if act[0] == "rep" else keep
+
+
+def _fr_table_sql(v: str, table, pv: str, p1: str, p2: str) -> str:
+    whens = []
+    for suf, branches in _fr_sorted(table):
+        inner = []
+        for conds, act in branches:
+            cond = (" AND ".join(_fr_atom_sql(v, c, pv, p1, p2)
+                                 for c in conds) or "TRUE")
+            inner.append(f"WHEN {cond} THEN {_fr_act_sql(v, act)}")
+        branch = "CASE " + " ".join(inner) + f" ELSE {v} END"
+        whens.append(f"WHEN {v} LIKE '%{suf}' THEN {branch}")
+    return "CASE " + " ".join(whens) + f" ELSE {v} END"
+
+
+def french_snowball_sql(var: str = "x") -> str:
+    """One DuckDB expression computing french_snowball_stem(var),
+    machine-generated from the SAME rule tables (FR_STEP1/2A/2B/4), so
+    the gate oracle stems independently of the Python path."""
+    cs, w0, vp = _fresh("fc"), _fresh("fw"), _fresh("fp")
+    pv, p1, p2 = _fresh("fv"), _fresh("fr"), _fresh("fq")
+    w1, s1, wa, wb, w3, w4s, w5 = (_fresh("f") for _ in range(7))
+
+    nxt = f"coalesce({cs}[length(acc)+2], '')"
+    marked = (
+        f"list_reduce(list_prepend('', {cs}), (acc, ch) -> acc || "
+        f"CASE WHEN ch = 'u' AND ((substr(acc, -1) IN ({_FR_VSET}) "
+        f"AND {nxt} IN ({_FR_VSET})) OR substr(acc, -1) = 'q') THEN 'U' "
+        f"WHEN ch = 'i' AND substr(acc, -1) IN ({_FR_VSET}) "
+        f"AND {nxt} IN ({_FR_VSET}) THEN 'I' "
+        f"WHEN ch = 'y' AND (substr(acc, -1) IN ({_FR_VSET}) "
+        f"OR {nxt} IN ({_FR_VSET})) THEN 'Y' ELSE ch END)"
+    )
+    vpat = (
+        f"list_reduce(list_prepend('', split({w0}, '')), (a, c) -> a || "
+        f"CASE WHEN c IN ({_FR_VSET}) THEN 'v' ELSE 'c' END)"
+    )
+    pv_e = (
+        f"CASE WHEN length({w0}) >= 3 AND substr({vp}, 1, 2) = 'vv' THEN 3 "
+        f"WHEN substr({w0}, 1, 3) IN ('par', 'col', 'tap') THEN 3 "
+        f"WHEN instr(substr({vp}, 2), 'v') > 0 "
+        f"THEN instr(substr({vp}, 2), 'v') + 1 ELSE length({w0}) END"
+    )
+    p1_e = (f"CASE WHEN instr({vp}, 'vc') > 0 THEN instr({vp}, 'vc') + 1 "
+            f"ELSE length({w0}) END")
+    p2_e = (
+        f"CASE WHEN instr(substr({vp}, {p1} + 1), 'vc') > 0 "
+        f"THEN {p1} + instr(substr({vp}, {p1} + 1), 'vc') + 1 "
+        f"ELSE length({w0}) END"
+    )
+    fam = (
+        f"({w0} LIKE '%amment' OR {w0} LIKE '%emment' "
+        f"OR ({w0} LIKE '%ments' AND NOT {w0} LIKE '%ements') "
+        f"OR ({w0} LIKE '%ment' AND NOT {w0} LIKE '%ement' "
+        f"AND NOT {w0} LIKE '%amment' AND NOT {w0} LIKE '%emment'))"
+    )
+    s1_e = f"({w1} <> {w0} AND NOT {fam})"
+    wa_e = (f"CASE WHEN NOT {s1} "
+            f"THEN {_fr_table_sql(w1, FR_STEP2A, pv, p1, p2)} "
+            f"ELSE {w1} END")
+    wb_e = (f"CASE WHEN NOT {s1} AND {wa} = {w1} "
+            f"THEN {_fr_table_sql(w1, FR_STEP2B, pv, p1, p2)} "
+            f"ELSE {wa} END")
+    do3 = f"({s1} OR {wb} <> {w1})"
+    step3 = (
+        f"CASE WHEN {wb} LIKE '%Y' "
+        f"THEN substr({wb}, 1, length({wb}) - 1) || 'i' "
+        f"WHEN {wb} LIKE '%ç' "
+        f"THEN substr({wb}, 1, length({wb}) - 1) || 'c' ELSE {wb} END"
+    )
+    s_del = (
+        f"CASE WHEN {wb} LIKE '%s' AND length({wb}) >= 2 AND "
+        f"substr({wb}, length({wb}) - 1, 1) NOT IN "
+        f"('a', 'i', 'o', 'u', 'è', 's') "
+        f"THEN substr({wb}, 1, length({wb}) - 1) ELSE {wb} END"
+    )
+    step4 = _bind(w4s, s_del, _fr_table_sql(w4s, FR_STEP4, pv, p1, p2))
+    w3_e = f"CASE WHEN {do3} THEN {step3} ELSE {step4} END"
+    step5 = (
+        f"CASE WHEN {w3} LIKE '%enn' OR {w3} LIKE '%onn' "
+        f"OR {w3} LIKE '%ett' OR {w3} LIKE '%ell' OR {w3} LIKE '%eill' "
+        f"THEN substr({w3}, 1, length({w3}) - 1) ELSE {w3} END"
+    )
+    step6 = _bind(
+        w5, step5,
+        f"translate(regexp_replace({w5}, "
+        f"'[éè]([^{FR_VOWELS}]+)$', 'e\\1'), 'UIY', 'uiy')"
+    )
+    body = _bind(
+        w1, _fr_table_sql(w0, FR_STEP1, pv, p1, p2),
+        _bind(s1, s1_e,
+              _bind(wa, wa_e,
+                    _bind(wb, wb_e, _bind(w3, w3_e, step6)))))
+    return _bind(
+        cs, f"split({var}, '')",
+        _bind(w0, marked,
+              _bind(vp, vpat,
+                    _bind(pv, pv_e,
+                          _bind(p1, p1_e, _bind(p2, p2_e, body))))))

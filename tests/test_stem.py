@@ -588,3 +588,79 @@ def test_batch2_chains_in_analyzer_registry():
     }
     for chain, fn_name in wired.items():
         assert ANALYZERS[chain] is getattr(stem, fn_name), chain
+
+
+# ---------------------------------------------------------------------------
+# FULL Snowball French (stem.french_snowball_stem / french_snowball_sql)
+
+from solr_spark.stem import french_snowball_sql, french_snowball_stem  # noqa: E402
+
+# hand-traced against the published algorithm
+# (snowballstem.org/algorithms/french/stemmer.html): each vector
+# exercises a distinct step — flattened step-1 compounds, the
+# ment fail-through into 2a/2b, regions incl. the par/col/tap and
+# double-vowel RV exceptions, prelude U/I/Y marking, steps 3-6.
+FR_SNOWBALL_VECTORS = {
+    "continuation": "continu",   # step1 ation in R2
+    "continuelle": "continuel",  # step4 e + step5 undouble ell
+    "majestueusement": "majestu",  # flattened eusement, R2 branch
+    "abondamment": "abond",      # amment→ant fail-through into 2b ant
+    "complète": "complet",       # step4 e + step6 un-accent è
+    "payer": "pai",              # prelude Y + 2b er + step3 Y→i
+    "niveaux": "niveau",         # eaux→eau unconditional
+    "chevaux": "cheval",         # aux→al in R1
+    "finir": "fin",              # 2a ir after non-vowel in RV
+    "finissions": "fin",         # 2a issions (longest match)
+    "voudrions": "voudrion",     # 2b ions NOT in R2 → step4 s only
+    "vouloir": "vouloir",        # no rule fires anywhere
+    "vendeuse": "vendeux",       # euse: not R2 → R1 eux replacement
+    "qualité": "qualit",         # ité in R2
+    "nationalement": "national", # ement in RV (al kept: no al rule)
+    "généreusement": "géner",    # eusement R2 + step6 un-accent
+    "aimer": "aim",              # double-vowel RV exception (RV after
+                                 # 3rd letter; "er" start idx 3 ≥ 3)
+    "parser": "pars",            # par RV exception; 2b er
+    "merges": "merg",            # step4 s + e (ASCII token path)
+    "customers": "customer",     # step4 s only
+    "quoi": "quoi",              # prelude qU
+}
+
+
+def test_french_snowball_vectors():
+    bad = {w: french_snowball_stem(w)
+           for w, want in FR_SNOWBALL_VECTORS.items()
+           if french_snowball_stem(w) != want}
+    assert bad == {}
+
+
+def test_french_snowball_sql_mirror_on_vectors():
+    words = sorted(set(FR_SNOWBALL_VECTORS) | {
+        "ication", "icatif", "abilités", "ativement", "issement",
+        "assiez", "èrent", "yeux", "ennui", "bonnett", "paye", "payé",
+        "joyeux", "tuyau", "île", "naïf", "aïeul", "baignoire",
+        "s", "e", "é", "", "qu", "x_1_frob",
+    })
+    got = _sql_batch(words, french_snowball_sql)
+    bad = {w: (french_snowball_stem(w), got[w]) for w in words
+           if french_snowball_stem(w) != got[w]}
+    assert bad == {}
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(
+    st.text(alphabet="aeiouyqsrtnmlcdéèêàâîçU_0",
+            min_size=0, max_size=14),
+    min_size=1, max_size=30, unique=True))
+def test_french_snowball_sql_mirror_property(words):
+    got = _sql_batch(words, french_snowball_sql)
+    assert all(french_snowball_stem(w) == got[w] for w in words)
+
+
+def test_french_snowball_in_analyzer_registry():
+    from solr_spark.analysis import ANALYZERS
+
+    assert ANALYZERS["text_fr_snowball"] is french_snowball_stem
+    # the default text_fr slot stays the reference's frenchLightStem
+    from solr_spark.stem import french_minimal_stem
+
+    assert ANALYZERS["text_fr"] is french_minimal_stem
