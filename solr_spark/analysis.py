@@ -944,14 +944,79 @@ def _th_run_tokens(run: str) -> str:
 
 
 def thai_bigram_fold(text: str) -> str:
-    """text_th pre-transform: each maximal Thai run becomes its
-    space-separated character bigrams (CJK-bigram posture — the
-    no-dictionary fallback for an unsegmented script)."""
+    """Bigram-only Thai fold (the no-dictionary fallback posture; kept
+    as the OOV path inside thai_dict_fold and directly testable)."""
     if text is None:
         return text
     if not _TH_RUN_RE.search(text):
         return text
     return _TH_RUN_RE.sub(lambda m: f" {_th_run_tokens(m.group(0))} ", text)
+
+
+# Pinned public Thai wordlist for dictionary segmentation — a small set
+# of high-frequency everyday words (common public vocabulary; the
+# honest middle between bigrams and the reference ThaiTokenizer's ICU
+# BreakIterator dictionaries, managed-schema.xml:1002). Longest-match
+# beats substrings (e.g. โรงเรียน wins over โรง+เรียน).
+THAI_WORDS: tuple[str, ...] = (
+    "สวัสดี", "ขอบคุณ", "ประเทศ", "ไทย", "คน", "น้ำ", "ใจ", "บ้าน",
+    "โรงเรียน", "โรง", "เรียน", "หนังสือ", "ภาษา", "อาหาร", "แมว",
+    "หมา", "รัก", "ดี", "ใหญ่", "เล็ก", "ไป", "มา", "กิน", "เมือง",
+    "เวลา", "วัน", "ปี", "ครู", "นักเรียน", "ตลาด", "ทะเล", "ภูเขา",
+    "ข้าว", "ร้าน", "รถ", "ไฟ", "ฟ้า", "ต้นไม้", "ดอกไม้", "เด็ก",
+    "ผู้หญิง", "ผู้ชาย", "ครับ", "ค่ะ", "ผม", "ฉัน", "เรา", "ที่",
+    "และ", "ของ",
+)
+_TH_DICT_LONGEST = tuple(sorted(THAI_WORDS, key=len, reverse=True))
+
+
+def _th_word_token(w: str) -> str:
+    return "th_" + "_".join(f"{ord(c):04x}" for c in w)
+
+
+def _th_segment_run(run: str) -> str:
+    """Longest-match dictionary walk over one Thai run: at each
+    position the longest THAI_WORDS entry wins and emits one word
+    token (th_<cp>_<cp>_...); maximal stretches with no dictionary
+    match fall back to the bigram fold (_th_run_tokens). Deterministic:
+    longest-first scan, no tie possible between distinct equal-length
+    prefixes. NOTE a 2-codepoint dictionary word token coincides with
+    the bigram token of the same pair — an intentional (recall-neutral)
+    namespace merge, identical on both engines."""
+    toks: list[str] = []
+    pend: list[str] = []
+    i, n = 0, len(run)
+    while i < n:
+        best = None
+        for w in _TH_DICT_LONGEST:
+            if run.startswith(w, i):
+                best = w
+                break
+        if best is not None:
+            if pend:
+                toks.append(_th_run_tokens("".join(pend)))
+                pend = []
+            toks.append(_th_word_token(best))
+            i += len(best)
+        else:
+            pend.append(run[i])
+            i += 1
+    if pend:
+        toks.append(_th_run_tokens("".join(pend)))
+    return " ".join(toks)
+
+
+def thai_dict_fold(text: str) -> str:
+    """text_th pre-transform: dictionary longest-match segmentation
+    over each maximal Thai run (reference: ThaiTokenizer's dictionary
+    BreakIterator, managed-schema.xml text_th), with the bigram fold as
+    the out-of-dictionary fallback. Query/index symmetric; injective
+    into the pinned [a-z0-9_]+ term space."""
+    if text is None:
+        return text
+    if not _TH_RUN_RE.search(text):
+        return text
+    return _TH_RUN_RE.sub(lambda m: f" {_th_segment_run(m.group(0))} ", text)
 
 
 def word_delimiter_fold_tight(text: str) -> str:
@@ -1002,7 +1067,7 @@ PRE_TRANSFORMS: dict[str, "callable"] = {
     "text_bg": bulgarian_fold,
     "text_hy": armenian_fold,
     "text_hi": hindi_fold,
-    "text_th": thai_bigram_fold,
+    "text_th": thai_dict_fold,
     # text_ja / text_ko: the reference ships morphological tokenizers
     # (kuromoji / nori); the honest no-dictionary fallback is the CJK
     # bigram chain — Lucene's own CJKAnalyzer posture for ja/ko

@@ -1591,6 +1591,96 @@ def _french_oracle() -> str:
     )
 
 
+# --- Thai dictionary segmentation differential ----------------------------
+
+# pinned texts: pure dictionary phrases, the longest-match compound,
+# OOV-only stretches, and dict/OOV boundaries (each a single Thai run)
+_THAI_SEG_TEXTS = [
+    "\u0e2a\u0e27\u0e31\u0e2a\u0e14\u0e35\u0e04\u0e23\u0e31\u0e1a",          # สวัสดีครับ
+    "\u0e42\u0e23\u0e07\u0e40\u0e23\u0e35\u0e22\u0e19",                         # โรงเรียน (compound)
+    "\u0e1c\u0e21\u0e23\u0e31\u0e01\u0e1b\u0e23\u0e30\u0e40\u0e17\u0e28\u0e44\u0e17\u0e22",  # ผมรักประเทศไทย
+    "\u0e03\u0e05\u0e06",                                                            # OOV-only run
+    "\u0e19\u0e31\u0e01\u0e40\u0e23\u0e35\u0e22\u0e19\u0e03\u0e19\u0e49\u0e33",  # นักเรียน + OOV + น้ำ boundary
+    "\u0e20\u0e32\u0e29\u0e32\u0e44\u0e17\u0e22",                                # ภาษาไทย
+]
+
+
+def _thai_seg_oracle() -> str:
+    """Independent DuckDB mirror of the longest-match walk: a recursive
+    CTE consumes each run one dictionary word (longest prefix match via
+    list_filter + length-reduce) or one OOV character per step; pending
+    OOV stretches flush through the bigram fold. Same pinned THAI_WORDS
+    list, independently executed walk."""
+    from .analysis import THAI_WORDS
+
+    dict_sql = "[" + ", ".join(f"'{w}'" for w in THAI_WORDS) + "]"
+    texts = ", ".join(
+        f"({i}, '{t}')" for i, t in enumerate(_THAI_SEG_TEXTS)
+    )
+    flush = (
+        "CASE WHEN length({p}) = 0 THEN '' "
+        "WHEN length({p}) = 1 THEN printf('th_%04x', unicode({p})) "
+        "ELSE array_to_string(list_transform(range(1, length({p})), "
+        "i -> printf('th_%04x_%04x', unicode(substr({p}, i, 1)), "
+        "unicode(substr({p}, i + 1, 1)))), ' ') END"
+    )
+    wordtok = (
+        "'th_' || array_to_string(list_transform(split(best, ''), "
+        "c -> printf('%04x', unicode(c))), '_')"
+    )
+    return f"""WITH RECURSIVE
+d(text_id, txt) AS (VALUES {texts}),
+walk(text_id, rest, pend, toks) AS (
+  SELECT text_id, txt, '', '' FROM d
+  UNION ALL
+  SELECT text_id,
+    CASE WHEN best <> '' THEN substr(rest, length(best) + 1)
+         ELSE substr(rest, 2) END,
+    CASE WHEN best <> '' THEN '' ELSE pend || substr(rest, 1, 1) END,
+    CASE WHEN best <> '' THEN concat_ws(' ', nullif(toks, ''),
+         nullif({flush.format(p='pend')}, ''), {wordtok})
+         ELSE toks END
+  FROM (
+    SELECT text_id, rest, pend, toks,
+      list_reduce(list_prepend('', list_filter({dict_sql},
+        w -> starts_with(rest, w))),
+        (a, b) -> CASE WHEN length(b) > length(a) THEN b ELSE a END)
+        AS best
+    FROM walk WHERE rest <> '') s
+)
+SELECT text_id, concat_ws(' ', nullif(toks, ''),
+       nullif({flush.format(p='pend')}, '')) AS toks
+FROM walk WHERE rest = '' ORDER BY text_id"""
+
+
+@entry("fts_thai_seg", _thai_seg_oracle())
+def fts_thai_seg(spark, sf_dir):
+    """Thai dictionary segmentation (analysis.thai_dict_fold — the
+    text_th chain's longest-match walk over the pinned public
+    THAI_WORDS list with bigram fallback for out-of-dictionary
+    stretches; reference: ThaiTokenizer dictionary segmentation,
+    managed-schema.xml:1002). The Spark side runs the ENGINE ingest
+    path (PRE_TRANSFORMS['text_th'] inside an Arrow-batched pandas UDF
+    — the same fold build_index applies) over six pinned runs covering
+    compounds, OOV-only stretches and dict/OOV boundaries; the oracle
+    re-executes the SAME walk as an independent recursive CTE in
+    DuckDB. Scale: the fold is a per-row map (no shuffle) and the
+    dictionary is a broadcast-sized constant."""
+    from .analysis import PRE_TRANSFORMS
+
+    fold = PRE_TRANSFORMS["text_th"]
+
+    @F.pandas_udf("string")
+    def _fold(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: " ".join(fold(t).split()))
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_THAI_SEG_TEXTS)],
+        "text_id int, txt string",
+    )
+    return df.select("text_id", _fold("txt").alias("toks")).orderBy("text_id")
+
+
 def _fr_snowball_oracle() -> str:
     from .stem import french_snowball_sql, french_snowball_stem
 

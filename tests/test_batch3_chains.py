@@ -17,6 +17,7 @@ from solr_spark.analysis import (
     bulgarian_fold,
     hindi_fold,
     thai_bigram_fold,
+    thai_dict_fold,
     word_delimiter_fold_tight,
 )
 
@@ -100,6 +101,7 @@ def test_folds_emit_legal_tokens(data):
         (armenian_fold, "գիրքերնմուհայտղծ "),
         (hindi_fold, "किताबेंोीुमरल "),
         (thai_bigram_fold, "ไทยภาษากขคงจ "),
+        (thai_dict_fold, "ไทยภาษากขคงจ "),
     ]
     for fold, alphabet in cases:
         text = data.draw(st.text(alphabet=alphabet, max_size=24))
@@ -127,7 +129,7 @@ def test_registry_wiring():
 
     for name, fold in (
         ("text_bg", bulgarian_fold), ("text_hy", armenian_fold),
-        ("text_hi", hindi_fold), ("text_th", thai_bigram_fold),
+        ("text_hi", hindi_fold), ("text_th", thai_dict_fold),
         ("text_en_splitting_tight", word_delimiter_fold_tight),
     ):
         assert PRE_TRANSFORMS[name] is fold, name
@@ -173,3 +175,46 @@ def test_reference_fieldtype_parity():
     # count the implemented surface: 37 of 40 names resolve to chains
     impl = [n for n in REFERENCE_TEXT_FIELDTYPES if n in ANALYZERS]
     assert len(impl) == 37, sorted(set(REFERENCE_TEXT_FIELDTYPES) - set(impl))
+
+
+def test_thai_dict_fold_segmentation():
+    from solr_spark.analysis import THAI_WORDS, _th_word_token
+
+    # dictionary phrase -> one token per word, longest match wins
+    assert thai_dict_fold("สวัสดีครับ").split() == [
+        _th_word_token("สวัสดี"), _th_word_token("ครับ")]
+    assert thai_dict_fold("โรงเรียน").split() == [_th_word_token("โรงเรียน")]
+    # OOV stretch between dictionary words falls back to bigrams
+    toks = thai_dict_fold("ไทยฃฅไทย").split()
+    assert toks[0] == _th_word_token("ไทย") and toks[-1] == _th_word_token("ไทย")
+    assert all(t.startswith("th_") for t in toks)
+    # no-Thai passthrough and mixed text
+    s = "plain"
+    assert thai_dict_fold(s) is s
+    assert thai_dict_fold("abc ไทย x").split() == ["abc", _th_word_token("ไทย"), "x"]
+    # the dictionary is sorted longest-first deterministically
+    assert len(set(THAI_WORDS)) == len(THAI_WORDS)
+
+
+def test_thai_dict_search_end_to_end(spark, tmp_path):
+    # index/query symmetry through the REAL build+search path
+    import solr_spark.kernel as kernel
+    from solr_spark.indexer import build_index
+    from solr_spark.qparser import parse
+
+    rows = [
+        ("r", f"p{i}", f"c{i}", "md", txt)
+        for i, txt in enumerate([
+            "ผมรักประเทศไทย",       # รัก + ประเทศ + ไทย
+            "โรงเรียนของเรา",        # โรงเรียน ...
+            "plain english text",
+            "ภาษาไทย ดี",
+        ])
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string")
+    meta = build_index(spark, df, str(tmp_path / "th_idx"), analyzer="text_th")
+    # query/index symmetry: the query folds through the SAME pre-transform
+    q = parse(thai_dict_fold("ประเทศไทย"))
+    got = kernel.search(spark, meta, q, k=4).collect()
+    assert len(got) >= 1  # the ประเทศ+ไทย doc matches via word tokens
