@@ -1591,6 +1591,69 @@ def _french_oracle() -> str:
     )
 
 
+# --- DateRangeField: ranges as values --------------------------------------
+
+
+def _daterange_oracle() -> str:
+    from .functions.daterange import parse_daterange
+
+    qs, qe = parse_daterange("[2024-01-02 TO 2024-01-03]")
+    lo = f"TIMESTAMP '{qs:%Y-%m-%d %H:%M:%S.%f}'"
+    hi = f"TIMESTAMP '{qe:%Y-%m-%d %H:%M:%S.%f}'"
+    return f"""WITH r AS (
+  SELECT event_id, ts AS rs,
+         ts + to_milliseconds(CAST(value * 1000 AS BIGINT)) AS re
+  FROM events)
+SELECT event_id,
+       (rs <= {lo} AND re >= {hi}) AS q_contains,
+       (rs >= {lo} AND re <= {hi}) AS q_within
+FROM r WHERE rs <= {hi} AND re >= {lo}
+ORDER BY event_id"""
+
+
+@entry("a_daterange_overlap", _daterange_oracle())
+def a_daterange_overlap(spark, sf_dir):
+    """DateRangeField ranges-as-values (functions/daterange.py —
+    reference solr/core/src/java/org/apache/solr/schema/
+    DateRangeField.java): each event carries a RANGE value
+    struct<start,end> = [ts, ts + value seconds]; the query range
+    "[2024-01-02 TO 2024-01-03]" goes through parse_daterange's
+    truncated-date expansion (the bare day on each side widens to a
+    whole day, DateRangePrefixTree semantics) and is evaluated under
+    all three spatial ops — Intersects (the filter, the reference's
+    default op), Contains and Within (flag columns). Pure Catalyst
+    struct-field comparisons: no UDF, min/max row-group prunable at
+    scale. The oracle recomputes the interval algebra independently in
+    DuckDB from the same literal bounds."""
+    from .functions.daterange import (
+        date_range,
+        dr_contains,
+        dr_intersects,
+        dr_within,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")  # events store TIMESTAMP_NTZ;
+    # the session runs UTC, so the cast is shift-free
+    rng = date_range(
+        ts,
+        F.timestamp_millis(
+            F.unix_millis(ts) + (F.col("value") * 1000).cast("long")
+        ),
+    )
+    df = ev.select("event_id", rng.alias("r"))
+    q = "[2024-01-02 TO 2024-01-03]"
+    return (
+        df.where(dr_intersects(F.col("r"), q))
+        .select(
+            "event_id",
+            dr_contains(F.col("r"), q).alias("q_contains"),
+            dr_within(F.col("r"), q).alias("q_within"),
+        )
+        .orderBy("event_id")
+    )
+
+
 # --- Thai dictionary segmentation differential ----------------------------
 
 # pinned texts: pure dictionary phrases, the longest-match compound,

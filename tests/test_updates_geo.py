@@ -72,3 +72,65 @@ def test_geofilt_bbox(spark):
     assert {r["id"] for r in near.collect()} == {1, 2}
     boxed = bbox(pts, "lat", "lon", -2.0, 2.0, -2.0, 2.0)
     assert {r["id"] for r in boxed.collect()} == {1, 2}
+
+
+# ---------------------------------------------------------------------------
+# DateRangeField ranges-as-values (functions/daterange.py)
+
+def test_parse_daterange_truncation():
+    from datetime import datetime
+
+    from solr_spark.functions.daterange import parse_daterange
+
+    # bare truncated instants widen to the full implicit range
+    assert parse_daterange("2020") == (
+        datetime(2020, 1, 1), datetime(2020, 12, 31, 23, 59, 59, 999000))
+    assert parse_daterange("2020-02") == (
+        datetime(2020, 2, 1), datetime(2020, 2, 29, 23, 59, 59, 999000))
+    assert parse_daterange("2020-06-15") == (
+        datetime(2020, 6, 15), datetime(2020, 6, 15, 23, 59, 59, 999000))
+    assert parse_daterange("2020-06-15T10") == (
+        datetime(2020, 6, 15, 10), datetime(2020, 6, 15, 10, 59, 59, 999000))
+    # bracket ranges expand each side independently; * is open-ended
+    lo, hi = parse_daterange("[2019-11 TO 2020]")
+    assert lo == datetime(2019, 11, 1)
+    assert hi == datetime(2020, 12, 31, 23, 59, 59, 999000)
+    lo, hi = parse_daterange("[* TO 2020-01-01]")
+    assert lo.year == 1 and hi == datetime(2020, 1, 1, 23, 59, 59, 999000)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_daterange("[2020 2021]")
+    with _pytest.raises(ValueError):
+        parse_daterange("not-a-date")
+
+
+def test_daterange_ops(spark):
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from solr_spark.functions.daterange import (
+        date_range, dr_contains, dr_intersects, dr_within)
+
+    rows = [
+        (1, datetime(2020, 1, 1), datetime(2020, 12, 31)),   # contains Q
+        (2, datetime(2020, 6, 1), datetime(2020, 6, 10)),    # within Q
+        (3, datetime(2020, 5, 1), datetime(2020, 6, 5)),     # overlaps left
+        (4, datetime(2021, 1, 1), datetime(2021, 2, 1)),     # disjoint
+    ]
+    df = spark.createDataFrame(rows, "id int, s timestamp, e timestamp") \
+        .select("id", date_range("s", "e").alias("r"))
+    q = "[2020-06 TO 2020-06]"  # the whole of June 2020
+    got = df.select(
+        "id",
+        dr_intersects(F.col("r"), q).alias("i"),
+        dr_contains(F.col("r"), q).alias("c"),
+        dr_within(F.col("r"), q).alias("w"),
+    ).orderBy("id").collect()
+    assert [(r["i"], r["c"], r["w"]) for r in got] == [
+        (True, True, False),
+        (True, False, True),
+        (True, False, False),
+        (False, False, False),
+    ]
