@@ -89,45 +89,42 @@ def test_driver_window_composition():
 
     window = list(gate.all_queries())[:50]
     must_hold = {
-        # VERDICT r3 "Next round #1": the 9 entries with no driver row in
-        # any of r1-r3's windows — round 4 exists to give them evidence
-        "fts_phrase_bigram", "a_cumulative_sum", "a_diff_lag",
-        "fts_xmlquery", "fts_suggest", "fts_proximity_un", "a_ema",
-        "fts_mixed_wildcard", "fts_phrase_not",
-        # round-4 new machinery / upgraded oracles — no earlier driver rows
-        "fts_stemmed_porter",     # Porter text_en chain
-        "e_knn_ivfpq",            # product-quantized ANN
-        "a_percentile_digest",    # mergeable t-digest
-        "u_copyfield",            # dynamicField/copyField ingest shim
-        "a_geo_polygon",          # WKT polygon filter
-        "t_classify",             # rows-only → full GD-mirror oracle
-        "a_convex_hull",          # rows-only → Jarvis-CTE oracle
-        "fts_synonyms_index",     # index-time SynonymGraph injection
-        "fts_leading_wildcard",   # reversed-dictionary wildcard scan
-        "fts_stemmed_french",     # French light chain
-        "t_stem_vocab",           # es/it/pt full-vocabulary differential
-        # round-3-new machinery that keeps a second consecutive row while
-        # young (payload stream, positional default, segment lifecycle)
-        "fts_payload_score", "fts_payload_check",
-        "u_incremental_index", "u_merge_segments", "u_content_integrity",
-        "fts_proximity_pos",
+        # VERDICT r4 "Next round #2": the 12 oracled entries with no
+        # driver row in any of r1-r4's windows — round 5 closes the gap
+        "a_covariance", "a_describe", "a_funcquery", "a_percent_rank",
+        "fts_collate", "fts_mixed_must", "fts_phrase_filtered",
+        "fts_synonyms_required", "j_graph_capped", "t_analyze",
+        "t_bpe_tokens", "u_delete_by_key",
+        # rows-only by design, but no row in the four committed artifacts
+        "a_hll_approx",
+        # round-5 new machinery — no earlier driver rows
+        "fts_stemmed_fr_snowball",  # full Snowball French chain
+        "fts_thai_seg",             # Thai dictionary segmentation walk
+        "a_daterange_overlap",      # DateRangeField ranges-as-values
+        "e_knn_ivfpq_probe",        # IVF-PQ approximate regime
+        # round-5 touched: t_stem_vocab gained stem_fr_sb; the stemmed
+        # family and similarity paths are same-file neighbors; the
+        # positional plans ride the new positions.py offset guards
+        "t_stem_vocab", "fts_stemmed_porter", "fts_stemmed_french",
+        "e_knn_ivfpq", "e_knn_ivf", "e_knn_brute",
+        "fts_phrase", "fts_payload_score", "fts_payload_check",
+        "fts_proximity_pos", "fts_synonyms_index",
         # standing core coverage: one representative per plan family the
         # judge's bar text names (BM25 top-k, phrase, edismax, multiterm,
-        # relational, joins, rollup/facet, sketches, LTR)
-        "fts_single_term", "fts_conjunction", "fts_phrase",
-        "fts_mixed_phrase", "fts_edismax_mm", "fts_edismax_pf2",
-        "fts_prefix_term", "fts_stemmed",
+        # relational, updates, joins, rollup/facet, sketches, dedup)
+        "fts_single_term", "fts_conjunction", "fts_mixed_phrase",
+        "fts_edismax_mm", "fts_prefix_term", "fts_leading_wildcard",
         "r_search_select", "r_topk", "r_export_sorted",
+        "u_content_integrity", "u_incremental_index", "u_merge_segments",
+        "u_copyfield",
         "j_inner_join", "j_hash_broadcast", "j_graph_2hop",
         "a_rollup_q1", "a_facet_pivot", "a_hll_sketch",
-        "a_percentile_rank",
-        # training-data ops (graded first-class)
-        "t_minhash_pairs", "t_exact_dups", "t_token_stats",
-        "e_knn_brute", "e_knn_ivf", "e_near_dup",
+        "a_percentile_digest", "a_geo_polygon",
+        "t_minhash_pairs",
     }
     missing = must_hold - set(window)
     assert not missing, f"outside the driver window: {sorted(missing)}"
     # the window edge itself (documented in gate._PRIORITY) —
-    # w_collapse spilled for fts_leading_wildcard in round 4 (it holds an
-    # r1 triple-green row and stays pinned by tests/test_gate.py)
-    assert window[49] == "t_token_stats"
+    # t_exact_dups and t_token_stats spilled for the round-5 entries
+    # (both hold r4 triple-green rows and stay pinned by oracle_check)
+    assert window[49] == "t_minhash_pairs"
