@@ -292,12 +292,45 @@ class Searcher:
         # actually queried, never the vocabulary) — the term-dictionary-
         # in-heap part of SolrIndexSearcher; absent terms cache df=0
         self._df_cache: dict[str, int] = {}
+        self._hot_terms: frozenset[str] | None = None
+        self._hot_postings: DataFrame | None = None
+
+    def warm_terms(self, terms: list[str]) -> int:
+        """Pin the pruned postings for a HOT TERM SET in executor memory
+        (the warm-searcher path: SolrIndexSearcher's filterCache analog
+        for the query-term working set). Queries whose terms all fall in
+        the set scan the persisted frame instead of parquet — removing
+        file-scan latency from the per-query floor; everything else
+        takes the normal pruned-scan path. Memory is bounded by the
+        named terms' postings, never the corpus. Returns the number of
+        postings rows pinned."""
+        from pyspark import StorageLevel
+
+        toks = frozenset(t.lower() for t in terms)
+        hot = self.postings.filter(
+            F.col("term").isin(sorted(toks))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        n = hot.count()  # materialize the pin
+        if self._hot_postings is not None:
+            self._hot_postings.unpersist()
+        self._hot_terms, self._hot_postings = toks, hot
+        return n
+
+    def _frames_for(self, q) -> tuple:
+        if self._hot_terms is not None:
+            query = parse(q) if isinstance(q, str) else q
+            qterms = (set(query.optional) | set(query.required)
+                      | set(query.prohibited))
+            if (qterms and qterms <= self._hot_terms
+                    and not query.phrases and not query.multiterm):
+                return (self.terms, self._hot_postings, self.docs,
+                        self.bucket_stats)
+        return (self.terms, self.postings, self.docs, self.bucket_stats)
 
     def search(self, q: str | Query, k: int = 10, prune: bool = True,
                with_fields: bool = False) -> DataFrame:
         return search(self.spark, self.meta, q, k, prune, with_fields,
-                      _frames=(self.terms, self.postings, self.docs,
-                               self.bucket_stats),
+                      _frames=self._frames_for(q),
                       _df_cache=self._df_cache)
 
 

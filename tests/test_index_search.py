@@ -327,3 +327,22 @@ def test_leading_wildcard_reversed_scan(spark, tmp_path):
     shutil.rmtree(meta.terms_rev_path)
     assert search("*dow") == {"a", "b", "d"}
     assert search("*ad?w") == {"a", "b"}
+
+
+def test_warm_terms_hot_path_identical(spark, small_index):
+    """Searcher.warm_terms pins the hot-term postings; queries inside
+    the hot set must return byte-identical results to the scan path,
+    and queries outside it must silently take the normal path."""
+    from solr_spark.kernel import Searcher
+
+    s = Searcher(spark, small_index)
+    base = {q: [(r["docid"], r["score"]) for r in s.search(q, 10).collect()]
+            for q in QUERIES[:4]}
+    n = s.warm_terms(["license", "int", "public", RARE1, "getfoobar"])
+    assert n > 0
+    for q in QUERIES[:4]:
+        hot = [(r["docid"], r["score"]) for r in s.search(q, 10).collect()]
+        assert hot == base[q], q
+    # phrase/multiterm and out-of-set terms bypass the hot frame
+    assert s._frames_for("zzz_not_warm license")[1] is s.postings
+    assert s._frames_for("+license +int")[1] is s._hot_postings
