@@ -1024,8 +1024,8 @@ def t_minhash_pairs(spark, sf_dir):
 
 
 _CLUSTER_SQL = f"""WITH RECURSIVE
-p AS (SELECT id_a, id_b FROM ({_JACCARD_SQL}) AS jp),
-edges AS (SELECT id_a AS src, id_b AS dst FROM p
+p AS MATERIALIZED (SELECT id_a, id_b FROM ({_JACCARD_SQL}) AS jp),
+edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p
           UNION SELECT id_b, id_a FROM p),
 reach(id, r) AS (
   SELECT DISTINCT src, src FROM edges
