@@ -16,8 +16,6 @@ Components measured (median of N, after warm-up):
 Prints one JSON line; the caller records it in BASELINE.md.
 """
 
-from __future__ import annotations
-
 import json
 import os
 import shutil
