@@ -150,6 +150,54 @@ def _like_pattern(pat: str) -> str:
     )
 
 
+def fuzzy_candidates(
+    spark: SparkSession, meta: IndexMeta, pattern: str, max_edits: int
+) -> DataFrame:
+    """Terms within ``max_edits`` classic Levenshtein of ``pattern``
+    (columns of the terms table, exact-filtered) — the shared candidate
+    generator behind fuzzy queries and spellcheck.
+
+    Accelerated path (the engine's alternative to Lucene's Levenshtein
+    automata, DirectSpellChecker/FuzzyQuery): when the index carries the
+    bigram inverted dictionary (IndexMeta.terms_ngrams_path) and the
+    pattern is long enough for the q-gram bound to be non-degenerate
+    (|p| >= 2k+2 so every admissible term must share >= 1 bigram),
+    candidates come from a pushed-down IN scan of the pattern's bigrams
+    + an occurrence-count filter shared >= max(|t|,|p|)-1-2k (Ukkonen's
+    q-gram lower bound, q=2 — counts can only overcount the multiset
+    intersection, so the prefilter admits a superset and the final
+    Levenshtein filter keeps results IDENTICAL to the scan). Cost ∝
+    terms sharing a pattern bigram, not vocabulary. Short patterns and
+    older indexes fall back to the length-prefiltered dictionary scan."""
+    import os as _os
+
+    terms_df = spark.read.parquet(meta.terms_path)
+    p = pattern.lower()
+    plen = len(p)
+    dist_ok = F.levenshtein(F.col("term"), F.lit(p)) <= max_edits
+    len_ok = F.abs(F.length("term") - F.lit(plen)) <= max_edits
+    if plen >= 2 * max_edits + 2 and _os.path.exists(
+        _os.path.join(meta.terms_ngrams_path, "_SUCCESS")
+    ):
+        grams = sorted({p[i : i + 2] for i in range(plen - 1)})
+        cand = (
+            spark.read.parquet(meta.terms_ngrams_path)
+            .filter(F.col("gram").isin(grams))
+            .filter(F.abs(F.col("tlen") - F.lit(plen)) <= max_edits)
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("__shared"),
+                 F.first("tlen").alias("__tlen"))
+            .filter(
+                F.col("__shared")
+                >= F.greatest(F.col("__tlen"), F.lit(plen))
+                - F.lit(1 + 2 * max_edits)
+            )
+            .select("term")
+        )
+        return cand.join(terms_df, "term").filter(dist_ok)
+    return terms_df.filter(len_ok).filter(dist_ok)
+
+
 def _multiterm_component(
     spark: SparkSession, meta: IndexMeta, mt, filters: dict | None = None
 ) -> DataFrame:
@@ -191,8 +239,12 @@ def _multiterm_component(
                 .select("term")
             )
     else:  # fuzzy: classic Levenshtein (documented deviation from
-        # Lucene's Damerau-Levenshtein, see qparser.MultiTermClause)
-        pred = F.levenshtein(F.col("term"), F.lit(mt.pattern)) <= mt.max_edits
+        # Lucene's Damerau-Levenshtein, see qparser.MultiTermClause) —
+        # candidates via the bigram-dictionary prefilter when available
+        # (fuzzy_candidates; results identical to the dictionary scan)
+        expanded = fuzzy_candidates(
+            spark, meta, mt.pattern, mt.max_edits
+        ).select("term")
     if expanded is None:
         expanded = terms_df.filter(pred).select("term")
     rows = postings_rows(spark, meta, expanded)
@@ -1011,14 +1063,16 @@ def gate_spellcheck(
     (solr/core/src/java/org/apache/solr/spelling/DirectSolrSpellChecker.java:1
     — Lucene DirectSpellChecker over the live term dictionary; classic
     edit distance is the documented deviation from its Damerau variant,
-    same as the fuzzy-query path). Distributed shape: one pruned scan of
-    the terms table (vocabulary-sized, not corpus-sized)."""
+    same as the fuzzy-query path). Distributed shape: candidates via
+    the bigram-dictionary prefilter when the index carries it
+    (engine.fuzzy_candidates — cost ∝ terms sharing a pattern bigram),
+    else one length-prefiltered scan of the terms table
+    (vocabulary-sized, not corpus-sized)."""
     meta = ensure_index(spark, sf_dir)
-    terms = spark.read.parquet(meta.terms_path)
     d = F.levenshtein(F.col("term"), F.lit(word.lower()))
     return (
-        terms.withColumn("dist", d)
-        .filter(F.col("dist") <= max_edits)
+        fuzzy_candidates(spark, meta, word, max_edits)
+        .withColumn("dist", d)
         .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
         .limit(k)
         .select("term", "dist", "df")

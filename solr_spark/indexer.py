@@ -128,6 +128,17 @@ class IndexMeta:
         scan)."""
         return os.path.join(self.out_dir, "terms_rev")
 
+    @property
+    def terms_ngrams_path(self) -> str:
+        """Bigram inverted index over the term dictionary (gram, term,
+        tlen; one row per gram OCCURRENCE, range-sorted by gram) — the
+        fuzzy/spellcheck candidate prefilter (the engine's alternative
+        to Lucene's Levenshtein automata): a pattern's candidates are
+        the terms sharing >= max(|t|,|p|)-1-2k bigrams, a pushed-down
+        IN scan + count instead of a full-vocabulary edit-distance
+        pass. May be absent on older indexes (fallback: scan)."""
+        return os.path.join(self.out_dir, "terms_ngrams")
+
     def save(self) -> None:
         with open(os.path.join(self.out_dir, "meta.json"), "w") as f:
             json.dump(asdict(self), f, indent=1)
@@ -775,6 +786,31 @@ def write_term_stats(postings_df: DataFrame, out_path: str, P: int) -> None:
         .sortWithinPartitions("rev")
         .write.mode("overwrite")
         .parquet(out_path + "_rev")
+    )
+    # bigram inverted index over the dictionary (one row per gram
+    # OCCURRENCE — the occurrence count can only overcount the multiset
+    # q-gram intersection, keeping the count-filter prefilter lossless;
+    # see IndexMeta.terms_ngrams_path). Range-sorted by gram so the
+    # query side's IN(<pattern grams>) prunes row groups. Cost ∝
+    # vocabulary × avg term length — the same posture as terms_rev.
+    (
+        spark_read_parquet_same_session(postings_df, out_path)
+        .select(
+            "term",
+            F.length("term").alias("tlen"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(length(term) - 1, 1)),"
+                    " i -> substr(term, i, 2))"
+                )
+            ).alias("gram"),
+        )
+        .filter(F.length("gram") == 2)
+        .select("gram", "term", "tlen")
+        .repartitionByRange(max(P // 8, 1), "gram")
+        .sortWithinPartitions("gram", "term")
+        .write.mode("overwrite")
+        .parquet(out_path + "_ngrams")
     )
 
 

@@ -346,3 +346,36 @@ def test_warm_terms_hot_path_identical(spark, small_index):
     # phrase/multiterm and out-of-set terms bypass the hot frame
     assert s._frames_for("zzz_not_warm license")[1] is s.postings
     assert s._frames_for("+license +int")[1] is s._hot_postings
+
+
+def test_fuzzy_candidates_ngram_path_identical(spark, small_index):
+    """The bigram-prefilter fuzzy path must return EXACTLY the scan
+    path's term set (the q-gram bound admits a superset; the final
+    Levenshtein filter equalizes)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from solr_spark.engine import fuzzy_candidates
+
+    assert os.path.exists(
+        os.path.join(small_index.terms_ngrams_path, "_SUCCESS")
+    ), "build_index must write the bigram dictionary"
+    terms = spark.read.parquet(small_index.terms_path)
+    for pattern, k in [("licence", 2), ("window", 1), ("getfoobaz", 2),
+                       ("zzfrobnicat", 2), ("qqq", 1)]:
+        scan = {
+            r["term"]
+            for r in terms.filter(
+                F.levenshtein(F.col("term"), F.lit(pattern)) <= k
+            ).collect()
+        }
+        got = {r["term"]
+               for r in fuzzy_candidates(spark, small_index, pattern, k).collect()}
+        assert got == scan, (pattern, k, got ^ scan)
+        # the accelerated plan must actually engage for long patterns
+        if len(pattern) >= 2 * k + 2:
+            plan = fuzzy_candidates(
+                spark, small_index, pattern, k
+            )._jdf.queryExecution().executedPlan().toString()
+            assert "terms_ngrams" in plan, pattern
