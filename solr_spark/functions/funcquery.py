@@ -705,3 +705,55 @@ EXCLUDED_VSP: dict[str, str] = {
              "distributed query plan is a reliability hazard, not a "
              "function",
 }
+
+
+class FileExchangeRateProvider:
+    """File-backed exchange-rate provider with a refresh lifecycle
+    (CORE/schema/FileExchangeRateProvider.java:1 — reload() parses
+    currency.xml; CurrencyFieldType's refreshInterval re-checks the
+    source at most every N intervals). Parses the reference's
+    currency.xml format::
+
+        <currencyConfig version="1.0"><rates>
+          <rate from="USD" to="EUR" rate="0.92"/>
+        </rates></currencyConfig>
+
+    into the {(from, to): rate} dict ``currency()`` consumes, and
+    re-reads the file when its mtime changes, checking at most once per
+    ``refresh_interval_s`` (driver-side by design: rate tables are tiny
+    and feed a literal map — the distributed plan never re-reads)."""
+
+    def __init__(self, path: str, refresh_interval_s: float = 600.0,
+                 _clock=None):
+        import time as _time
+
+        self.path = path
+        self.refresh_interval_s = float(refresh_interval_s)
+        self._clock = _clock or _time.monotonic
+        self._rates: dict = {}
+        self._mtime: float | None = None
+        self._next_check = float("-inf")
+        self._load()
+
+    def _load(self) -> None:
+        import os as _os
+        import xml.etree.ElementTree as ET
+
+        mtime = _os.path.getmtime(self.path)
+        if mtime == self._mtime:
+            return
+        root = ET.parse(self.path).getroot()
+        rates: dict = {}
+        for r in root.iter("rate"):
+            rates[(r.attrib["from"], r.attrib["to"])] = float(r.attrib["rate"])
+        self._rates, self._mtime = rates, mtime
+
+    def rates(self) -> dict:
+        """Current rate table, refreshing from the file if its mtime
+        changed and the refresh interval has elapsed since the last
+        check."""
+        now = self._clock()
+        if now >= self._next_check:
+            self._next_check = now + self.refresh_interval_s
+            self._load()
+        return dict(self._rates)

@@ -78,3 +78,36 @@ def test_cscore_is_score_column(spark):
     from pyspark.sql import Column
 
     assert isinstance(funcquery.cscore(), Column)
+
+
+def test_file_exchange_rate_provider(tmp_path, spark):
+    from pyspark.sql import functions as F
+
+    from solr_spark.functions.funcquery import (
+        FileExchangeRateProvider, currency)
+
+    p = tmp_path / "currency.xml"
+    p.write_text('<currencyConfig version="1.0"><rates>'
+                 '<rate from="USD" to="EUR" rate="0.5"/>'
+                 '<rate from="USD" to="JPY" rate="100.0"/>'
+                 '</rates></currencyConfig>')
+    clock = [0.0]
+    prov = FileExchangeRateProvider(str(p), refresh_interval_s=60,
+                                    _clock=lambda: clock[0])
+    assert prov.rates() == {("USD", "EUR"): 0.5, ("USD", "JPY"): 100.0}
+    df = spark.createDataFrame([(1000, "USD")], "amt long, code string")
+    got = df.select(
+        currency(F.col("amt"), F.col("code"), "EUR",
+                 prov.rates()).alias("eur")).collect()[0]["eur"]
+    assert got == 500
+    # file changes: before the interval elapses the old table is served,
+    # after it the provider reloads (the reference's refreshInterval)
+    import os, time
+    p.write_text('<currencyConfig version="1.0"><rates>'
+                 '<rate from="USD" to="EUR" rate="0.25"/>'
+                 '</rates></currencyConfig>')
+    os.utime(p, (time.time() + 10, time.time() + 10))
+    clock[0] = 30.0
+    assert prov.rates()[("USD", "EUR")] == 0.5   # interval not elapsed
+    clock[0] = 61.0
+    assert prov.rates() == {("USD", "EUR"): 0.25}  # reloaded
