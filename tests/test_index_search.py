@@ -379,3 +379,36 @@ def test_fuzzy_candidates_ngram_path_identical(spark, small_index):
                 spark, small_index, pattern, k
             )._jdf.queryExecution().executedPlan().toString()
             assert "terms_ngrams" in plan, pattern
+
+
+def test_local_topk_identical_to_distributed(spark, small_index):
+    """The driver-resident millisecond path must return the SAME
+    (docid, score) list as the distributed kernel for every supported
+    query shape, and silently fall back for unsupported/cold ones."""
+    import time
+
+    from solr_spark.kernel import Searcher
+
+    s = Searcher(spark, small_index)
+    s.warm_local(["license", "int", "public", RARE1, "getfoobar", "the"])
+    local_qs = [q for q in QUERIES
+                if all(t.lstrip("+-") in
+                       ("license", "int", "public", RARE1.lower(), "getfoobar", "the")
+                       for t in q.lower().split())]
+    assert len(local_qs) >= 4
+    for q in local_qs:
+        dist = [(int(r["docid"]), float(r["score"]))
+                for r in s.search(q, 10).collect()]
+        loc = s.local_topk(q, 10)
+        assert [d for d, _ in loc] == [d for d, _ in dist], q
+        for (_, a), (_, b) in zip(loc, dist):
+            assert a == pytest.approx(b, abs=1e-12), q
+    # cold term -> transparent fallback to the distributed path
+    fb = s.local_topk("getvalueimpl", 5)
+    dist = [(int(r["docid"]), float(r["score"]))
+            for r in s.search("getvalueimpl", 5).collect()]
+    assert fb == dist
+    # and the warm path is actually local: no Spark job, sub-10ms
+    t0 = time.time()
+    s.local_topk("+license +int", 10)
+    assert time.time() - t0 < 0.05
