@@ -438,6 +438,7 @@ from .stem import (  # noqa: E402
     french_minimal_stem,
     french_snowball_stem,
     galician_minimal_stem,
+    german_snowball_stem,
     german_minimal_stem,
     hungarian_light_stem,
     indonesian_light_stem,
@@ -475,6 +476,13 @@ ANALYZERS: dict[str, "callable | None"] = {
     # Python/SQL design carries full-algorithm complexity beyond the
     # light tier (Porter English already does)
     "text_fr_snowball": french_snowball_stem,
+    # text_de_snowball: text_de's documented "more aggressive" slot
+    # (managed-schema.xml text_de: snowballPorter language="German2",
+    # shipped commented next to the default germanLightStem) — the
+    # published CLASSIC Snowball German algorithm
+    # (stem.german_snowball_stem); German2's additional ae/oe/ue
+    # digraph folding is a documented deviation
+    "text_de_snowball": german_snowball_stem,
     # text_es / text_it / text_pt: the same Savoy/Orengo light-stemmer
     # family the reference's language fieldTypes ship (managed-schema
     # text_es/text_it/text_pt; each a pinned rule table in stem.py with

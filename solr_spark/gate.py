@@ -1226,8 +1226,8 @@ _PRIORITY = [
     # committed window artifacts — give it a recorded one
     "a_hll_approx",
     # -- (b) round-5 NEW machinery --------------------------------------
-    # full Snowball French chain (stem.french_snowball_stem/sql)
-    "fts_stemmed_fr_snowball",
+    # full Snowball French + classic German chains (stem.py)
+    "fts_stemmed_fr_snowball", "fts_stemmed_de_snowball",
     # Thai dictionary segmentation walk + recursive-CTE oracle
     "fts_thai_seg",
     # DateRangeField ranges-as-values (functions/daterange.py)
@@ -1250,11 +1250,12 @@ _PRIORITY = [
     "u_copyfield",
     "j_inner_join", "j_hash_broadcast", "j_graph_2hop",
     "a_rollup_q1", "a_facet_pivot", "a_hll_sketch",
-    "a_percentile_digest", "a_geo_polygon",
+    "a_percentile_digest",
     "t_minhash_pairs",
     # ---- 50-entry window edge (t_minhash_pairs is row 50;
-    # t_exact_dups spills — it holds an r4 triple-green row) ----
-    "t_exact_dups", "e_near_dup", "t_token_stats", "w_collapse", "w_ltr_linear",
+    # a_geo_polygon/t_exact_dups spill — both hold r4 triple-green
+    # rows and stay pinned by oracle_check) ----
+    "a_geo_polygon", "t_exact_dups", "e_near_dup", "t_token_stats", "w_collapse", "w_ltr_linear",
     "t_classify", "a_convex_hull", "a_percentile_rank",
     "fts_phrase_bigram", "a_cumulative_sum", "a_diff_lag", "fts_xmlquery",
     "fts_suggest", "fts_proximity_un", "a_ema", "fts_mixed_wildcard",
@@ -1758,6 +1759,35 @@ def fts_thai_seg(spark, sf_dir):
     return df.select("text_id", _fold("txt").alias("toks")).orderBy("text_id")
 
 
+def _de_snowball_oracle() -> str:
+    from .stem import german_snowball_sql, german_snowball_stem
+
+    stem_toks = f"list_transform({TOKS_SQL}, x -> {german_snowball_sql('x')})"
+    return bm25_oracle_sql(
+        "windows tables", k=10,
+        toks_sql=stem_toks, term_transform=german_snowball_stem,
+    )
+
+
+@entry("fts_stemmed_de_snowball", _de_snowball_oracle())
+def fts_stemmed_de_snowball(spark, sf_dir):
+    """FULL classic Snowball German chain (stem.german_snowball_stem —
+    prelude ß->ss + U/Y marking, adjusted R1 (>= 3-letter prefix),
+    three suffix steps incl. the flattened niss rule and the
+    st-ending hop-3 constraint, umlaut-unfolding postlude) — the tier
+    of the reference text_de fieldType's documented snowballPorter
+    alternative slot (managed-schema.xml text_de; German2's ae/oe/ue
+    digraph folding is the documented deviation). q='windows tables':
+    windows→window (step-1 s after valid s-ending 'w'... then step-2
+    no), tables→tabl. Oracle stems independently via the
+    machine-generated DuckDB mirror (stem.german_snowball_sql) built
+    from the SAME rule tables. Dictionary-level transform — cost ∝
+    vocabulary."""
+    return gate_search(
+        spark, sf_dir, "windows tables", k=10, analyzer="text_de_snowball"
+    )
+
+
 def _fr_snowball_oracle() -> str:
     from .stem import french_snowball_sql, french_snowball_stem
 
@@ -1811,6 +1841,7 @@ def _stem_vocab_oracle() -> str:
         estonian_light_sql,
         finnish_light_sql,
         french_snowball_sql,
+        german_snowball_sql,
         galician_minimal_sql,
         hungarian_light_sql,
         indonesian_light_sql,
@@ -1845,7 +1876,8 @@ SELECT term, {spanish_light_sql('term')} AS stem_es,
 {irish_light_sql('term')} AS stem_ga,
 {estonian_light_sql('term')} AS stem_et,
 {basque_light_sql('term')} AS stem_eu,
-{french_snowball_sql('term')} AS stem_fr_sb FROM v"""
+{french_snowball_sql('term')} AS stem_fr_sb,
+{german_snowball_sql('term')} AS stem_de_sb FROM v"""
 
 
 @entry("t_stem_vocab", _stem_vocab_oracle())
@@ -1876,6 +1908,7 @@ def t_stem_vocab(spark, sf_dir):
         estonian_light_stem,
         finnish_light_stem,
         french_snowball_stem,
+        german_snowball_stem,
         galician_minimal_stem,
         hungarian_light_stem,
         indonesian_light_stem,
@@ -1911,6 +1944,7 @@ def t_stem_vocab(spark, sf_dir):
         "stem_et": estonian_light_stem,
         "stem_eu": basque_light_stem,
         "stem_fr_sb": french_snowball_stem,
+        "stem_de_sb": german_snowball_stem,
     }
 
     def _stem_udf(fn):

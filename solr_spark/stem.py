@@ -1730,9 +1730,11 @@ def _fr_atom(w: str, pv: int, p1: int, p2: int, a) -> bool:
     n, kind = len(w), a[0]
     if kind in ("R2", "R1", "RV"):
         return n - a[1] >= {"R2": p2, "R1": p1, "RV": pv}[kind]
+    if kind == "minlen":
+        return n >= a[1]
     i = n - a[1] - 1
     if i < 0:
-        return False
+        return kind == "p_not_in"  # absent prec char: `not '<set>'` holds
     if kind == "p_nonv":
         return w[i] not in FR_VOWELS
     if kind == "p_nonv_rv":
@@ -1741,6 +1743,10 @@ def _fr_atom(w: str, pv: int, p1: int, p2: int, a) -> bool:
         return w[i] in FR_VOWELS and i >= pv
     if kind == "p_in_rv":
         return w[i] in a[2] and i >= pv
+    if kind == "p_in":          # char before suffix in set (no region)
+        return w[i] in a[2]
+    if kind == "p_not_in":      # char before suffix NOT in set (or none)
+        return w[i] not in a[2]
     raise AssertionError(kind)
 
 
@@ -1815,6 +1821,8 @@ def _fr_atom_sql(v: str, a, pv: str, p1: str, p2: str) -> str:
     if kind in ("R2", "R1", "RV"):
         bound = {"R2": p2, "R1": p1, "RV": pv}[kind]
         return f"{n} - {a[1]} >= {bound}"
+    if kind == "minlen":
+        return f"{n} >= {a[1]}"
     L = a[1]
     ch = f"substr({v}, {n} - {L}, 1)"
     if kind == "p_nonv":
@@ -1829,6 +1837,12 @@ def _fr_atom_sql(v: str, a, pv: str, p1: str, p2: str) -> str:
         cset = ", ".join(f"'{c}'" for c in a[2])
         return (f"({n} > {L} AND {ch} IN ({cset}) "
                 f"AND {n} - {L} - 1 >= {pv})")
+    if kind == "p_in":
+        cset = ", ".join(f"'{c}'" for c in a[2])
+        return f"({n} > {L} AND {ch} IN ({cset}))"
+    if kind == "p_not_in":
+        cset = ", ".join(f"'{c}'" for c in a[2])
+        return f"({n} <= {L} OR {ch} NOT IN ({cset}))"
     raise AssertionError(kind)
 
 
@@ -1934,3 +1948,147 @@ def french_snowball_sql(var: str = "x") -> str:
               _bind(vp, vpat,
                     _bind(pv, pv_e,
                           _bind(p1, p1_e, _bind(p2, p2_e, body))))))
+
+
+# ---------------------------------------------------------------------------
+# German SNOWBALL stemmer — the FULL classic algorithm
+# (snowballstem.org/algorithms/german/stemmer.html), the tier of the
+# reference text_de fieldType's documented "more aggressive" slot
+# (managed-schema.xml text_de: `<filter name="snowballPorter"
+# language="German2"/>`, shipped commented next to the default
+# germanLightStem).  We implement the published CLASSIC German
+# algorithm; German2's additional ae/oe/ue umlaut-digraph folding is a
+# documented deviation.  Same flattened one-table dual Python/SQL
+# design as the French chain (compound "preceded by" clauses become
+# longer suffix entries; step-1's niss rule becomes nisse/nissen/nisses
+# entries), reusing the shared atom machinery.
+
+DE_VOWELS = "aeiouyäöü"
+_DE_S_END = "bdfghklmnrt"    # valid s-endings (step 1c)
+_DE_ST_END = "bdfghklmnt"    # valid st-endings (step 2)
+
+DE_STEP1: list[tuple[str, list]] = (
+    _fr1(["em", "ern", "er"], lambda L: [([("R1", L)], ("del", L))])
+    # group (b) + the niss rule flattened: deleting e/en/es preceded by
+    # niss also drops the final s (Verhältnisse -> Verhältnis)
+    + [("nisse", [([("R1", 1)], ("del", 2))]),
+       ("nissen", [([("R1", 2)], ("del", 3))]),
+       ("nisses", [([("R1", 2)], ("del", 3))])]
+    + _fr1(["e", "en", "es"], lambda L: [([("R1", L)], ("del", L))])
+    + [("s", [([("R1", 1), ("p_in", 1, _DE_S_END)], ("del", 1))])]
+)
+
+DE_STEP2: list[tuple[str, list]] = (
+    _fr1(["est", "en", "er"], lambda L: [([("R1", L)], ("del", L))])
+    # st: valid st-ending itself preceded by >= 3 letters (hop 3)
+    + [("st", [([("R1", 2), ("p_in", 2, _DE_ST_END), ("minlen", 6)],
+                ("del", 2))])]
+)
+
+DE_STEP3: list[tuple[str, list]] = (
+    _fr1(["igend", "igung"],
+         lambda L: [([("R2", L - 2), ("R2", L), ("p_not_in", L, "e")],
+                     ("del", L)),
+                    ([("R2", L - 2)], ("del", L - 2))])
+    + _fr1(["end", "ung"], lambda L: [([("R2", L)], ("del", L))])
+    + _fr1(["isch", "ig", "ik"],
+           lambda L: [([("R2", L), ("p_not_in", L, "e")], ("del", L))])
+    + _fr1(["erlich", "enlich", "erheit", "enheit"],
+           lambda L: [([("R2", L - 2), ("R1", L)], ("del", L)),
+                      ([("R2", L - 2)], ("del", L - 2))])
+    + _fr1(["lich", "heit"], lambda L: [([("R2", L)], ("del", L))])
+    + [("lichkeit", [([("R2", 4), ("R2", 8)], ("del", 8)),
+                     ([("R2", 4)], ("del", 4))]),
+       ("igkeit", [([("R2", 4), ("R2", 6)], ("del", 6)),
+                   ([("R2", 4)], ("del", 4))])]
+    + [("keit", [([("R2", 4)], ("del", 4))])]
+)
+
+_DE_STEP1_S = _fr_sorted(DE_STEP1)
+_DE_STEP2_S = _fr_sorted(DE_STEP2)
+_DE_STEP3_S = _fr_sorted(DE_STEP3)
+_DE_POST = str.maketrans({"U": "u", "Y": "y", "ä": "a", "ö": "o", "ü": "u"})
+
+
+def _de_prelude(w: str) -> str:
+    """ß -> ss, then mark u/y BETWEEN vowels as U/Y (both neighbors
+    must be vowels — narrower than the French prelude)."""
+    w = w.replace("ß", "ss")
+    out: list[str] = []
+    n = len(w)
+    for i, ch in enumerate(w):
+        prev = out[i - 1] if i else ""
+        nxt = w[i + 1] if i + 1 < n else ""
+        if ch in "uy" and prev in DE_VOWELS and nxt in DE_VOWELS:
+            out.append(ch.upper())
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _de_regions(w: str) -> tuple[int, int]:
+    """(p1, p2): standard R1/R2 offsets, with R1 adjusted so at least 3
+    letters precede it (p2 is computed from the UNADJUSTED R1 position,
+    as german.sbl's cursor flow does)."""
+    n = len(w)
+    isv = [c in DE_VOWELS for c in w]
+    def nonv_after_v(start: int) -> int:
+        for i in range(start + 1, n):
+            if not isv[i] and isv[i - 1]:
+                return i + 1
+        return n
+    p1_raw = nonv_after_v(0)
+    p2 = nonv_after_v(p1_raw)
+    return max(p1_raw, 3), p2
+
+
+def german_snowball_stem(w: str) -> str:
+    """The full classic Snowball German algorithm: prelude (ß->ss, U/Y
+    marking), adjusted R1/R2, three suffix steps, umlaut-unfolding
+    postlude."""
+    w = _de_prelude(w)
+    p1, p2 = _de_regions(w)
+    for table in (_DE_STEP1_S, _DE_STEP2_S, _DE_STEP3_S):
+        w, _s, _a = _fr_apply(w, 0, p1, p2, table)
+    return w.translate(_DE_POST)
+
+
+def german_snowball_sql(var: str = "x") -> str:
+    """Machine-generated DuckDB mirror of german_snowball_stem, from the
+    SAME rule tables."""
+    cs, w0, vp = _fresh("gc"), _fresh("gw"), _fresh("gp")
+    p1r, p1, p2 = _fresh("gr"), _fresh("g1"), _fresh("g2")
+    w1, w2, w3 = _fresh("g"), _fresh("g"), _fresh("g")
+    vset = ", ".join(f"'{c}'" for c in DE_VOWELS)
+
+    nxt = f"coalesce({cs}[length(acc)+2], '')"
+    marked = (
+        f"list_reduce(list_prepend('', {cs}), (acc, ch) -> acc || "
+        f"CASE WHEN ch IN ('u', 'y') AND substr(acc, -1) IN ({vset}) "
+        f"AND {nxt} IN ({vset}) THEN upper(ch) ELSE ch END)"
+    )
+    vpat = (
+        f"list_reduce(list_prepend('', split({w0}, '')), (a, c) -> a || "
+        f"CASE WHEN c IN ({vset}) THEN 'v' ELSE 'c' END)"
+    )
+    p1r_e = (f"CASE WHEN instr({vp}, 'vc') > 0 THEN instr({vp}, 'vc') + 1 "
+             f"ELSE length({w0}) END")
+    p2_e = (
+        f"CASE WHEN instr(substr({vp}, {p1r} + 1), 'vc') > 0 "
+        f"THEN {p1r} + instr(substr({vp}, {p1r} + 1), 'vc') + 1 "
+        f"ELSE length({w0}) END"
+    )
+    # dummy RV offset 0 (German has no RV); the shared table generator
+    # only references it for RV atoms, which German tables never use
+    s1 = _fr_table_sql(w0, DE_STEP1, "0", p1, p2)
+    s2 = _fr_table_sql(w1, DE_STEP2, "0", p1, p2)
+    s3 = _fr_table_sql(w2, DE_STEP3, "0", p1, p2)
+    post = (f"translate({w3}, 'UYäöü', 'uyaou')")
+    body = _bind(w1, s1, _bind(w2, s2, _bind(w3, s3, post)))
+    return _bind(
+        cs, f"split(replace({var}, 'ß', 'ss'), '')",
+        _bind(w0, marked,
+              _bind(vp, vpat,
+                    _bind(p1r, p1r_e,
+                          _bind(p1, f"greatest({p1r}, 3)",
+                                _bind(p2, p2_e, body))))))

@@ -99,6 +99,7 @@ def test_driver_window_composition():
         "a_hll_approx",
         # round-5 new machinery — no earlier driver rows
         "fts_stemmed_fr_snowball",  # full Snowball French chain
+        "fts_stemmed_de_snowball",  # full classic Snowball German chain
         "fts_thai_seg",             # Thai dictionary segmentation walk
         "a_daterange_overlap",      # DateRangeField ranges-as-values
         "e_knn_ivfpq_probe",        # IVF-PQ approximate regime
@@ -119,12 +120,13 @@ def test_driver_window_composition():
         "u_copyfield",
         "j_inner_join", "j_hash_broadcast", "j_graph_2hop",
         "a_rollup_q1", "a_facet_pivot", "a_hll_sketch",
-        "a_percentile_digest", "a_geo_polygon",
+        "a_percentile_digest",
         "t_minhash_pairs",
     }
     missing = must_hold - set(window)
     assert not missing, f"outside the driver window: {sorted(missing)}"
     # the window edge itself (documented in gate._PRIORITY) —
-    # t_exact_dups and t_token_stats spilled for the round-5 entries
-    # (both hold r4 triple-green rows and stay pinned by oracle_check)
+    # a_geo_polygon, t_exact_dups and t_token_stats spilled for the
+    # round-5 entries (all hold r4 triple-green rows and stay pinned
+    # by oracle_check)
     assert window[49] == "t_minhash_pairs"

@@ -664,3 +664,69 @@ def test_french_snowball_in_analyzer_registry():
     from solr_spark.stem import french_minimal_stem
 
     assert ANALYZERS["text_fr"] is french_minimal_stem
+
+
+# ---------------------------------------------------------------------------
+# FULL classic Snowball German (stem.german_snowball_stem / _sql)
+
+from solr_spark.stem import german_snowball_sql, german_snowball_stem  # noqa: E402
+
+# hand-traced against the published classic algorithm
+DE_SNOWBALL_VECTORS = {
+    "aufeinander": "aufeinand",      # step1 er in R1
+    "abhängen": "abhang",            # step1 en + umlaut postlude
+    "verhältnisse": "verhaltnis",    # flattened niss rule (e + final s)
+    "verhältnissen": "verhaltnis",   # nissen variant
+    "aufgabe": "aufgab",
+    "kategorien": "kategori",
+    "bauen": "bau",                  # prelude U between vowels
+    "schönheit": "schonheit",        # heit NOT in R2 here (p2 = len)
+    "freundlichkeit": "freundlich",  # keit in R2; lich NOT also deleted
+    "arbeitest": "arbeit",           # step2 est
+    "größte": "grosst",              # ß -> ss + step1 e
+    "mädchens": "madch",             # step1 s (valid s-ending) + step2 en
+    "längst": "lang",                # step2 st: 'g' valid, hop-3 passes (n=6)
+    "angst": "angst",                # st blocked: hop-3 fails at n=5
+    "lesen": "les",
+    "windows": "window",             # ASCII token path: s after 'w'?
+    "tables": "tabl",
+}
+# 'windows': final s preceded by 'w' — NOT a valid s-ending, so step 1
+# keeps it; step 2 finds no suffix → unchanged
+DE_SNOWBALL_VECTORS["windows"] = "windows"
+
+
+def test_german_snowball_vectors():
+    bad = {w: german_snowball_stem(w)
+           for w, want in DE_SNOWBALL_VECTORS.items()
+           if german_snowball_stem(w) != want}
+    assert bad == {}
+
+
+def test_german_snowball_sql_mirror_on_vectors():
+    words = sorted(set(DE_SNOWBALL_VECTORS) | {
+        "igung", "kundigung", "beziehung", "nisses", "bst", "aalglatt",
+        "s", "st", "est", "", "ßß", "x_1_frob", "üüü", "ig", "igig",
+    })
+    got = _sql_batch(words, german_snowball_sql)
+    bad = {w: (german_snowball_stem(w), got[w]) for w in words
+           if german_snowball_stem(w) != got[w]}
+    assert bad == {}
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(
+    st.text(alphabet="aeiougnsthlkrbdäöüß_0",
+            min_size=0, max_size=14),
+    min_size=1, max_size=30, unique=True))
+def test_german_snowball_sql_mirror_property(words):
+    got = _sql_batch(words, german_snowball_sql)
+    assert all(german_snowball_stem(w) == got[w] for w in words)
+
+
+def test_german_snowball_in_analyzer_registry():
+    from solr_spark.analysis import ANALYZERS
+    from solr_spark.stem import german_minimal_stem
+
+    assert ANALYZERS["text_de_snowball"] is german_snowball_stem
+    assert ANALYZERS["text_de"] is german_minimal_stem  # default slot stays
