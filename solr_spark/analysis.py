@@ -439,6 +439,7 @@ from .stem import (  # noqa: E402
     french_snowball_stem,
     galician_minimal_stem,
     german_snowball_stem,
+    spanish_snowball_stem,
     german_minimal_stem,
     hungarian_light_stem,
     indonesian_light_stem,
@@ -483,6 +484,10 @@ ANALYZERS: dict[str, "callable | None"] = {
     # (stem.german_snowball_stem); German2's additional ae/oe/ue
     # digraph folding is a documented deviation
     "text_de_snowball": german_snowball_stem,
+    # text_es_snowball: text_es's documented "more aggressive" slot
+    # (managed-schema.xml text_es: snowballPorter language="Spanish") —
+    # the full published algorithm incl. the attached-pronoun step
+    "text_es_snowball": spanish_snowball_stem,
     # text_es / text_it / text_pt: the same Savoy/Orengo light-stemmer
     # family the reference's language fieldTypes ship (managed-schema
     # text_es/text_it/text_pt; each a pinned rule table in stem.py with

@@ -1228,6 +1228,7 @@ _PRIORITY = [
     # -- (b) round-5 NEW machinery --------------------------------------
     # full Snowball French + classic German chains (stem.py)
     "fts_stemmed_fr_snowball", "fts_stemmed_de_snowball",
+    "fts_stemmed_es_snowball",
     # Thai dictionary segmentation walk + recursive-CTE oracle
     "fts_thai_seg",
     # DateRangeField ranges-as-values (functions/daterange.py)
@@ -1250,12 +1251,11 @@ _PRIORITY = [
     "u_copyfield",
     "j_inner_join", "j_hash_broadcast", "j_graph_2hop",
     "a_rollup_q1", "a_facet_pivot", "a_hll_sketch",
-    "a_percentile_digest",
     "t_minhash_pairs",
     # ---- 50-entry window edge (t_minhash_pairs is row 50;
-    # a_geo_polygon/t_exact_dups spill — both hold r4 triple-green
-    # rows and stay pinned by oracle_check) ----
-    "a_geo_polygon", "t_exact_dups", "e_near_dup", "t_token_stats", "w_collapse", "w_ltr_linear",
+    # a_percentile_digest/a_geo_polygon/t_exact_dups spill — all hold
+    # r4 triple-green rows and stay pinned by oracle_check) ----
+    "a_percentile_digest", "a_geo_polygon", "t_exact_dups", "e_near_dup", "t_token_stats", "w_collapse", "w_ltr_linear",
     "t_classify", "a_convex_hull", "a_percentile_rank",
     "fts_phrase_bigram", "a_cumulative_sum", "a_diff_lag", "fts_xmlquery",
     "fts_suggest", "fts_proximity_un", "a_ema", "fts_mixed_wildcard",
@@ -1759,6 +1759,33 @@ def fts_thai_seg(spark, sf_dir):
     return df.select("text_id", _fold("txt").alias("toks")).orderBy("text_id")
 
 
+def _es_snowball_oracle() -> str:
+    from .stem import spanish_snowball_sql, spanish_snowball_stem
+
+    stem_toks = f"list_transform({TOKS_SQL}, x -> {spanish_snowball_sql('x')})"
+    return bm25_oracle_sql(
+        "merges tables", k=10,
+        toks_sql=stem_toks, term_transform=spanish_snowball_stem,
+    )
+
+
+@entry("fts_stemmed_es_snowball", _es_snowball_oracle())
+def fts_stemmed_es_snowball(spark, sf_dir):
+    """FULL Snowball Spanish chain (stem.spanish_snowball_stem — the
+    three-case RV rule, the attached-pronoun step 0 flattened into 143
+    generated ending+pronoun combo entries, standard suffixes with
+    ic/at/abil compounds flattened, the y-verb and verb steps with the
+    gu rules, residual step, un-accent postlude) — the tier of the
+    reference text_es fieldType's documented snowballPorter
+    language=Spanish alternative slot (managed-schema.xml text_es).
+    Oracle stems independently via the ~40 KB machine-generated DuckDB
+    mirror (stem.spanish_snowball_sql) built from the SAME tables.
+    Dictionary-level transform — cost ∝ vocabulary."""
+    return gate_search(
+        spark, sf_dir, "merges tables", k=10, analyzer="text_es_snowball"
+    )
+
+
 def _de_snowball_oracle() -> str:
     from .stem import german_snowball_sql, german_snowball_stem
 
@@ -1842,6 +1869,7 @@ def _stem_vocab_oracle() -> str:
         finnish_light_sql,
         french_snowball_sql,
         german_snowball_sql,
+        spanish_snowball_sql,
         galician_minimal_sql,
         hungarian_light_sql,
         indonesian_light_sql,
@@ -1877,7 +1905,8 @@ SELECT term, {spanish_light_sql('term')} AS stem_es,
 {estonian_light_sql('term')} AS stem_et,
 {basque_light_sql('term')} AS stem_eu,
 {french_snowball_sql('term')} AS stem_fr_sb,
-{german_snowball_sql('term')} AS stem_de_sb FROM v"""
+{german_snowball_sql('term')} AS stem_de_sb,
+{spanish_snowball_sql('term')} AS stem_es_sb FROM v"""
 
 
 @entry("t_stem_vocab", _stem_vocab_oracle())
@@ -1909,6 +1938,7 @@ def t_stem_vocab(spark, sf_dir):
         finnish_light_stem,
         french_snowball_stem,
         german_snowball_stem,
+        spanish_snowball_stem,
         galician_minimal_stem,
         hungarian_light_stem,
         indonesian_light_stem,
@@ -1945,6 +1975,7 @@ def t_stem_vocab(spark, sf_dir):
         "stem_eu": basque_light_stem,
         "stem_fr_sb": french_snowball_stem,
         "stem_de_sb": german_snowball_stem,
+        "stem_es_sb": spanish_snowball_stem,
     }
 
     def _stem_udf(fn):

@@ -1686,7 +1686,10 @@ def _fr_prelude(w: str) -> str:
     for i, ch in enumerate(w):
         prev = out[i - 1] if i else ""
         nxt = w[i + 1] if i + 1 < n else ""
-        pv_, nv_ = prev in FR_VOWELS, nxt in FR_VOWELS
+        # bool('' in FR_VOWELS) is True (empty-substring membership) —
+        # a missing neighbor must count as NOT a vowel
+        pv_ = bool(prev) and prev in FR_VOWELS
+        nv_ = bool(nxt) and nxt in FR_VOWELS
         if ch == "u" and ((pv_ and nv_) or prev == "q"):
             out.append("U")
         elif ch == "i" and pv_ and nv_:
@@ -2019,7 +2022,8 @@ def _de_prelude(w: str) -> str:
     for i, ch in enumerate(w):
         prev = out[i - 1] if i else ""
         nxt = w[i + 1] if i + 1 < n else ""
-        if ch in "uy" and prev in DE_VOWELS and nxt in DE_VOWELS:
+        if (ch in "uy" and prev and prev in DE_VOWELS
+                and nxt and nxt in DE_VOWELS):
             out.append(ch.upper())
         else:
             out.append(ch)
@@ -2092,3 +2096,233 @@ def german_snowball_sql(var: str = "x") -> str:
                     _bind(p1r, p1r_e,
                           _bind(p1, f"greatest({p1r}, 3)",
                                 _bind(p2, p2_e, body))))))
+
+
+# ---------------------------------------------------------------------------
+# Spanish SNOWBALL stemmer — the FULL algorithm
+# (snowballstem.org/algorithms/spanish/stemmer.html), the tier of the
+# reference text_es fieldType's documented "more aggressive" slot
+# (managed-schema.xml text_es: `<filter name="snowballPorter"
+# language="Spanish"/>`, shipped commented next to the default
+# spanishLightStem).  Third chain from the shared flattened-table
+# machinery.  Step 0's "pronoun preceded by gerund/infinitive ending"
+# rule is flattened into ending+pronoun combo entries (generated by
+# comprehension from the two pinned lists — still ONE table driving
+# both engines); the gu-rules of steps 2b/3 flatten the same way.
+
+ES_VOWELS = "aeiouáéíóúü"
+
+_ES_PRON = ["me", "se", "sela", "selo", "selas", "selos", "la", "le",
+            "lo", "las", "les", "los", "nos"]
+_ES_END_ACC = [("iéndo", "iendo"), ("ándo", "ando"), ("ár", "ar"),
+               ("ér", "er"), ("ír", "ir")]
+_ES_END_PLAIN = ["ando", "iendo", "ar", "er", "ir"]
+
+
+def _es_step0() -> list[tuple[str, list]]:
+    t: list[tuple[str, list]] = []
+    for p in _ES_PRON:
+        for acc, plain in _ES_END_ACC:  # (a): delete pronoun + unaccent
+            k = len(acc) + len(p)
+            t.append((acc + p, [([("RV", k)], ("rep", k, plain))]))
+        for e in _ES_END_PLAIN:         # (b): delete the pronoun
+            t.append((e + p, [([("RV", len(e) + len(p))],
+                               ("del", len(p)))]))
+        # (c): yendo following u — the u need not be in RV
+        t.append(("uyendo" + p, [([("RV", 5 + len(p))], ("del", len(p)))]))
+    return t
+
+
+ES_STEP0 = _es_step0()
+
+ES_STEP1: list[tuple[str, list]] = (
+    _fr1(["anza", "anzas", "ico", "ica", "icos", "icas", "ismo", "ismos",
+          "able", "ables", "ible", "ibles", "ista", "istas", "oso", "osa",
+          "osos", "osas", "amiento", "amientos", "imiento", "imientos"],
+         lambda L: [([("R2", L)], ("del", L))])
+    + _fr1(["adora", "ador", "ación", "adoras", "adores", "aciones",
+            "ante", "antes", "ancia", "ancias"],
+           lambda L: [([("R2", L)], ("del", L))])
+    + _fr1(["icadora", "icador", "icación", "icadoras", "icadores",
+            "icaciones", "icante", "icantes", "icancia", "icancias"],
+           lambda L: [([("R2", L - 2), ("R2", L)], ("del", L)),
+                      ([("R2", L - 2)], ("del", L - 2))])
+    + _fr1(["logía", "logías"], lambda L: [([("R2", L)], ("rep", L, "log"))])
+    + _fr1(["ución", "uciones"], lambda L: [([("R2", L)], ("rep", L, "u"))])
+    + _fr1(["encia", "encias"], lambda L: [([("R2", L)], ("rep", L, "ente"))])
+    + [("ativamente", [([("R1", 6), ("R2", 8), ("R2", 10)], ("del", 10)),
+                       ([("R1", 6), ("R2", 8)], ("del", 8)),
+                       ([("R1", 6)], ("del", 6))]),
+       ("ivamente", [([("R1", 6), ("R2", 8)], ("del", 8)),
+                     ([("R1", 6)], ("del", 6))])]
+    + _fr1(["osamente", "icamente", "adamente"],
+           lambda L: [([("R1", 6), ("R2", 8)], ("del", 8)),
+                      ([("R1", 6)], ("del", 6))])
+    + [("amente", [([("R1", 6)], ("del", 6))])]
+    + _fr1(["antemente", "ablemente", "iblemente"],
+           lambda L: [([("R2", 5), ("R2", L)], ("del", L)),
+                      ([("R2", 5)], ("del", 5))])
+    + [("mente", [([("R2", 5)], ("del", 5))])]
+    + _fr1(["abilidad", "abilidades"],
+           lambda L: [([("R2", L - 4), ("R2", L)], ("del", L)),
+                      ([("R2", L - 4)], ("del", L - 4))])
+    + _fr1(["icidad", "icidades", "ividad", "ividades"],
+           lambda L: [([("R2", L - 2), ("R2", L)], ("del", L)),
+                      ([("R2", L - 2)], ("del", L - 2))])
+    + _fr1(["idad", "idades"], lambda L: [([("R2", L)], ("del", L))])
+    + _fr1(["ativa", "ativo", "ativas", "ativos"],
+           lambda L: [([("R2", L - 2), ("R2", L)], ("del", L)),
+                      ([("R2", L - 2)], ("del", L - 2))])
+    + _fr1(["iva", "ivo", "ivas", "ivos"],
+           lambda L: [([("R2", L)], ("del", L))])
+)
+
+# step 2a: y-verb suffixes, each preceded by u, everything in RV
+ES_STEP2A: list[tuple[str, list]] = [
+    ("u" + y, [([("RV", len(y) + 1)], ("del", len(y)))])
+    for y in ["ya", "ye", "yan", "yen", "yeron", "yendo", "yo", "yó",
+              "yas", "yes", "yais", "yamos"]
+]
+
+_ES_2B_GU = ["en", "es", "éis", "emos"]
+_ES_2B_REST = [
+    "arían", "arías", "arán", "arás", "aríais", "aría", "aréis",
+    "aríamos", "aremos", "ará", "aré", "erían", "erías", "erán", "erás",
+    "eríais", "ería", "eréis", "eríamos", "eremos", "erá", "eré",
+    "irían", "irías", "irán", "irás", "iríais", "iría", "iréis",
+    "iríamos", "iremos", "irá", "iré", "aba", "ada", "ida", "ía", "ara",
+    "iera", "ad", "ed", "id", "ase", "iese", "aste", "iste", "an",
+    "aban", "ían", "aran", "ieran", "asen", "iesen", "aron", "ieron",
+    "ado", "ido", "ando", "iendo", "ió", "ar", "er", "ir", "as", "abas",
+    "adas", "idas", "ías", "aras", "ieras", "ases", "ieses", "ís",
+    "áis", "abais", "íais", "arais", "ierais", "aseis", "ieseis",
+    "asteis", "isteis", "ados", "idos", "amos", "ábamos", "íamos",
+    "imos", "áramos", "iéramos", "iésemos", "ásemos",
+]
+
+ES_STEP2B: list[tuple[str, list]] = (
+    [("gu" + x, [([("RV", len(x)), ("RV", len(x) + 1)], ("del", len(x) + 1)),
+                 ([("RV", len(x))], ("del", len(x)))])
+     for x in _ES_2B_GU]
+    + _fr1(_ES_2B_GU, lambda L: [([("RV", L)], ("del", L))])
+    + _fr1(_ES_2B_REST, lambda L: [([("RV", L)], ("del", L))])
+)
+
+ES_STEP3: list[tuple[str, list]] = (
+    _fr1(["os"], lambda L: [([("RV", 2)], ("del", 2))])
+    + _fr1(["a", "o", "á", "í", "ó"], lambda L: [([("RV", 1)], ("del", 1))])
+    + [("gue", [([("RV", 1), ("RV", 2)], ("del", 2)),
+                ([("RV", 1)], ("del", 1))]),
+       ("gué", [([("RV", 1), ("RV", 2)], ("del", 2)),
+                ([("RV", 1)], ("del", 1))])]
+    + _fr1(["e", "é"], lambda L: [([("RV", 1)], ("del", 1))])
+)
+
+_ES_STEP0_S = _fr_sorted(ES_STEP0)
+_ES_STEP1_S = _fr_sorted(ES_STEP1)
+_ES_STEP2A_S = _fr_sorted(ES_STEP2A)
+_ES_STEP2B_S = _fr_sorted(ES_STEP2B)
+_ES_STEP3_S = _fr_sorted(ES_STEP3)
+_ES_POST = str.maketrans("áéíóú", "aeiou")
+
+
+def _es_rv(w: str) -> int:
+    """Spanish RV: second letter consonant → after the next vowel;
+    first two letters vowels → after the next consonant; else
+    (consonant-vowel) → after the third letter."""
+    n = len(w)
+    if n < 3:
+        return n
+    if w[1] not in ES_VOWELS:
+        for i in range(2, n):
+            if w[i] in ES_VOWELS:
+                return i + 1
+        return n
+    if w[0] in ES_VOWELS and w[1] in ES_VOWELS:
+        for i in range(2, n):
+            if w[i] not in ES_VOWELS:
+                return i + 1
+        return n
+    return 3
+
+
+def _es_r12(w: str) -> tuple[int, int]:
+    n = len(w)
+    isv = [c in ES_VOWELS for c in w]
+    def nonv_after_v(start: int) -> int:
+        for i in range(start + 1, n):
+            if not isv[i] and isv[i - 1]:
+                return i + 1
+        return n
+    p1 = nonv_after_v(0)
+    return p1, nonv_after_v(p1)
+
+
+def spanish_snowball_stem(w: str) -> str:
+    """The full Snowball Spanish algorithm: fixed RV/R1/R2 offsets,
+    attached-pronoun step 0, standard suffixes, y-verb and verb
+    suffixes (with the flattened gu rules), residual step, un-accent
+    postlude."""
+    pv = _es_rv(w)
+    p1, p2 = _es_r12(w)
+    w, _s, _a = _fr_apply(w, pv, p1, p2, _ES_STEP0_S)
+    w1, _s, _a = _fr_apply(w, pv, p1, p2, _ES_STEP1_S)
+    if w1 == w:
+        w2a, _s, applied2a = _fr_apply(w1, pv, p1, p2, _ES_STEP2A_S)
+        if not applied2a:
+            w2, _s, _a = _fr_apply(w1, pv, p1, p2, _ES_STEP2B_S)
+        else:
+            w2 = w2a
+    else:
+        w2 = w1
+    w3, _s, _a = _fr_apply(w2, pv, p1, p2, _ES_STEP3_S)
+    return w3.translate(_ES_POST)
+
+
+def spanish_snowball_sql(var: str = "x") -> str:
+    """Machine-generated DuckDB mirror of spanish_snowball_stem, from
+    the SAME rule tables."""
+    vp = _fresh("sp")
+    pv, p1, p2 = _fresh("sv"), _fresh("s1"), _fresh("s2")
+    w0, w1, w2a, w2, w3 = (_fresh("s") for _ in range(5))
+    vset = ", ".join(f"'{c}'" for c in ES_VOWELS)
+
+    vpat = (
+        f"list_reduce(list_prepend('', split({var}, '')), (a, c) -> a || "
+        f"CASE WHEN c IN ({vset}) THEN 'v' ELSE 'c' END)"
+    )
+    # RV by the three-case rule over the v/c pattern
+    pv_e = (
+        f"CASE WHEN length({var}) < 3 THEN length({var}) "
+        f"WHEN substr({vp}, 2, 1) = 'c' THEN "
+        f"(CASE WHEN instr(substr({vp}, 3), 'v') > 0 "
+        f"THEN instr(substr({vp}, 3), 'v') + 2 ELSE length({var}) END) "
+        f"WHEN substr({vp}, 1, 2) = 'vv' THEN "
+        f"(CASE WHEN instr(substr({vp}, 3), 'c') > 0 "
+        f"THEN instr(substr({vp}, 3), 'c') + 2 ELSE length({var}) END) "
+        f"ELSE 3 END"
+    )
+    p1_e = (f"CASE WHEN instr({vp}, 'vc') > 0 THEN instr({vp}, 'vc') + 1 "
+            f"ELSE length({var}) END")
+    p2_e = (
+        f"CASE WHEN instr(substr({vp}, {p1} + 1), 'vc') > 0 "
+        f"THEN {p1} + instr(substr({vp}, {p1} + 1), 'vc') + 1 "
+        f"ELSE length({var}) END"
+    )
+    s0 = _fr_table_sql(var, ES_STEP0, pv, p1, p2)
+    s1 = _fr_table_sql(w0, ES_STEP1, pv, p1, p2)
+    s2a = _fr_table_sql(w1, ES_STEP2A, pv, p1, p2)
+    s2b = _fr_table_sql(w1, ES_STEP2B, pv, p1, p2)
+    w2a_e = f"CASE WHEN {w1} = {w0} THEN {s2a} ELSE {w1} END"
+    w2_e = (f"CASE WHEN {w1} = {w0} AND {w2a} = {w1} THEN {s2b} "
+            f"ELSE {w2a} END")
+    s3 = _fr_table_sql(w2, ES_STEP3, pv, p1, p2)
+    body = _bind(
+        w0, s0,
+        _bind(w1, s1,
+              _bind(w2a, w2a_e,
+                    _bind(w2, w2_e,
+                          _bind(w3, s3,
+                                f"translate({w3}, 'áéíóú', 'aeiou')")))))
+    return _bind(vp, vpat,
+                 _bind(pv, pv_e, _bind(p1, p1_e, _bind(p2, p2_e, body))))

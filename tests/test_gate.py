@@ -100,6 +100,7 @@ def test_driver_window_composition():
         # round-5 new machinery — no earlier driver rows
         "fts_stemmed_fr_snowball",  # full Snowball French chain
         "fts_stemmed_de_snowball",  # full classic Snowball German chain
+        "fts_stemmed_es_snowball",  # full Snowball Spanish chain
         "fts_thai_seg",             # Thai dictionary segmentation walk
         "a_daterange_overlap",      # DateRangeField ranges-as-values
         "e_knn_ivfpq_probe",        # IVF-PQ approximate regime
@@ -120,7 +121,6 @@ def test_driver_window_composition():
         "u_copyfield",
         "j_inner_join", "j_hash_broadcast", "j_graph_2hop",
         "a_rollup_q1", "a_facet_pivot", "a_hll_sketch",
-        "a_percentile_digest",
         "t_minhash_pairs",
     }
     missing = must_hold - set(window)

@@ -730,3 +730,65 @@ def test_german_snowball_in_analyzer_registry():
 
     assert ANALYZERS["text_de_snowball"] is german_snowball_stem
     assert ANALYZERS["text_de"] is german_minimal_stem  # default slot stays
+
+
+# ---------------------------------------------------------------------------
+# FULL Snowball Spanish (stem.spanish_snowball_stem / _sql)
+
+from solr_spark.stem import spanish_snowball_sql, spanish_snowball_stem  # noqa: E402
+
+# hand-traced against the published algorithm (incl. the spec's own RV
+# examples macho/oliva/trabajo/áureo)
+ES_SNOWBALL_VECTORS = {
+    "haciéndola": "hac",        # step0 iéndo+la (unaccent) then 2b iendo
+    "quitárselo": "quit",       # step0 ár+selo then 2b ar
+    "trabajo": "trabaj",        # step3 o in RV (RV=bajo)
+    "oliva": "oliv",            # RV second-letter-consonant case
+    "cantando": "cant",         # 2b ando
+    "canciones": "cancion",     # 2b es
+    "nacionalidad": "nacional", # step1 idad in R2
+    "felicidad": "felic",       # flattened icidad
+    "lógicamente": "logic",     # flattened icamente + un-accent
+    "comieron": "com",          # 2b ieron
+    "guerra": "guerr",          # step3 a; gu not a gu-rule site
+    "llegue": "lleg",           # step3 gue: u in RV -> both dropped
+    "áureo": "aure",            # spec RV example (RV = eo); step3 o
+    "construyendo": "constru",  # 2a: uyendo with u in RV
+}
+
+
+def test_spanish_snowball_vectors():
+    bad = {w: spanish_snowball_stem(w)
+           for w, want in ES_SNOWBALL_VECTORS.items()
+           if spanish_snowball_stem(w) != want}
+    assert bad == {}
+
+
+def test_spanish_snowball_sql_mirror_on_vectors():
+    words = sorted(set(ES_SNOWBALL_VECTORS) | {
+        "dámelo", "leyendo", "guiando", "averigüéis", "ís", "", "s",
+        "atativamente", "abilidades", "logía", "uciones", "x_1_frob",
+        "merges", "tables", "uyo", "uya", "guen", "agues",
+    })
+    got = _sql_batch(words, spanish_snowball_sql)
+    bad = {w: (spanish_snowball_stem(w), got[w]) for w in words
+           if spanish_snowball_stem(w) != got[w]}
+    assert bad == {}
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(
+    st.text(alphabet="aeiousngrtdclmáéíóúy_0",
+            min_size=0, max_size=14),
+    min_size=1, max_size=25, unique=True))
+def test_spanish_snowball_sql_mirror_property(words):
+    got = _sql_batch(words, spanish_snowball_sql)
+    assert all(spanish_snowball_stem(w) == got[w] for w in words)
+
+
+def test_spanish_snowball_in_analyzer_registry():
+    from solr_spark.analysis import ANALYZERS
+    from solr_spark.stem import spanish_light_stem
+
+    assert ANALYZERS["text_es_snowball"] is spanish_snowball_stem
+    assert ANALYZERS["text_es"] is spanish_light_stem  # default slot stays
